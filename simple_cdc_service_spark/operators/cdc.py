@@ -1,0 +1,128 @@
+"""CDC operators: op classification, truncate-epoch filtering, changelog
+collapse (snapshot materialization), raw event log, consistency diff.
+
+These are the Spark-first rebuild of the reference consumer's apply loop
+(kafka-consumer-service/main.py:47-93). The reference applies events
+row-at-a-time with one ClickHouse round-trip per event; here the same
+semantics are a declarative plan over the whole changelog:
+
+    classify → truncate-epoch filter → last-event-per-key → drop deletes
+
+Scale notes (100 TB):
+  * The collapse is ``groupBy(key).agg(max_by(...))`` — a hash aggregate
+    with map-side partial aggregation, ONE shuffle on the key, no global
+    sort. (A window ``row_number`` formulation shuffles the same amount but
+    adds a per-partition sort; max_by wins when each key's history is long.)
+  * The truncate epoch is a 1-row aggregate broadcast back over the stream —
+    no driver collect, no second shuffle.
+  * Skewed keys (one hot row updated millions of times) are handled by the
+    partial aggregation: each map task pre-collapses its partition before
+    the shuffle, so the reducer for a hot key receives at most one row per
+    map task. AQE skew-join handling is irrelevant here — this is an agg.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from ..config import ChangeTableConfig
+
+
+def classify_op(before: Column, after: Column) -> Column:
+    """4-way null-ness branch, exactly the consumer's discriminator
+    (main.py:49 insert, :54 update, :75 delete, :88 truncate, :92 unknown).
+
+    The reference ignores the envelope's own ``op`` field and derives the
+    operation from which of before/after are null; we reproduce that
+    contract (and unit-test it against the envelope ``op`` codes).
+    """
+    return (
+        F.when(before.isNull() & after.isNotNull(), F.lit("insert"))
+        .when(before.isNotNull() & after.isNotNull(), F.lit("update"))
+        .when(before.isNotNull() & after.isNull(), F.lit("delete"))
+        .when(before.isNull() & after.isNull(), F.lit("truncate"))
+        .otherwise(F.lit("unknown"))
+    )
+
+
+def truncate_epoch_filter(changelog: DataFrame, op_col: str = "op", offset_col: str = "offset") -> DataFrame:
+    """Keep only events after the last truncate marker.
+
+    Reference semantics: ``op='t'`` wipes the replica (TRUNCATE TABLE,
+    main.py:88-90); in a replayed-changelog model only events *after* the
+    last truncate contribute to the final state (SURVEY.md §2 R10).
+
+    Implemented as a 1-row max aggregate cross-joined (broadcast) back onto
+    the stream — stays fully distributed, nothing on the driver.
+    """
+    epoch = changelog.filter(F.col(op_col) == "t").agg(
+        F.coalesce(F.max(offset_col), F.lit(-1)).alias("__t_off")
+    )
+    return (
+        changelog.crossJoin(F.broadcast(epoch))
+        .filter((F.col(offset_col) > F.col("__t_off")) & (F.col(op_col) != "t"))
+        .drop("__t_off")
+    )
+
+
+def collapse_changelog(changelog: DataFrame, cfg: ChangeTableConfig) -> DataFrame:
+    """Changelog → current-state snapshot (R11: the composite of the
+    consumer's insert/update/delete/truncate apply paths, main.py:47-93).
+
+    For each key: take the latest event (by the total order), drop the key
+    if that event is a delete. Truncate markers reset everything before
+    them. Requires ``cfg.order_columns`` to totally order events per key —
+    the explicit version of the reference's implicit single-partition Kafka
+    ordering (SURVEY.md §1.3).
+    """
+    df = truncate_epoch_filter(changelog, cfg.op_column, cfg.order_columns[0])
+    order = F.struct(*[F.col(c) for c in cfg.order_columns])
+    payload = F.struct(F.col(cfg.op_column).alias("__op"), *[F.col(c) for c in cfg.value_columns])
+    last = df.groupBy(*cfg.key_columns).agg(F.max_by(payload, order).alias("__last"))
+    return last.filter(F.col("__last.__op") != "d").select(
+        *cfg.key_columns,
+        *[F.col(f"__last.{c}").alias(c) for c in cfg.value_columns],
+    )
+
+
+def collapse_changelog_window(changelog: DataFrame, cfg: ChangeTableConfig) -> DataFrame:
+    """Alternative formulation via window ``row_number`` — kept as an
+    independent implementation for the consistency-diff check (R16) and as
+    the variant to prefer when you need N latest versions, not just 1.
+    """
+    from pyspark.sql.window import Window
+
+    df = truncate_epoch_filter(changelog, cfg.op_column, cfg.order_columns[0])
+    w = Window.partitionBy(*cfg.key_columns).orderBy(
+        *[F.col(c).desc() for c in cfg.order_columns]
+    )
+    return (
+        df.withColumn("__rn", F.row_number().over(w))
+        .filter((F.col("__rn") == 1) & (F.col(cfg.op_column) != "d"))
+        .select(*cfg.key_columns, *cfg.value_columns)
+    )
+
+
+def event_log(changelog: DataFrame, ts_col: Column, message: Column) -> DataFrame:
+    """Append-only raw event log (R4): every non-tombstone message with its
+    broker timestamp, mirroring dev.kafka_message_log
+    (clickhouse/init-script/db-table-init.sql:3-9; populated main.py:42-45).
+    A pure projection — at scale this is the cheap branch of the stream
+    (no shuffle; partition the sink by time for pruning).
+    """
+    return changelog.select(ts_col.alias("timestamp"), message.alias("kafka_message"))
+
+
+def consistency_diff(left: DataFrame, right: DataFrame) -> DataFrame:
+    """Symmetric multiset difference (R16): the Spark form of the reference
+    consistency test's sort-both-and-compare-row-by-row
+    (tests/test_consistency.py:56-75). Empty result ⇔ multiset equality.
+
+    ``exceptAll`` both ways so duplicate-cardinality mismatches are caught;
+    each side is one hash-partitioned anti-semantics join — no global sort,
+    unlike the reference's ORDER BY + zip.
+    """
+    l_minus_r = left.exceptAll(right).withColumn("side", F.lit("left_only"))
+    r_minus_l = right.exceptAll(left).withColumn("side", F.lit("right_only"))
+    return l_minus_r.unionAll(r_minus_l)

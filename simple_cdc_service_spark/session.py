@@ -1,0 +1,51 @@
+"""SparkSession factory.
+
+Defaults are chosen for correctness-reproducibility across engines (UTC
+session timezone so timestamp→epoch conversions agree with the DuckDB
+oracle) and for scale (AQE on: runtime join-strategy switching, skew-join
+splitting, partition coalescing — the things a 100 TB run needs that a
+local test never exercises).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+
+def get_spark(
+    app_name: str = "simple-cdc-service-spark",
+    master: str | None = None,
+    shuffle_partitions: int | None = None,
+    extra_conf: dict[str, str] | None = None,
+) -> SparkSession:
+    """Build (or reuse) a SparkSession.
+
+    On a real cluster ``master`` comes from spark-submit; locally we default
+    to ``local[$SPARK_GRAFT_CPUS]`` (driver contract) or ``local[*]``.
+    """
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "*")
+    builder = (
+        SparkSession.builder.appName(app_name)
+        .master(master or f"local[{cpus}]")
+        # AQE: runtime coalescing of small shuffle partitions, dynamic
+        # broadcast-join conversion, and skew-join splitting. Essential at
+        # scale, harmless locally.
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        # Arrow for any pandas-UDF path (multimodal, vector ops fallback).
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        # Deterministic timestamp semantics vs the DuckDB oracle.
+        .config("spark.sql.session.timeZone", "UTC")
+        # Local default; a real deployment sizes this to cluster cores × 2-3
+        # (or relies on AQE's initialPartitionNum + coalescing).
+        .config(
+            "spark.sql.shuffle.partitions",
+            str(shuffle_partitions or int(os.environ.get("SPARK_GRAFT_SHUFFLE", "32"))),
+        )
+    )
+    for k, v in (extra_conf or {}).items():
+        builder = builder.config(k, v)
+    return builder.getOrCreate()

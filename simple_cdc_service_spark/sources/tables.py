@@ -1,0 +1,76 @@
+"""Batch table loaders for the driver's parquet test data.
+
+At 100 TB these reads are the dominant cost; everything downstream assumes
+the scan is a columnar parquet scan with predicate pushdown and column
+pruning intact (verify with ``df.explain``: `PushedFilters`, `ReadSchema`).
+Loaders therefore never cache, never collect, and never widen the schema.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+TABLES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+# Dimension tables small enough to broadcast at any realistic scale factor:
+# region is 5 rows and nation 25 at every TPC-H SF; customer/supplier grow
+# with SF and must NOT be assumed broadcastable.
+BROADCAST_SAFE = {"region", "nation"}
+
+
+def default_sf_dir() -> str:
+    return os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+
+# events.ts is INT64 TIMESTAMP(NANOS) parquet, which Spark's reader rejects
+# outright ([PARQUET_TYPE_ILLEGAL]). We force the physical type (raw nanos as
+# long) with an explicit schema — no session-level legacy configs, so the
+# code works under ANY SparkSession (the driver supplies its own). Derived
+# columns are built with pure integer arithmetic (`div`), which is exact for
+# int64 (float division would lose precision above 2^53) and timezone-free.
+_EVENTS_SCHEMA = (
+    "event_id long, ts long, user_id long, event_type string, value double, props string"
+)
+
+
+def load_events(spark: SparkSession, sf_dir: str | None = None) -> DataFrame:
+    """`events` with ts exposed three ways:
+    ts_ns (raw nanos), ts_ms (epoch millis), ts (TimestampType, built from
+    epoch micros — tz-free construction, comparable across engines)."""
+    sf_dir = sf_dir or default_sf_dir()
+    df = spark.read.schema(_EVENTS_SCHEMA).parquet(f"{sf_dir}/events.parquet")
+    return df.select(
+        "event_id",
+        "user_id",
+        "event_type",
+        "value",
+        "props",
+        F.col("ts").alias("ts_ns"),
+        F.expr("ts div 1000000").alias("ts_ms"),
+        F.timestamp_micros(F.expr("ts div 1000")).alias("ts"),
+    )
+
+
+def load_table(spark: SparkSession, name: str, sf_dir: str | None = None) -> DataFrame:
+    sf_dir = sf_dir or default_sf_dir()
+    if name == "events":
+        return load_events(spark, sf_dir)
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+def load_tables(spark: SparkSession, sf_dir: str | None = None) -> dict[str, DataFrame]:
+    return {t: load_table(spark, t, sf_dir) for t in TABLES}

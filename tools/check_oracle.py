@@ -1,0 +1,108 @@
+"""Local mimic of the driver's correctness gate.
+
+Runs every registry query on Spark and its DuckDB oracle on the same
+parquet, compares row count, column names, and sorted values (exact for
+ints/strings, tight tolerance report for floats so we can see whether the
+round()-based determinism strategy is holding).
+
+Usage: python tools/check_oracle.py [sf_dir] [query ...]
+"""
+
+from __future__ import annotations
+
+import sys
+import time
+
+import duckdb
+import numpy as np
+import pandas as pd
+
+sys.path.insert(0, ".")
+
+from simple_cdc_service_spark.registry import REGISTRY  # noqa: E402
+from simple_cdc_service_spark.session import get_spark  # noqa: E402
+from simple_cdc_service_spark.sources.tables import TABLES  # noqa: E402
+
+
+def oracle_con(sf_dir: str) -> duckdb.DuckDBPyConnection:
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')"
+        )
+    return con
+
+
+def normalize(df: pd.DataFrame) -> pd.DataFrame:
+    df = df[sorted(df.columns)].copy()
+    if len(df):
+        df = df.sort_values(by=list(df.columns), kind="mergesort").reset_index(drop=True)
+    return df
+
+
+def compare(name: str, s: pd.DataFrame, o: pd.DataFrame) -> list[str]:
+    probs = []
+    if sorted(s.columns) != sorted(o.columns):
+        return [f"columns differ: spark={sorted(s.columns)} oracle={sorted(o.columns)}"]
+    if len(s) != len(o):
+        return [f"row count differs: spark={len(s)} oracle={len(o)}"]
+    s, o = normalize(s), normalize(o)
+    for c in s.columns:
+        sv, ov = s[c], o[c]
+        if pd.api.types.is_float_dtype(sv) or pd.api.types.is_float_dtype(ov):
+            a = sv.astype(float).to_numpy()
+            b = ov.astype(float).to_numpy()
+            both_nan = np.isnan(a) & np.isnan(b)
+            diff = np.abs(a - b)
+            diff[both_nan] = 0.0
+            mx = np.nanmax(diff) if len(diff) else 0.0
+            exact = np.sum((a != b) & ~both_nan)
+            if exact:
+                probs.append(f"col {c}: {exact} float values not bit-equal (maxdiff={mx:g})")
+        else:
+            neq = (sv.astype(str) != ov.astype(str)).sum()
+            if neq:
+                i = (sv.astype(str) != ov.astype(str)).idxmax()
+                probs.append(f"col {c}: {neq} values differ, e.g. spark={sv[i]!r} oracle={ov[i]!r}")
+    return probs
+
+
+def main() -> int:
+    args = sys.argv[1:]
+    sf_dir = args.pop(0) if args and "/" in args[0] else "/root/testdata/sf0.01"
+    names = args or list(REGISTRY)
+    spark = get_spark("check-oracle")
+    con = oracle_con(sf_dir)
+    failed = []
+    for name in names:
+        spec = REGISTRY[name]
+        t0 = time.time()
+        try:
+            sdf = spec.fn(spark, sf_dir).toPandas()
+        except Exception as e:  # noqa: BLE001
+            print(f"FAIL {name}: spark error: {e}")
+            failed.append(name)
+            continue
+        if spec.oracle is None:
+            print(f"ok?  {name}: rows-only check, {len(sdf)} rows ({time.time()-t0:.1f}s)")
+            continue
+        try:
+            odf = con.execute(spec.oracle).df()
+        except Exception as e:  # noqa: BLE001
+            print(f"FAIL {name}: oracle error: {e}")
+            failed.append(name)
+            continue
+        probs = compare(name, sdf, odf)
+        if probs:
+            print(f"FAIL {name} ({len(sdf)} rows):")
+            for p in probs:
+                print(f"     {p}")
+            failed.append(name)
+        else:
+            print(f"PASS {name}: {len(sdf)} rows ({time.time()-t0:.1f}s)")
+    print(f"\n{len(names)-len(failed)}/{len(names)} passed")
+    return 1 if failed else 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
