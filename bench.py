@@ -1,0 +1,59 @@
+"""Benchmark harness (driver contract).
+
+Runs the headline queries at $SPARK_GRAFT_SF_DIR (default
+/root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints ONE JSON line:
+{"metric": ..., "value": total_sec, "unit": "sec", "queries": {...}, "sf": ...}
+
+Each query is fully materialized (collect) so the measured time includes
+the parquet scan, every shuffle, and result assembly. A warmup query runs
+first so JVM/codegen startup isn't attributed to the first headline query.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from simple_cdc_service_spark.registry import REGISTRY  # noqa: E402
+from simple_cdc_service_spark.session import get_spark  # noqa: E402
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    m = re.search(r"sf([0-9.]+)", sf_dir)
+    sf = float(m.group(1).rstrip(".")) if m else -1.0
+    spark = get_spark("bench")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    headline = [name for name, spec in REGISTRY.items() if spec.headline]
+
+    # Warmup: JVM + codegen + parquet footer caches.
+    REGISTRY[headline[0]].fn(spark, sf_dir).collect()
+
+    times: dict[str, float] = {}
+    for name in headline:
+        t0 = time.perf_counter()
+        REGISTRY[name].fn(spark, sf_dir).collect()
+        times[name] = round(time.perf_counter() - t0, 3)
+
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_total_sec",
+                "value": round(sum(times.values()), 3),
+                "unit": "sec",
+                "queries": times,
+                "sf": sf,
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

@@ -104,6 +104,40 @@ def collapse_changelog_window(changelog: DataFrame, cfg: ChangeTableConfig) -> D
     )
 
 
+def snapshot_from_envelopes(parsed: DataFrame, cfg: ChangeTableConfig) -> DataFrame:
+    """Parsed Debezium envelopes → replica snapshot (the full consumer apply
+    path, main.py:47-93, as one declarative plan).
+
+    Derives the flat changelog from the envelope structs:
+      * key from ``coalesce(after.k, before.k)`` — for deletes only
+        ``before`` is populated (example/delete.json), for inserts only
+        ``after`` (example/insert.json). The reference assumes PK-immutable
+        updates (main.py:56-70) so for updates the two agree.
+      * values from ``after``.
+      * op from the null-ness classifier (NOT the envelope's op field —
+        matching the consumer's actual discriminator).
+    Then collapses with the standard changelog collapse.
+    """
+    cls = classify_op(F.col("before"), F.col("after"))
+    code = (
+        F.when(cls == "insert", F.lit("c"))
+        .when(cls == "update", F.lit("u"))
+        .when(cls == "delete", F.lit("d"))
+        .when(cls == "truncate", F.lit("t"))
+        .otherwise(F.lit("?"))
+    )
+    changelog = parsed.select(
+        *[F.col(c) for c in cfg.order_columns],
+        code.alias(cfg.op_column),
+        *[
+            F.coalesce(F.col(f"after.{k}"), F.col(f"before.{k}")).alias(k)
+            for k in cfg.key_columns
+        ],
+        *[F.col(f"after.{v}").alias(v) for v in cfg.value_columns],
+    )
+    return collapse_changelog(changelog, cfg)
+
+
 def event_log(changelog: DataFrame, ts_col: Column, message: Column) -> DataFrame:
     """Append-only raw event log (R4): every non-tombstone message with its
     broker timestamp, mirroring dev.kafka_message_log

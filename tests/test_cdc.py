@@ -1,0 +1,139 @@
+"""CDC operator unit + replay tests.
+
+Mirrors the reference's test strategy (tests/test_consistency.py: count
+equality + row-by-row equality against the source-of-truth) but with a
+python-side sequential replay as the oracle, plus per-branch envelope
+fixtures — the four example envelopes the reference documents but never
+wires to tests (SURVEY.md §5).
+"""
+
+import json
+
+from pyspark.sql import functions as F
+
+from simple_cdc_service_spark.config import INVOICE, ChangeTableConfig
+from simple_cdc_service_spark.operators import cdc
+from simple_cdc_service_spark.sources.changelog import (
+    envelopes_df,
+    generate_envelopes,
+    parse_envelopes,
+)
+
+CFG = ChangeTableConfig(
+    name="invoice",
+    key_columns=("order_id",),
+    value_columns=("invoice_number",),
+    order_columns=("offset",),
+)
+
+
+def _mk_envelope(op, before, after):
+    return json.dumps({"payload": {"before": before, "after": after, "op": op, "ts_ms": 1}})
+
+
+class TestClassifyOp:
+    """The 4-way null-ness branch (main.py:49,54,75,88) must agree with the
+    Debezium op codes on one fixture per consumer branch."""
+
+    def test_four_branches(self, spark):
+        rows = [
+            (0, _mk_envelope("c", None, {"order_id": 1, "invoice_number": 1})),
+            (1, _mk_envelope("u", {"order_id": 1, "invoice_number": 1}, {"order_id": 1, "invoice_number": 2})),
+            (2, _mk_envelope("d", {"order_id": 1, "invoice_number": 2}, None)),
+            (3, _mk_envelope("t", None, None)),
+        ]
+        df = spark.createDataFrame(rows, "offset long, value string")
+        parsed = parse_envelopes(df.withColumn("timestamp", F.lit(0)))
+        got = (
+            parsed.select("op", cdc.classify_op(F.col("before"), F.col("after")).alias("cls"))
+            .orderBy("op")
+            .collect()
+        )
+        assert {(r.op, r.cls) for r in got} == {
+            ("c", "insert"),
+            ("u", "update"),
+            ("d", "delete"),
+            ("t", "truncate"),
+        }
+
+    def test_tombstones_dropped(self, spark):
+        df = spark.createDataFrame(
+            [(0, None), (1, _mk_envelope("c", None, {"order_id": 1, "invoice_number": 1}))],
+            "offset long, value string",
+        )
+        parsed = parse_envelopes(df.withColumn("timestamp", F.lit(0)))
+        assert parsed.count() == 1  # null-value message skipped (main.py:37-38)
+
+
+class TestCollapse:
+    def _changelog(self, spark, rows):
+        return spark.createDataFrame(
+            rows, "offset long, op string, order_id long, invoice_number long"
+        )
+
+    def test_insert_update_delete(self, spark):
+        ch = self._changelog(
+            spark,
+            [
+                (0, "c", 1, 10),
+                (1, "c", 2, 20),
+                (2, "u", 1, 11),
+                (3, "d", 2, 20),
+                (4, "c", 3, 30),
+            ],
+        )
+        got = {r.order_id: r.invoice_number for r in cdc.collapse_changelog(ch, CFG).collect()}
+        assert got == {1: 11, 3: 30}
+
+    def test_truncate_resets(self, spark):
+        """op='t' wipes prior state (main.py:88-90); later events survive."""
+        ch = self._changelog(
+            spark,
+            [(0, "c", 1, 10), (1, "c", 2, 20), (2, "t", None, None), (3, "c", 3, 30)],
+        )
+        got = {r.order_id: r.invoice_number for r in cdc.collapse_changelog(ch, CFG).collect()}
+        assert got == {3: 30}
+
+    def test_all_truncated(self, spark):
+        ch = self._changelog(spark, [(0, "c", 1, 10), (1, "t", None, None)])
+        assert cdc.collapse_changelog(ch, CFG).count() == 0
+
+    def test_window_variant_agrees(self, spark):
+        ch = self._changelog(
+            spark,
+            [(0, "c", 1, 10), (1, "u", 1, 11), (2, "t", None, None), (3, "c", 1, 99), (4, "d", 1, 99), (5, "c", 2, 7)],
+        )
+        a = cdc.collapse_changelog(ch, CFG)
+        b = cdc.collapse_changelog_window(ch, CFG)
+        assert cdc.consistency_diff(a, b).count() == 0
+
+    def test_consistency_diff_catches_drift(self, spark):
+        a = self._changelog(spark, [(0, "c", 1, 10)]).select("order_id", "invoice_number")
+        b = self._changelog(spark, [(0, "c", 1, 11)]).select("order_id", "invoice_number")
+        assert cdc.consistency_diff(a, b).count() == 2
+
+
+class TestReplay:
+    """Seeded end-to-end replay: generator → envelopes → parse → snapshot
+    must equal the sequential python replay (count + full row equality, the
+    two reference consistency assertions)."""
+
+    def test_snapshot_matches_sequential_replay(self, spark):
+        messages, expected = generate_envelopes(n=900, seed=7, truncate_every=350, key_space=300)
+        parsed = parse_envelopes(envelopes_df(spark, messages))
+        snap = cdc.snapshot_from_envelopes(parsed, INVOICE)
+        got = {r.order_id: r.invoice_number for r in snap.collect()}
+        assert len(got) == len(expected)  # test_row_count analogue
+        assert got == expected  # test_each_row analogue
+
+    def test_no_truncates(self, spark):
+        messages, expected = generate_envelopes(n=400, seed=11, truncate_every=None)
+        parsed = parse_envelopes(envelopes_df(spark, messages))
+        snap = cdc.snapshot_from_envelopes(parsed, INVOICE)
+        got = {r.order_id: r.invoice_number for r in snap.collect()}
+        assert got == expected
+
+    def test_generator_emits_all_ops(self):
+        messages, _ = generate_envelopes(n=900, seed=7, truncate_every=350, key_space=300)
+        ops = {json.loads(m)["payload"]["op"] for m in messages}
+        assert ops == {"c", "u", "d", "t"}  # fixes the reference's insert-only bug
