@@ -1,0 +1,89 @@
+"""Reusable Column-level helpers.
+
+Everything here is built from pyspark.sql.functions primitives — JVM-side,
+whole-stage-codegen eligible, no Python UDFs in any hot path. Where a
+Python (Arrow/pandas) variant exists for throughput comparison it lives in
+the owning operator module, clearly marked.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+
+# ---------------------------------------------------------------------------
+# Vector math over array<float|double> columns.
+# ---------------------------------------------------------------------------
+
+
+def as_double_array(v: Column) -> Column:
+    """Cast array<float> → array<double> BEFORE any arithmetic so both the
+    engine and the DuckDB oracle accumulate in float64."""
+    return F.transform(v, lambda x: x.cast("double"))
+
+
+def dot(a: Column, b: Column) -> Column:
+    """Sequential left-fold dot product (deterministic accumulation order —
+    comparable across engines)."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x
+    )
+
+
+def norm(a: Column) -> Column:
+    return F.sqrt(dot(a, a))
+
+
+def cosine(a: Column, b: Column) -> Column:
+    return dot(a, b) / (norm(a) * norm(b))
+
+
+# ---------------------------------------------------------------------------
+# Text: tokenization, shingles, hashing.
+# ---------------------------------------------------------------------------
+
+
+def words(text: Column) -> Column:
+    """Lowercased space-split tokens (the canonical tokenization shared with
+    the oracle SQL: string_split(lower(text), ' '))."""
+    return F.split(F.lower(text), " ")
+
+
+def word_ngrams(ws: Column, n: int) -> Column:
+    """Distinct word n-gram shingles, space-joined; empty array when the
+    document has fewer than n words (Spark's sequence() would otherwise
+    count DOWN and produce invalid indices)."""
+    gram = F.transform(
+        F.sequence(F.lit(0), F.size(ws) - n),
+        lambda i: F.concat_ws(
+            " ", *[F.element_at(ws, (i + j + 1).cast("int")) for j in range(n)]
+        ),
+    )
+    return F.array_distinct(
+        F.when(F.size(ws) >= n, gram).otherwise(F.array().cast("array<string>"))
+    )
+
+
+def minhash_signature(shingles: Column, k: int) -> Column:
+    """k-element MinHash signature. Hash family h_i(s) = md5(i || '|' || s);
+    the minimum is taken over the hex STRING ordering, which is identical
+    in every engine (byte-wise) — no integer conversion needed.
+
+    Empty shingle sets get NULL mins → such docs never collide into a band
+    bucket (array equality with NULL element is never true for the join).
+    """
+    def hash_min(prefix: str) -> Column:
+        # NB: the lambda must take exactly ONE parameter — PySpark treats a
+        # second parameter as the array-index column, silently changing the
+        # function's meaning.
+        return F.array_min(
+            F.transform(shingles, lambda s: F.md5(F.concat(F.lit(prefix), s)))
+        )
+
+    return F.array(*[hash_min(f"{i}|") for i in range(k)])
+
+
+def jaccard(a: Column, b: Column) -> Column:
+    """Jaccard similarity of two distinct-element arrays."""
+    return F.size(F.array_intersect(a, b)) / F.size(F.array_union(a, b))

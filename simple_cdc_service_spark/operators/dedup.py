@@ -1,0 +1,178 @@
+"""Deduplication operators [EXT]: exact, MinHash-LSH, n-gram Jaccard,
+embedding-cosine near-dup.
+
+Scale design (the whole point of these at 100 TB):
+  * Exact dedup: hash groupBy on the dedup key — one shuffle, map-side
+    partial agg. Never a sort-based distinct.
+  * MinHash-LSH: per-doc signature is map-only; candidate generation
+    explodes each doc into B band rows and self-joins on (band, band
+    value) — the shuffle carries B small rows per doc instead of the
+    doc text, and the join key space is the band-bucket space, so skew
+    only appears when a bucket is genuinely hot (near-identical corpus
+    slices). Verification (true Jaccard) runs only on candidates.
+  * Embedding near-dup: blocked (here by label; in production by an
+    LSH/IVF bucket) so the pairwise cosine never becomes an all-pairs
+    crossJoin.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..functions import (
+    as_double_array,
+    cosine,
+    jaccard,
+    minhash_signature,
+    word_ngrams,
+    words,
+)
+
+
+def dedup_exact(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Exact dedup: canonical representative (min id) per identical text.
+    Deterministic — unlike dropDuplicates, which keeps an arbitrary row."""
+    return df.groupBy(text_col).agg(
+        F.min(id_col).alias(id_col), F.count("*").alias("n_dups")
+    )
+
+
+def shingle_docs(df: DataFrame, n: int = 3, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    return df.select(
+        F.col(id_col), word_ngrams(words(F.col(text_col)), n).alias("shingles")
+    )
+
+
+def minhash_candidates(
+    shingled: DataFrame,
+    k: int = 8,
+    bands: int = 4,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """LSH candidate pairs: docs sharing at least one band of the MinHash
+    signature. rows_per_band = k // bands. Returns (doc_id_a, doc_id_b),
+    a < b, distinct."""
+    r = k // bands
+    sig = shingled.select(
+        F.col(id_col), minhash_signature(F.col("shingles"), k).alias("sig")
+    )
+    banded = sig.select(
+        id_col,
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.concat_ws(
+                            "|", *[F.col("sig")[b * r + j] for j in range(r)]
+                        ).alias("bv"),
+                    )
+                    for b in range(bands)
+                ]
+            )
+        ).alias("bb"),
+    ).select(id_col, "bb.band", "bb.bv")
+    a = banded.select(
+        F.col(id_col).alias("doc_id_a"), F.col("band"), F.col("bv")
+    )
+    b = banded.select(
+        F.col(id_col).alias("doc_id_b"), F.col("band").alias("band_b"), F.col("bv").alias("bv_b")
+    )
+    return (
+        a.join(
+            b,
+            (F.col("band") == F.col("band_b"))
+            & (F.col("bv") == F.col("bv_b"))
+            & (F.col("doc_id_a") < F.col("doc_id_b")),
+        )
+        .select("doc_id_a", "doc_id_b")
+        .distinct()
+    )
+
+
+def minhash_dedup_pairs(
+    df: DataFrame,
+    n: int = 3,
+    k: int = 8,
+    bands: int = 4,
+    threshold: float = 0.0,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Full MinHash-LSH pipeline: shingle → sign → band-join candidates →
+    verify with TRUE Jaccard on the shingle sets → threshold.
+
+    The verify join re-attaches shingle sets only for candidate docs —
+    at scale that's |candidates| rows, not |corpus|."""
+    sh = shingle_docs(df, n, text_col, id_col)
+    cand = minhash_candidates(sh, k, bands, id_col)
+    a = sh.select(F.col(id_col).alias("doc_id_a"), F.col("shingles").alias("sh_a"))
+    b = sh.select(F.col(id_col).alias("doc_id_b"), F.col("shingles").alias("sh_b"))
+    return (
+        cand.join(a, "doc_id_a")
+        .join(b, "doc_id_b")
+        .select(
+            "doc_id_a",
+            "doc_id_b",
+            F.round(jaccard(F.col("sh_a"), F.col("sh_b")), 4).alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= threshold)
+    )
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    threshold: float = 0.95,
+    block_col: str = "source",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Blocked exact n-gram (here unigram-set) Jaccard dedup: compare only
+    pairs within the same block, keep pairs ≥ threshold. The block column
+    is the scale lever — the shuffle is per-block and the quadratic term is
+    bounded by the largest block."""
+    w = df.select(
+        F.col(id_col),
+        F.col(block_col).alias("blk"),
+        F.array_distinct(words(F.col(text_col))).alias("ws"),
+    )
+    a = w.select(F.col(id_col).alias("doc_id_a"), F.col("blk"), F.col("ws").alias("ws_a"))
+    b = w.select(F.col(id_col).alias("doc_id_b"), F.col("blk").alias("blk_b"), F.col("ws").alias("ws_b"))
+    return (
+        a.join(b, (F.col("blk") == F.col("blk_b")) & (F.col("doc_id_a") < F.col("doc_id_b")))
+        .select(
+            "doc_id_a",
+            "doc_id_b",
+            F.round(jaccard(F.col("ws_a"), F.col("ws_b")), 4).alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= threshold)
+    )
+
+
+def embedding_dup_pairs(
+    df: DataFrame,
+    threshold: float = 0.4,
+    block_col: str = "label",
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Embedding-cosine near-dup within blocks. In production the block is
+    an LSH bucket (see similarity.ivf_assign); here the dataset's label
+    column stands in so the oracle can replicate the blocking exactly."""
+    e = df.select(
+        F.col(id_col),
+        F.col(block_col).alias("blk"),
+        as_double_array(F.col(vec_col)).alias("v"),
+    )
+    a = e.select(F.col(id_col).alias("vec_id_a"), F.col("blk"), F.col("v").alias("va"))
+    b = e.select(F.col(id_col).alias("vec_id_b"), F.col("blk").alias("blk_b"), F.col("v").alias("vb"))
+    return (
+        a.join(b, (F.col("blk") == F.col("blk_b")) & (F.col("vec_id_a") < F.col("vec_id_b")))
+        .select(
+            "vec_id_a",
+            "vec_id_b",
+            F.round(cosine(F.col("va"), F.col("vb")), 6).alias("cos_sim"),
+        )
+        .filter(F.col("cos_sim") >= threshold)
+    )

@@ -1,0 +1,124 @@
+"""Similarity search operators [EXT]: brute-force cosine top-k (the exact
+baseline) and an IVF-bucketed approximate variant (the scale path).
+
+Scale design:
+  * Brute-force: the query set is broadcast (it's small by definition);
+    scoring is map-only over the corpus scan; the only shuffle is the
+    per-query top-k reduction. Never crossJoin two big sides.
+  * IVF: corpus is pre-assigned to its nearest centroid (map-only, vs a
+    broadcast centroid table). A query probes only its own centroid's
+    partition — turning top-k from O(corpus) into O(corpus/n_centroids)
+    per query at a small recall cost. Centroids here are a deterministic
+    sample; production would k-means them.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from ..functions import as_double_array, cosine
+
+
+def knn_bruteforce(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Exact cosine top-k: broadcast the queries against the corpus scan,
+    reduce per query. Scores rounded to 6dp (and rank tie-broken by id) so
+    results are reproducible bit-for-bit across engines."""
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"), as_double_array(F.col(vec_col)).alias("cv")
+    )
+    q = queries.select(
+        F.col(id_col).alias("query_id"), as_double_array(F.col(vec_col)).alias("qv")
+    )
+    scored = c.crossJoin(F.broadcast(q)).select(
+        "query_id",
+        "neighbor_id",
+        F.round(cosine(F.col("qv"), F.col("cv")), 6).alias("cos_sim"),
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cos_sim").desc(), F.col("neighbor_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "rank", "cos_sim")
+    )
+
+
+def ivf_assign(
+    corpus: DataFrame,
+    centroids: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Assign every vector to its nearest centroid (broadcast centroids,
+    map-only). Returns (id, centroid_id, v)."""
+    c = corpus.select(F.col(id_col), as_double_array(F.col(vec_col)).alias("v"))
+    cent = centroids.select(
+        F.col("centroid_id"), as_double_array(F.col(vec_col)).alias("cv")
+    )
+    scored = c.crossJoin(F.broadcast(cent)).select(
+        id_col,
+        "v",
+        "centroid_id",
+        cosine(F.col("v"), F.col("cv")).alias("sim"),
+    )
+    w = Window.partitionBy(id_col).orderBy(F.col("sim").desc(), F.col("centroid_id"))
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(id_col, "centroid_id", "v")
+    )
+
+
+def deterministic_centroids(
+    corpus: DataFrame, every: int = 100, vec_col: str = "embedding", id_col: str = "vec_id"
+) -> DataFrame:
+    """Deterministic centroid sample: every Nth vector by id. A stand-in
+    for k-means that keeps results reproducible."""
+    return corpus.filter(F.col(id_col) % every == 0).select(
+        (F.col(id_col) / every).cast("long").alias("centroid_id"), F.col(vec_col)
+    )
+
+
+def knn_ivf(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    every: int = 100,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Approximate top-k: both sides assigned to centroids; candidates are
+    corpus vectors in the query's centroid bucket (single-probe)."""
+    cents = deterministic_centroids(corpus, every, vec_col, id_col)
+    corpus_a = ivf_assign(corpus, cents, vec_col, id_col).select(
+        F.col(id_col).alias("neighbor_id"), F.col("centroid_id"), F.col("v").alias("cv")
+    )
+    queries_a = ivf_assign(queries, cents, vec_col, id_col).select(
+        F.col(id_col).alias("query_id"),
+        F.col("centroid_id").alias("centroid_q"),
+        F.col("v").alias("qv"),
+    )
+    scored = corpus_a.join(
+        F.broadcast(queries_a), F.col("centroid_id") == F.col("centroid_q")
+    ).select(
+        "query_id",
+        "neighbor_id",
+        F.round(cosine(F.col("qv"), F.col("cv")), 6).alias("cos_sim"),
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cos_sim").desc(), F.col("neighbor_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "rank", "cos_sim")
+    )

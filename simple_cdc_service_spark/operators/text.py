@@ -1,0 +1,88 @@
+"""Text analysis operators [EXT]: token counting, quality scoring,
+language ID, document fingerprinting.
+
+All pure Column expressions (JVM-side, codegen'd, no shuffle — these are
+map-only over the documents scan, which is exactly what you want when the
+input is 100 TB of text: the cost is the scan, the expressions are free).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from ..functions import words
+
+# Tiny embedded stopword/marker lists — shared verbatim with the oracle SQL
+# in registry.py (keep in lockstep).
+STOPWORDS = ("the", "a", "of", "and", "to", "in", "is", "on", "for")
+
+LANG_MARKERS: dict[str, tuple[str, ...]] = {
+    "en": ("the", "and", "of", "to", "in", "is"),
+    "de": ("der", "die", "und", "das", "ist", "nicht"),
+    "es": ("el", "la", "los", "de", "que", "y"),
+    "fr": ("le", "la", "les", "et", "est", "des"),
+    "zh": ("de", "le", "shi", "bu", "wo", "ni"),
+}
+# Deterministic precedence for argmax ties (checked in order).
+LANG_ORDER = ("en", "de", "es", "fr", "zh")
+
+PUNCT_CLASS = "[.!?,;:]"
+
+
+def token_count(text: Column) -> Column:
+    """Whitespace token count (trim first so leading/trailing blanks don't
+    create phantom tokens)."""
+    return F.size(F.split(F.trim(text), r"\s+"))
+
+
+def _count_in(ws: Column, vocab: tuple[str, ...]) -> Column:
+    vocab_arr = F.array(*[F.lit(w) for w in vocab])
+    return F.size(F.filter(ws, lambda w: F.array_contains(vocab_arr, w)))
+
+
+def quality_columns(text: Column) -> dict[str, Column]:
+    """Length / punctuation / stopword quality signals (the standard cheap
+    pre-filters of an LLM data pipeline)."""
+    ws = words(text)
+    n_chars = F.length(text)
+    punct = n_chars - F.length(F.regexp_replace(text, PUNCT_CLASS, ""))
+    return {
+        "n_chars": n_chars,
+        "n_tokens": token_count(text),
+        "punct_ratio": F.round(punct / n_chars, 4),
+        "stopword_ratio": F.round(_count_in(ws, STOPWORDS) / F.size(ws), 4),
+        "mean_word_len": F.round(
+            (n_chars - F.size(ws) + 1) / F.size(ws), 4
+        ),  # chars minus separators over words
+    }
+
+
+def lang_scores(text: Column) -> dict[str, Column]:
+    ws = words(text)
+    return {lang: _count_in(ws, LANG_MARKERS[lang]) for lang in LANG_ORDER}
+
+
+def predict_lang(text: Column) -> Column:
+    """Marker-word language ID with fixed-precedence argmax — deterministic
+    and expressible identically in SQL (chained CASE)."""
+    s = lang_scores(text)
+    expr = None
+    checked: list[str] = []
+    for lang in LANG_ORDER[:-1]:
+        rest = [o for o in LANG_ORDER if o != lang]
+        cond = None
+        for o in rest:
+            c = s[lang] >= s[o]
+            cond = c if cond is None else (cond & c)
+        expr = (
+            F.when(cond, F.lit(lang)) if expr is None else expr.when(cond, F.lit(lang))
+        )
+        checked.append(lang)
+    return expr.otherwise(F.lit(LANG_ORDER[-1]))
+
+
+def fingerprint(text: Column) -> Column:
+    """Content fingerprint: md5 of the lowercased text. Identical hex output
+    in every engine; the basis for exact near-canonical dedup."""
+    return F.md5(F.lower(text))

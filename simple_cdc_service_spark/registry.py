@@ -489,3 +489,424 @@ def sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("ts_ms").alias("session_end"),
         )
     )
+
+
+# ===========================================================================
+# Text analysis [EXT E6] over `documents`.
+# ===========================================================================
+
+_STOP_SQL = "('the','a','of','and','to','in','is','on','for')"
+
+
+@register(
+    "text_tokens",
+    oracle=r"""
+    SELECT doc_id,
+           len(regexp_split_to_array(trim(text), '\s+')) AS n_tokens,
+           length(text) AS n_chars_actual
+    FROM documents
+    """,
+)
+def text_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counting — whitespace tokenizer (BPE-ish regex variant covered
+    by the n-gram shingles in dedup). Map-only over the scan."""
+    from .operators import text as T
+
+    d = _t(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        T.token_count(F.col("text")).alias("n_tokens"),
+        F.length("text").alias("n_chars_actual"),
+    )
+
+
+@register(
+    "text_quality",
+    oracle=f"""
+    WITH w AS (SELECT doc_id, text, string_split(lower(text), ' ') AS ws FROM documents)
+    SELECT doc_id,
+           length(text) AS n_chars,
+           len(regexp_split_to_array(trim(text), '\\s+')) AS n_tokens,
+           round((length(text) - length(regexp_replace(text, '[.!?,;:]', '', 'g'))) * 1.0
+                 / length(text), 4) AS punct_ratio,
+           round(len(list_filter(ws, w -> w IN {_STOP_SQL})) * 1.0 / len(ws), 4)
+               AS stopword_ratio,
+           round((length(text) - len(ws) + 1) * 1.0 / len(ws), 4) AS mean_word_len
+    FROM w
+    """,
+    headline=True,
+)
+def text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality scoring: length / punctuation / stopword signals (the cheap
+    pre-filters of an LLM data pipeline). Pure codegen'd expressions."""
+    from .operators import text as T
+
+    d = _t(spark, sf_dir, "documents")
+    cols = T.quality_columns(F.col("text"))
+    return d.select("doc_id", *[c.alias(n) for n, c in cols.items()])
+
+
+@register(
+    "lang_id",
+    oracle="""
+    WITH w AS (SELECT doc_id, lang, string_split(lower(text), ' ') AS ws FROM documents),
+    s AS (
+        SELECT doc_id, lang,
+            len(list_filter(ws, x -> x IN ('the','and','of','to','in','is')))      AS s_en,
+            len(list_filter(ws, x -> x IN ('der','die','und','das','ist','nicht'))) AS s_de,
+            len(list_filter(ws, x -> x IN ('el','la','los','de','que','y')))       AS s_es,
+            len(list_filter(ws, x -> x IN ('le','la','les','et','est','des')))     AS s_fr,
+            len(list_filter(ws, x -> x IN ('de','le','shi','bu','wo','ni')))       AS s_zh
+        FROM w
+    )
+    SELECT doc_id, lang AS labeled_lang,
+           CASE WHEN s_en >= s_de AND s_en >= s_es AND s_en >= s_fr AND s_en >= s_zh THEN 'en'
+                WHEN s_de >= s_en AND s_de >= s_es AND s_de >= s_fr AND s_de >= s_zh THEN 'de'
+                WHEN s_es >= s_en AND s_es >= s_de AND s_es >= s_fr AND s_es >= s_zh THEN 'es'
+                WHEN s_fr >= s_en AND s_fr >= s_de AND s_fr >= s_es AND s_fr >= s_zh THEN 'fr'
+                ELSE 'zh' END AS predicted_lang
+    FROM s
+    """,
+)
+def lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Marker-word language ID with deterministic argmax precedence
+    (en>de>es>fr>zh on ties)."""
+    from .operators import text as T
+
+    d = _t(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        F.col("lang").alias("labeled_lang"),
+        T.predict_lang(F.col("text")).alias("predicted_lang"),
+    )
+
+
+@register(
+    "doc_fingerprint",
+    oracle="SELECT doc_id, md5(lower(text)) AS fp FROM documents",
+)
+def doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Content fingerprint (md5 of normalized text) — identical hex in
+    every engine; the key for cheap exact near-canonical dedup."""
+    from .operators import text as T
+
+    d = _t(spark, sf_dir, "documents")
+    return d.select("doc_id", T.fingerprint(F.col("text")).alias("fp"))
+
+
+# ===========================================================================
+# Deduplication [EXT E1/E3] over `documents` / `embeddings`.
+# ===========================================================================
+
+
+@register(
+    "dedup_exact",
+    oracle="""
+    SELECT text, min(doc_id) AS doc_id, count(*) AS n_dups
+    FROM documents GROUP BY text
+    """,
+)
+def dedup_exact_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E1 exact dedup: hash groupBy with deterministic representative
+    (min id) — one shuffle, map-side partial agg; never a sort."""
+    from .operators.dedup import dedup_exact
+
+    return dedup_exact(_t(spark, sf_dir, "documents"))
+
+
+@register(
+    "dedup_minhash",
+    oracle="""
+    WITH w AS (SELECT doc_id, string_split(lower(text), ' ') AS ws FROM documents),
+    sh AS (SELECT doc_id,
+                  list_distinct(CASE WHEN len(ws) >= 3
+                       THEN list_transform(range(1, len(ws) - 1),
+                                           i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2])
+                       ELSE [] END) AS shingles
+           FROM w),
+    mh AS (SELECT doc_id,
+                  [list_min(list_transform(shingles,
+                       s -> md5(CAST(h AS VARCHAR) || '|' || s))) FOR h IN range(0, 8)] AS sig
+           FROM sh),
+    banded AS (SELECT doc_id, unnest(range(0, 4)) AS band, sig FROM mh),
+    cand AS (SELECT DISTINCT a.doc_id AS doc_id_a, b.doc_id AS doc_id_b
+             FROM banded a JOIN banded b
+               ON a.band = b.band AND a.doc_id < b.doc_id
+              AND a.sig[CAST(a.band*2+1 AS INT)] = b.sig[CAST(b.band*2+1 AS INT)]
+              AND a.sig[CAST(a.band*2+2 AS INT)] = b.sig[CAST(b.band*2+2 AS INT)])
+    SELECT doc_id_a, doc_id_b,
+           round(len(list_intersect(sa.shingles, sb.shingles)) * 1.0
+                 / len(list_distinct(list_concat(sa.shingles, sb.shingles))), 4) AS jaccard
+    FROM cand
+    JOIN sh sa ON sa.doc_id = cand.doc_id_a
+    JOIN sh sb ON sb.doc_id = cand.doc_id_b
+    """,
+    headline=True,
+)
+def dedup_minhash_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E3 MinHash-LSH near-dup: 3-gram shingles → 8 md5-hash minima → 4
+    bands of 2 → band-bucket self-join for candidates → true-Jaccard verify.
+    MinHash minima are taken over hex STRINGS (byte order ≡ in every
+    engine), avoiding any integer-conversion divergence."""
+    from .operators.dedup import minhash_dedup_pairs
+
+    return minhash_dedup_pairs(_t(spark, sf_dir, "documents"), n=3, k=8, bands=4)
+
+
+@register(
+    "dedup_ngram_jaccard",
+    oracle="""
+    WITH w AS (SELECT doc_id, source, list_distinct(string_split(lower(text), ' ')) AS ws
+               FROM documents)
+    SELECT a.doc_id AS doc_id_a, b.doc_id AS doc_id_b,
+           round(len(list_intersect(a.ws, b.ws)) * 1.0
+                 / len(list_distinct(list_concat(a.ws, b.ws))), 4) AS jaccard
+    FROM w a JOIN w b ON a.source = b.source AND a.doc_id < b.doc_id
+    WHERE round(len(list_intersect(a.ws, b.ws)) * 1.0
+                / len(list_distinct(list_concat(a.ws, b.ws))), 4) >= 0.95
+    """,
+)
+def dedup_ngram_jaccard_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Blocked word-set Jaccard dedup (block = source). The quadratic term
+    is bounded by the largest block — the production block would be an LSH
+    bucket, not a metadata column."""
+    from .operators.dedup import ngram_jaccard_pairs
+
+    return ngram_jaccard_pairs(_t(spark, sf_dir, "documents"), threshold=0.95)
+
+
+@register(
+    "dedup_embedding",
+    oracle="""
+    WITH e AS (SELECT vec_id, label, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+               FROM embeddings)
+    SELECT a.vec_id AS vec_id_a, b.vec_id AS vec_id_b,
+           round(list_dot_product(a.v, b.v)
+                 / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))),
+                 6) AS cos_sim
+    FROM e a JOIN e b ON a.label = b.label AND a.vec_id < b.vec_id
+    WHERE round(list_dot_product(a.v, b.v)
+                / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))),
+                6) >= 0.4
+    """,
+)
+def dedup_embedding_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup within blocks (label here; LSH/IVF bucket
+    in production)."""
+    from .operators.dedup import embedding_dup_pairs
+
+    return embedding_dup_pairs(_t(spark, sf_dir, "embeddings"), threshold=0.4)
+
+
+# ===========================================================================
+# Similarity search [EXT E4].
+# ===========================================================================
+
+
+@register(
+    "knn_bruteforce",
+    oracle="""
+    WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+               FROM embeddings),
+    q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id < 5),
+    c AS (SELECT vec_id AS neighbor_id, v AS cv FROM e WHERE vec_id >= 5),
+    scored AS (
+        SELECT query_id, neighbor_id,
+               round(list_dot_product(qv, cv)
+                     / (sqrt(list_dot_product(qv, qv)) * sqrt(list_dot_product(cv, cv))),
+                     6) AS cos_sim
+        FROM q CROSS JOIN c
+    ),
+    r AS (SELECT *, CAST(row_number() OVER (
+              PARTITION BY query_id ORDER BY cos_sim DESC, neighbor_id) AS BIGINT) AS nn_rank
+          FROM scored)
+    SELECT query_id, neighbor_id, nn_rank, cos_sim FROM r WHERE nn_rank <= 10
+    """,
+    headline=True,
+)
+def knn_bruteforce_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E4 exact cosine top-k: broadcast query set × corpus scan, per-query
+    top-k reduction. The exact baseline the IVF variant is measured against."""
+    from .operators.similarity import knn_bruteforce
+
+    emb = _t(spark, sf_dir, "embeddings")
+    res = knn_bruteforce(emb.filter(F.col("vec_id") >= 5), emb.filter(F.col("vec_id") < 5), k=10)
+    return res.select(
+        "query_id", "neighbor_id", F.col("rank").cast("long").alias("nn_rank"), "cos_sim"
+    )
+
+
+@register("knn_ivf", oracle=None)
+def knn_ivf_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E4 scale path: IVF single-probe approximate top-k (deterministic
+    centroid sample standing in for k-means). Rows-only check: approximate
+    results have no SQL oracle; recall-vs-bruteforce is asserted in tests."""
+    from .operators.similarity import knn_ivf
+
+    emb = _t(spark, sf_dir, "embeddings")
+    return knn_ivf(emb.filter(F.col("vec_id") >= 5), emb.filter(F.col("vec_id") < 5), k=10, every=100)
+
+
+# ===========================================================================
+# Aggregation/set/join coverage beyond the reference surface.
+# ===========================================================================
+
+
+@register(
+    "distinct_count",
+    oracle="""
+    SELECT CAST(count(DISTINCT user_id) AS BIGINT) AS n_users,
+           CAST(count(DISTINCT event_type) AS BIGINT) AS n_types
+    FROM events
+    """,
+)
+def distinct_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact distinct aggregation (expands to a two-stage partial/final
+    plan under the hood)."""
+    return _t(spark, sf_dir, "events").agg(
+        F.countDistinct("user_id").alias("n_users"),
+        F.countDistinct("event_type").alias("n_types"),
+    )
+
+
+@register("approx_distinct", oracle=None)
+def approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E5 HLL++ approximate distinct — sketches merge associatively so the
+    plan is one map-side sketch + tiny final merge (the 100 TB way to count
+    distincts). No SQL oracle: HLL estimates differ across engines by
+    design; tests assert relative error vs the exact count instead."""
+    return _t(spark, sf_dir, "events").agg(
+        F.approx_count_distinct("user_id", 0.01).alias("approx_users"),
+        F.approx_count_distinct("event_type", 0.01).alias("approx_types"),
+    )
+
+
+@register(
+    "join_anti",
+    oracle="""
+    SELECT c_custkey, c_name FROM customer c
+    WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+    """,
+)
+def join_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Anti join (customers with no orders). Plans as a broadcast/shuffled
+    hash anti join — never a NOT IN crossJoin."""
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
+    return c.join(o, c.c_custkey == o.o_custkey, "left_anti").select("c_custkey", "c_name")
+
+
+@register(
+    "join_semi",
+    oracle="""
+    SELECT c_custkey, c_name FROM customer c
+    WHERE EXISTS (SELECT 1 FROM orders o
+                  WHERE o.o_custkey = c.c_custkey AND o.o_orderstatus = 'P')
+    """,
+)
+def join_semi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi join (customers with ≥1 pending order) — the filter pushes into
+    the build side before the join."""
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == "P")
+    return c.join(o, c.c_custkey == o.o_custkey, "left_semi").select("c_custkey", "c_name")
+
+
+@register(
+    "set_ops",
+    oracle="""
+    SELECT 'err_not_signup' AS setop, user_id FROM (
+        SELECT DISTINCT user_id FROM events WHERE event_type = 'error'
+        EXCEPT
+        SELECT DISTINCT user_id FROM events WHERE event_type = 'signup')
+    UNION ALL
+    SELECT 'err_and_purchase' AS setop, user_id FROM (
+        SELECT DISTINCT user_id FROM events WHERE event_type = 'error'
+        INTERSECT
+        SELECT DISTINCT user_id FROM events WHERE event_type = 'purchase')
+    """,
+)
+def set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXCEPT / INTERSECT (distinct semantics; the reference's R16 check is
+    the EXCEPT ALL cousin, covered by cdc_consistency_diff)."""
+    ev = _t(spark, sf_dir, "events")
+    err = ev.filter(F.col("event_type") == "error").select("user_id").distinct()
+    sig = ev.filter(F.col("event_type") == "signup").select("user_id").distinct()
+    pur = ev.filter(F.col("event_type") == "purchase").select("user_id").distinct()
+    return err.subtract(sig).withColumn("setop", F.lit("err_not_signup")).unionAll(
+        err.intersect(pur).withColumn("setop", F.lit("err_and_purchase"))
+    ).select("setop", "user_id")
+
+
+@register(
+    "rollup_revenue",
+    oracle="""
+    SELECT l_returnflag, l_linestatus,
+           round(sum(l_extendedprice), 2) AS sum_base, count(*) AS n
+    FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
+    """,
+)
+def rollup_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROLLUP grouping sets (subtotals + grand total in one pass —
+    Spark expands to a single Expand + hash aggregate, not N scans)."""
+    return (
+        _t(spark, sf_dir, "lineitem")
+        .rollup("l_returnflag", "l_linestatus")
+        .agg(F.round(F.sum("l_extendedprice"), 2).alias("sum_base"), F.count("*").alias("n"))
+    )
+
+
+@register(
+    "scalar_funcs",
+    oracle="""
+    SELECT p_partkey,
+           upper(p_brand) AS brand_upper,
+           substr(p_name, 1, 5) AS name_prefix,
+           length(p_name) AS name_len,
+           round(abs(p_retailprice - 1000.0), 2) AS price_dev,
+           p_size % 7 AS size_mod,
+           p_brand || '#' || p_type AS brand_type,
+           contains(p_name, 'br') AS has_br
+    FROM part
+    """,
+)
+def scalar_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scalar function library sample: string/math/predicate functions, all
+    JVM built-ins inside one codegen stage."""
+    p = _t(spark, sf_dir, "part")
+    return p.select(
+        "p_partkey",
+        F.upper("p_brand").alias("brand_upper"),
+        F.substring("p_name", 1, 5).alias("name_prefix"),
+        F.length("p_name").alias("name_len"),
+        F.round(F.abs(F.col("p_retailprice") - 1000.0), 2).alias("price_dev"),
+        (F.col("p_size") % 7).alias("size_mod"),
+        F.concat(F.col("p_brand"), F.lit("#"), F.col("p_type")).alias("brand_type"),
+        F.col("p_name").contains("br").alias("has_br"),
+    )
+
+
+@register(
+    "date_funcs",
+    oracle="""
+    SELECT o_orderkey,
+           CAST(year(o_orderdate) AS BIGINT) AS yr,
+           CAST(month(o_orderdate) AS BIGINT) AS mo,
+           CAST(quarter(o_orderdate) AS BIGINT) AS qtr,
+           strftime(o_orderdate + INTERVAL 30 DAY, '%Y-%m-%d') AS due_date
+    FROM orders
+    """,
+)
+def date_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Date/time function sample on NTZ timestamps — extraction and
+    arithmetic are wall-clock (timezone-free) on both engines."""
+    o = _t(spark, sf_dir, "orders")
+    return o.select(
+        "o_orderkey",
+        F.year("o_orderdate").cast("long").alias("yr"),
+        F.month("o_orderdate").cast("long").alias("mo"),
+        F.quarter("o_orderdate").cast("long").alias("qtr"),
+        F.date_format(
+            F.col("o_orderdate") + F.expr("INTERVAL 30 DAYS"), "yyyy-MM-dd"
+        ).alias("due_date"),
+    )
