@@ -1,0 +1,270 @@
+"""Structured Streaming rebuild of the reference consumer loop
+(kafka-consumer-service/main.py:20-93).
+
+The reference: one synchronous Python loop, `latest` offsets, no consumer
+group — a restart silently drops everything (main.py:25-28). Here the same
+dataflow is a checkpointed Structured Streaming job:
+
+    readStream (Kafka or file-JSON in tests)
+      ├─ sink 1: raw event log, append-only       (R4, main.py:42-45)
+      └─ sink 2: foreachBatch replica merge       (R5-R11, main.py:47-93)
+
+which upgrades delivery to effectively-exactly-once: offsets live in the
+checkpoint, and the merge is idempotent per micro-batch (re-running a
+failed batch rewrites the same state version).
+
+Scale notes:
+  * The replica merge below materializes state as versioned parquet
+    (state/v{batchId}) with an anti-join + union — O(|state|) rewrite per
+    batch. That is the correct *local* stand-in; the production sink is
+    Delta/Iceberg MERGE where file-level key stats prune the rewrite to
+    touched files. The collapse half (per-batch last-event-per-key) is the
+    same max_by aggregate as the batch operator and carries all the same
+    scale properties.
+  * Kafka parallelism = topic partitions; per-key ordering holds within a
+    partition, which is exactly the guarantee Debezium's per-table topics
+    give. The batch-local collapse orders by (partition, offset) — the
+    explicit version of the reference's implicit single-partition order.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..config import ChangeTableConfig
+from ..operators.cdc import classify_op, collapse_changelog
+from ..schemas import INVOICE_ROW, kafka_message_schema
+
+KAFKA_LIKE_SCHEMA = "offset long, timestamp long, value string"
+
+
+def read_changelog_stream(spark: SparkSession, path: str) -> DataFrame:
+    """Test-mode source: a directory of JSON-lines files with Kafka-shaped
+    records (offset, timestamp, value). Swap for the real Kafka source with
+    ``kafka_changelog_stream`` — everything downstream is identical."""
+    return spark.readStream.schema(KAFKA_LIKE_SCHEMA).json(path)
+
+
+def kafka_changelog_stream(
+    spark: SparkSession, bootstrap: str, topic: str, starting: str = "earliest"
+) -> DataFrame:
+    """Production source (reference subscribes to source.dev.invoice,
+    main.py:25-29 — but with `latest` and no group; we default to
+    `earliest` + checkpointing so restarts replay instead of dropping).
+    Not exercised in tests (no broker in the container); the returned frame
+    has the same (offset, timestamp, value) shape as the test source."""
+    raw = (
+        spark.readStream.format("kafka")
+        .option("kafka.bootstrap.servers", bootstrap)
+        .option("subscribe", topic)
+        .option("startingOffsets", starting)
+        .load()
+    )
+    return raw.select(
+        F.col("offset"),
+        F.unix_millis(F.col("timestamp")).alias("timestamp"),
+        F.col("value").cast("string").alias("value"),
+    )
+
+
+def _parse(stream: DataFrame, row_schema) -> DataFrame:
+    """Tombstone-filter + envelope decode (R2+R3), streaming-safe."""
+    return (
+        stream.filter(F.col("value").isNotNull())
+        .withColumn("msg", F.from_json(F.col("value"), kafka_message_schema(row_schema)))
+        .select(
+            "offset",
+            "timestamp",
+            F.col("value").alias("raw"),
+            F.col("msg.payload.before").alias("before"),
+            F.col("msg.payload.after").alias("after"),
+        )
+    )
+
+
+def start_event_log_sink(stream: DataFrame, out_dir: str, checkpoint: str, trigger_available_now: bool = True):
+    """Sink 1: append-only raw log (timestamp, kafka_message) — the
+    dev.kafka_message_log table (clickhouse/init-script/db-table-init.sql:3-9).
+    Pure projection, no shuffle; partition by time in production for
+    retention + pruning."""
+    log = stream.filter(F.col("value").isNotNull()).select(
+        F.col("timestamp").cast("long").alias("timestamp"),
+        F.col("value").alias("kafka_message"),
+    )
+    writer = (
+        log.writeStream.format("parquet")
+        .option("path", out_dir)
+        .option("checkpointLocation", checkpoint)
+        .outputMode("append")
+    )
+    if trigger_available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
+def _state_versions(state_dir: str) -> list[int]:
+    if not os.path.isdir(state_dir):
+        return []
+    out = []
+    for d in os.listdir(state_dir):
+        if d.startswith("v") and d[1:].isdigit() and os.path.exists(
+            os.path.join(state_dir, d, "_SUCCESS")
+        ):
+            out.append(int(d[1:]))
+    return sorted(out)
+
+
+def read_replica(spark: SparkSession, state_dir: str) -> DataFrame | None:
+    """Current replica state (latest committed version), or None."""
+    versions = _state_versions(state_dir)
+    if not versions:
+        return None
+    return spark.read.parquet(os.path.join(state_dir, f"v{versions[-1]}"))
+
+
+def start_replica_merge(
+    stream: DataFrame,
+    cfg: ChangeTableConfig,
+    state_dir: str,
+    checkpoint: str,
+    row_schema=INVOICE_ROW,
+    trigger_available_now: bool = True,
+):
+    """Sink 2: the replica, maintained by an idempotent per-batch merge.
+
+    Per micro-batch (foreachBatch):
+      1. classify + batch-local truncate-epoch + last-event-per-key
+         (the same collapse_changelog plan as batch mode, but keeping
+         final deletes so they can erase existing state);
+      2. merge into current state: state rows whose key appears in the
+         batch are dropped (anti join), surviving batch rows appended;
+         a truncate in the batch wipes prior state entirely;
+      3. write state version v{batchId} — re-running a batch after a crash
+         rewrites the same version with the same content (idempotent), and
+         readers only see versions with a _SUCCESS marker.
+    """
+    parsed_schema = row_schema
+
+    def apply_batch(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        parsed = _parse(batch_df, parsed_schema)
+        cls = classify_op(F.col("before"), F.col("after"))
+        code = (
+            F.when(cls == "insert", F.lit("c"))
+            .when(cls == "update", F.lit("u"))
+            .when(cls == "delete", F.lit("d"))
+            .when(cls == "truncate", F.lit("t"))
+            .otherwise(F.lit("?"))
+        )
+        changelog = parsed.select(
+            F.col("offset"),
+            code.alias(cfg.op_column),
+            *[
+                F.coalesce(F.col(f"after.{k}"), F.col(f"before.{k}")).alias(k)
+                for k in cfg.key_columns
+            ],
+            *[F.col(f"after.{v}").alias(v) for v in cfg.value_columns],
+        )
+        if changelog.isEmpty():
+            return
+        # Batch-local collapse keeping deletes (collapse_changelog drops
+        # rows whose final op is 'd'; here they must erase existing state):
+        # same truncate-epoch + max_by pattern.
+        from ..operators.cdc import truncate_epoch_filter
+
+        had_truncate = changelog.filter(F.col(cfg.op_column) == "t").limit(1).count() > 0
+        live = truncate_epoch_filter(changelog, cfg.op_column, "offset")
+        payload = F.struct(
+            F.col(cfg.op_column).alias("__op"),
+            *[F.col(c) for c in cfg.value_columns],
+        )
+        batch_last = live.groupBy(*cfg.key_columns).agg(
+            F.max_by(payload, F.col("offset")).alias("__last")
+        ).select(
+            *cfg.key_columns,
+            F.col("__last.__op").alias("__op"),
+            *[F.col(f"__last.{c}").alias(c) for c in cfg.value_columns],
+        )
+
+        current = None if had_truncate else read_replica(spark, state_dir)
+        upserts = batch_last.filter(F.col("__op") != "d").select(
+            *cfg.key_columns, *cfg.value_columns
+        )
+        if current is not None:
+            keys = batch_last.select(*cfg.key_columns)
+            survivors = current.join(keys, list(cfg.key_columns), "left_anti")
+            new_state = survivors.unionByName(upserts)
+        else:
+            new_state = upserts
+        out = os.path.join(state_dir, f"v{batch_id}")
+        new_state.write.mode("overwrite").parquet(out)
+
+    writer = (
+        stream.writeStream.foreachBatch(apply_batch)
+        .option("checkpointLocation", checkpoint)
+        .outputMode("update")
+    )
+    if trigger_available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
+def start_streaming_dedup(
+    stream: DataFrame,
+    out_dir: str,
+    checkpoint: str,
+    id_cols: list[str],
+    ts_col: str = "event_time",
+    watermark: str = "10 minutes",
+    trigger_available_now: bool = True,
+):
+    """E2: streaming exact dedup with bounded state —
+    dropDuplicatesWithinWatermark keeps each id only within the watermark
+    horizon, so state size is O(events per watermark window), not O(stream).
+    The CDC use: replayed Debezium events deduped by binlog coordinates."""
+    deduped = stream.withWatermark(ts_col, watermark).dropDuplicatesWithinWatermark(id_cols)
+    writer = (
+        deduped.writeStream.format("parquet")
+        .option("path", out_dir)
+        .option("checkpointLocation", checkpoint)
+        .outputMode("append")
+    )
+    if trigger_available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
+def start_windowed_counts(
+    stream: DataFrame,
+    out_dir: str,
+    checkpoint: str,
+    ts_col: str = "event_time",
+    window: str = "1 hour",
+    watermark: str = "2 hours",
+    trigger_available_now: bool = True,
+):
+    """E8 streaming form: watermarked tumbling-window counts, append mode
+    (a window emits once it is below the watermark — late data beyond the
+    watermark is dropped, the documented contrast to the reference's
+    undefined late behavior, SURVEY.md §2)."""
+    agg = (
+        stream.withWatermark(ts_col, watermark)
+        .groupBy(F.window(F.col(ts_col), window))
+        .agg(F.count("*").alias("n"))
+        .select(
+            F.unix_millis(F.col("window.start")).alias("win_start"),
+            F.col("n"),
+        )
+    )
+    writer = (
+        agg.writeStream.format("parquet")
+        .option("path", out_dir)
+        .option("checkpointLocation", checkpoint)
+        .outputMode("append")
+    )
+    if trigger_available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

@@ -1,0 +1,161 @@
+"""Structured Streaming pipeline tests: file-JSON source (Kafka stand-in),
+availableNow triggers, checkpointed restarts.
+
+The key assertions mirror the reference's consistency tests but across
+micro-batches and restarts — the delivery-semantics upgrade over the
+reference's lost-on-restart consumer (main.py:25-28) is exactly what's
+being proven here.
+"""
+
+import json
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from simple_cdc_service_spark.config import INVOICE
+from simple_cdc_service_spark.sources.changelog import generate_envelopes
+from simple_cdc_service_spark.streaming import (
+    read_changelog_stream,
+    read_replica,
+    start_event_log_sink,
+    start_replica_merge,
+    start_streaming_dedup,
+    start_windowed_counts,
+)
+
+
+def _write_batch(src_dir: str, name: str, messages: list[str], start_offset: int = 0):
+    os.makedirs(src_dir, exist_ok=True)
+    with open(os.path.join(src_dir, name), "w") as f:
+        for i, m in enumerate(messages):
+            rec = {
+                "offset": start_offset + i,
+                "timestamp": 1_700_000_000_000 + (start_offset + i) * 1000,
+                "value": m,
+            }
+            f.write(json.dumps(rec) + "\n")
+
+
+def _run(handle):
+    handle.awaitTermination()
+
+
+class TestReplicaMerge:
+    def test_replica_matches_replay_across_batches(self, spark, tmp_path):
+        """Feed the seeded workload in two chunks through two availableNow
+        runs sharing one checkpoint: the final replica must equal the full
+        sequential replay (count + rows — the two reference assertions)."""
+        msgs, expected = generate_envelopes(n=600, seed=3, truncate_every=250, key_space=200)
+        src = str(tmp_path / "src")
+        state = str(tmp_path / "state")
+        ckpt = str(tmp_path / "ckpt")
+
+        _write_batch(src, "part1.json", msgs[:400], 0)
+        s = read_changelog_stream(spark, src)
+        _run(start_replica_merge(s, INVOICE, state, ckpt))
+
+        # restart: new file arrives, same checkpoint — only the delta is
+        # processed (offsets come from the checkpoint, not `latest`).
+        _write_batch(src, "part2.json", msgs[400:], 400)
+        s2 = read_changelog_stream(spark, src)
+        _run(start_replica_merge(s2, INVOICE, state, ckpt))
+
+        replica = read_replica(spark, state)
+        got = {r.order_id: r.invoice_number for r in replica.collect()}
+        assert len(got) == len(expected)
+        assert got == expected
+
+    def test_truncate_wipes_prior_batch_state(self, spark, tmp_path):
+        from simple_cdc_service_spark.sources.changelog import _envelope
+
+        src = str(tmp_path / "src")
+        state = str(tmp_path / "state")
+        ckpt = str(tmp_path / "ckpt")
+        b1 = [
+            json.dumps(_envelope("c", None, {"order_id": 1, "invoice_number": 10}, 1, 1)),
+            json.dumps(_envelope("c", None, {"order_id": 2, "invoice_number": 20}, 2, 2)),
+        ]
+        _write_batch(src, "b1.json", b1, 0)
+        _run(start_replica_merge(read_changelog_stream(spark, src), INVOICE, state, ckpt))
+        assert read_replica(spark, state).count() == 2
+
+        b2 = [
+            json.dumps(_envelope("t", None, None, 3, 3)),
+            json.dumps(_envelope("c", None, {"order_id": 9, "invoice_number": 90}, 4, 4)),
+        ]
+        _write_batch(src, "b2.json", b2, 2)
+        _run(start_replica_merge(read_changelog_stream(spark, src), INVOICE, state, ckpt))
+        got = {r.order_id: r.invoice_number for r in read_replica(spark, state).collect()}
+        assert got == {9: 90}
+
+
+class TestEventLogSink:
+    def test_appends_every_non_tombstone(self, spark, tmp_path):
+        msgs, _ = generate_envelopes(n=100, seed=5, truncate_every=40)
+        src = str(tmp_path / "src")
+        out = str(tmp_path / "log")
+        ckpt = str(tmp_path / "ckpt")
+        _write_batch(src, "b.json", msgs, 0)
+        _run(start_event_log_sink(read_changelog_stream(spark, src), out, ckpt))
+        log = spark.read.parquet(out)
+        assert log.count() == len(msgs)  # truncates logged too (main.py:42-45)
+        assert set(log.columns) == {"timestamp", "kafka_message"}
+        # every message round-trips verbatim
+        assert log.filter(F.col("kafka_message").contains('"payload"')).count() == len(msgs)
+
+
+class TestStreamingDedup:
+    def test_duplicates_within_watermark_dropped(self, spark, tmp_path):
+        src = str(tmp_path / "src")
+        out = str(tmp_path / "out")
+        ckpt = str(tmp_path / "ckpt")
+        os.makedirs(src)
+        rows = []
+        for i in range(50):
+            rows.append({"event_id": i % 25, "event_time": f"2024-01-01 00:{i % 25:02d}:00"})
+        with open(os.path.join(src, "a.json"), "w") as f:
+            for r in rows:
+                f.write(json.dumps(r) + "\n")
+        stream = (
+            spark.readStream.schema("event_id long, event_time string")
+            .json(src)
+            .withColumn("event_time", F.col("event_time").cast("timestamp"))
+        )
+        _run(start_streaming_dedup(stream, out, ckpt, ["event_id"], "event_time", "1 hour"))
+        assert spark.read.parquet(out).count() == 25
+
+
+class TestWindowedCounts:
+    def test_closed_windows_emitted(self, spark, tmp_path):
+        """Append mode emits a window once the watermark passes its end —
+        with the documented one-batch lag: a window closed by batch N's
+        data is flushed while processing batch N+1."""
+        src = str(tmp_path / "src")
+        out = str(tmp_path / "out")
+        ckpt = str(tmp_path / "ckpt")
+        os.makedirs(src)
+
+        def feed(name, hours):
+            with open(os.path.join(src, name), "w") as f:
+                for h in hours:
+                    for i in range(4):
+                        f.write(json.dumps({"event_time": f"2024-01-01 {h:02d}:1{i}:00"}) + "\n")
+
+        def run():
+            stream = (
+                spark.readStream.schema("event_time string")
+                .json(src)
+                .withColumn("event_time", F.col("event_time").cast("timestamp"))
+            )
+            _run(start_windowed_counts(stream, out, ckpt, "event_time", "1 hour", "30 minutes"))
+            return {r.win_start: r.n for r in spark.read.parquet(out).collect()}
+
+        base = 1704067200000  # 2024-01-01 00:00:00 UTC in ms
+        feed("a.json", [0, 1, 2])
+        got1 = run()
+        assert got1[base] == 4  # window 00 closed (watermark 02:10-30m=01:40)
+
+        feed("b.json", [4])  # advances watermark to 03:43
+        got2 = run()
+        assert got2 == {base: 4, base + 3600000: 4, base + 2 * 3600000: 4}
