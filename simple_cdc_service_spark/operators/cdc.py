@@ -75,14 +75,28 @@ def collapse_changelog(changelog: DataFrame, cfg: ChangeTableConfig) -> DataFram
     them. Requires ``cfg.order_columns`` to totally order events per key —
     the explicit version of the reference's implicit single-partition Kafka
     ordering (SURVEY.md §1.3).
+
+    Plan shape: one per-column ``max_by`` per value column plus one for the
+    op code. Keeping every aggregation buffer primitive matters: a single
+    ``max_by(struct, …)`` would be semantically identical but its
+    struct-typed buffer forces SortAggregate (per-partition sort); with
+    primitive buffers Catalyst emits a partial+final HashAggregate — one
+    shuffle of |keys| pre-collapsed rows and no sort anywhere
+    (tests/test_plans.py pins this).
     """
     df = truncate_epoch_filter(changelog, cfg.op_column, cfg.order_columns[0])
-    order = F.struct(*[F.col(c) for c in cfg.order_columns])
-    payload = F.struct(F.col(cfg.op_column).alias("__op"), *[F.col(c) for c in cfg.value_columns])
-    last = df.groupBy(*cfg.key_columns).agg(F.max_by(payload, order).alias("__last"))
-    return last.filter(F.col("__last.__op") != "d").select(
-        *cfg.key_columns,
-        *[F.col(f"__last.{c}").alias(c) for c in cfg.value_columns],
+    order = (
+        F.col(cfg.order_columns[0])
+        if len(cfg.order_columns) == 1
+        else F.struct(*[F.col(c) for c in cfg.order_columns])
+    )
+    # op as its ascii code: numeric buffer, and 'd' (100) is testable on
+    # the aggregated result without re-decoding.
+    aggs = [F.max_by(F.col(c), order).alias(c) for c in cfg.value_columns]
+    aggs.append(F.max_by(F.ascii(F.col(cfg.op_column)), order).alias("__op_code"))
+    last = df.groupBy(*cfg.key_columns).agg(*aggs)
+    return last.filter(F.col("__op_code") != ord("d")).select(
+        *cfg.key_columns, *cfg.value_columns
     )
 
 

@@ -910,3 +910,47 @@ def date_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("o_orderdate") + F.expr("INTERVAL 30 DAYS"), "yyyy-MM-dd"
         ).alias("due_date"),
     )
+
+
+# ===========================================================================
+# Multimodal columns [EXT E7].
+# ===========================================================================
+
+
+@register(
+    "media_catalog",
+    oracle="""
+    SELECT doc_id,
+           CASE WHEN doc_id % 3 = 0 THEN 'image/png'
+                WHEN doc_id % 3 = 1 THEN 'audio/wav'
+                ELSE 'video/mp4' END AS mime,
+           CAST(CASE WHEN doc_id % 3 = 2 THEN 4 ELSE 1 END AS INT) AS n_frames,
+           CAST(octet_length(unhex(repeat(md5(CAST(doc_id AS VARCHAR)), 4))) AS INT)
+               AS payload_len
+    FROM documents
+    """,
+)
+def media_catalog(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E7 media table plumbing: binary payload + typed metadata struct,
+    synthesized deterministically (both engines derive identical bytes).
+    Metadata-only projections never touch the payload column (parquet
+    column pruning) — asserted by the plan test."""
+    from .operators.multimodal import synthesize_media
+
+    m = synthesize_media(_t(spark, sf_dir, "documents"))
+    return m.select(
+        "doc_id",
+        F.col("meta.mime").alias("mime"),
+        F.col("meta.n_frames").alias("n_frames"),
+        F.length("payload").cast("int").alias("payload_len"),
+    )
+
+
+@register("media_features", oracle=None, headline=True)
+def media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E7 Arrow-batched byte-level feature extraction (histogram/mean/
+    entropy) over binary payloads via mapInPandas. No SQL oracle (pandas
+    UDF semantics); exact values asserted against numpy in tests."""
+    from .operators.multimodal import extract_features, synthesize_media
+
+    return extract_features(synthesize_media(_t(spark, sf_dir, "documents")))

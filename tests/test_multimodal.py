@@ -1,0 +1,82 @@
+"""Multimodal plumbing tests: schema, Arrow batch shape, exact feature
+values vs numpy, decode stub gating, frame sampling."""
+
+import hashlib
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from simple_cdc_service_spark.operators.multimodal import (
+    decode_media,
+    extract_features,
+    sample_frames,
+    synthesize_media,
+)
+
+
+@pytest.fixture(scope="module")
+def media(spark):
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    return synthesize_media(docs.limit(30))
+
+
+def expected_payload(doc_id: int) -> bytes:
+    return bytes.fromhex(hashlib.md5(str(doc_id).encode()).hexdigest() * 4)
+
+
+class TestSynthesize:
+    def test_payload_and_meta(self, media):
+        rows = {r.doc_id: r for r in media.collect()}
+        assert bytes(rows[0].payload) == expected_payload(0)
+        assert rows[0].meta.mime == "image/png"
+        assert rows[1].meta.mime == "audio/wav" and rows[1].meta.sample_rate == 16000
+        assert rows[2].meta.mime == "video/mp4" and rows[2].meta.n_frames == 4
+
+
+class TestFeatures:
+    def test_exact_values_vs_numpy(self, media):
+        got = {r.doc_id: r for r in extract_features(media).collect()}
+        for did in (0, 7, 13):
+            arr = np.frombuffer(expected_payload(did), dtype=np.uint8)
+            hist, _ = np.histogram(arr, bins=16, range=(0, 256))
+            r = got[did]
+            assert r.n_bytes == 64
+            assert abs(r.byte_mean - float(arr.mean())) < 1e-12
+            assert list(r.histogram) == hist.tolist()
+            probs = hist[hist > 0] / arr.size
+            assert abs(r.byte_entropy - round(float(-(probs * np.log2(probs)).sum()), 6)) < 1e-9
+
+    def test_schema_stable(self, media):
+        df = extract_features(media)
+        assert [f.name for f in df.schema.fields] == [
+            "doc_id", "n_bytes", "byte_mean", "byte_entropy", "histogram",
+        ]
+
+
+class TestDecodeStub:
+    def test_real_decode_raises_without_libs(self, media):
+        try:
+            import PIL  # noqa: F401
+            pytest.skip("PIL present; stub gate not exercised")
+        except ImportError:
+            pass
+        with pytest.raises(NotImplementedError):
+            decode_media(media, fake=False)
+
+    def test_fake_decode_deterministic(self, media):
+        px = {r.doc_id: r.pixels for r in decode_media(media, fake=True).collect()}
+        arr = np.frombuffer(expected_payload(0), dtype=np.uint8) / 255.0
+        assert np.allclose(px[0], arr)
+
+
+class TestFrameSampling:
+    def test_every_other_frame(self, media):
+        frames = sample_frames(media, frame_bytes=16, every=2).collect()
+        by_doc = {}
+        for r in frames:
+            by_doc.setdefault(r.doc_id, []).append(r)
+        # 64 bytes / 16 = 4 frames, every 2nd -> indices 0, 2
+        for did, fr in by_doc.items():
+            assert sorted(f.frame_idx for f in fr) == [0, 2]
+            assert all(len(bytes(f.frame)) == 16 for f in fr)

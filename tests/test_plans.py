@@ -1,0 +1,94 @@
+"""Physical-plan assertions: the scale properties each operator was
+designed around must actually appear in the plan Catalyst produces.
+A change that keeps results correct but regresses the plan fails here."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from simple_cdc_service_spark.plans import (
+    assert_in_plan,
+    assert_not_in_plan,
+    plan_string,
+    scan_read_schema,
+)
+from simple_cdc_service_spark.registry import REGISTRY
+
+SF = "/root/testdata/sf0.001"
+
+
+def q(spark, name):
+    return REGISTRY[name].fn(spark, SF)
+
+
+class TestPushdownAndPruning:
+    def test_filter_eq_pushes_both_predicates(self, spark):
+        plan = plan_string(q(spark, "filter_eq"))
+        assert "PushedFilters:" in plan
+        assert "EqualTo(l_returnflag,R)" in plan
+        assert "EqualTo(l_linenumber,1)" in plan
+
+    def test_filter_eq_prunes_columns(self, spark):
+        schemas = scan_read_schema(q(spark, "filter_eq"), "lineitem")
+        assert len(schemas) == 1
+        # 5 columns: 3 projected + 2 filter columns; the other 6 pruned
+        assert schemas[0].count(":") == 5
+
+    def test_media_catalog_reads_only_doc_id(self, spark):
+        # payload/meta are synthesized; only doc_id should be scanned —
+        # the "metadata queries never touch blobs" property.
+        schemas = scan_read_schema(q(spark, "media_catalog"), "documents")
+        assert schemas == ["struct<doc_id:bigint>"]
+
+    def test_q1_date_filter_pushed(self, spark):
+        plan = plan_string(q(spark, "q1_pricing_summary"))
+        assert "PushedFilters:" in plan and "LessThanOrEqual(l_shipdate" in plan
+
+
+class TestAggregation:
+    def test_q1_partial_aggregation(self, spark):
+        # partial_ marks map-side combine: the shuffle carries |groups|
+        # rows per task, not |lineitem| rows.
+        assert_in_plan(q(spark, "q1_pricing_summary"), "partial_sum", "partial_avg")
+
+    def test_cdc_snapshot_no_sort(self, spark):
+        # collapse is max_by hash agg — a Sort in this plan would mean the
+        # window formulation snuck back in.
+        plan = plan_string(q(spark, "cdc_snapshot"))
+        assert "max_by" in plan
+        assert "Sort " not in plan
+
+    def test_count_star_never_scans_columns(self, spark):
+        schemas = scan_read_schema(q(spark, "count_star"), "lineitem")
+        assert schemas == ["struct<>"]
+
+
+class TestJoins:
+    def test_q5_broadcasts_small_dims(self, spark):
+        assert_in_plan(q(spark, "q5_region_revenue"), "BroadcastHashJoin")
+
+    def test_knn_broadcasts_queries(self, spark):
+        assert_in_plan(q(spark, "knn_bruteforce"), "BroadcastNestedLoopJoin")
+
+    def test_anti_semi_are_hash_joins(self, spark):
+        for name in ("join_anti", "join_semi"):
+            plan = plan_string(q(spark, name))
+            assert "LeftAnti" in plan or "LeftSemi" in plan
+            assert "BroadcastHashJoin" in plan or "SortMergeJoin" in plan or "ShuffledHashJoin" in plan
+
+
+class TestTopK:
+    def test_topk_is_take_ordered_not_full_sort(self, spark):
+        # TakeOrderedAndProject = per-partition heap + driver merge of k
+        # rows; a global Exchange+Sort here would be the 100 TB mistake.
+        assert_in_plan(q(spark, "topk_orders"), "TakeOrderedAndProject")
+        assert_not_in_plan(q(spark, "topk_orders"), "rangepartitioning")
+
+
+class TestCodegen:
+    @pytest.mark.parametrize("name", ["q1_pricing_summary", "text_quality", "scalar_funcs"])
+    def test_hot_paths_whole_stage_codegen(self, spark, name):
+        # AQE plans only expose codegen stages once finalized — execute,
+        # then inspect the formatted plan for "[codegen id : N]" tags.
+        df = q(spark, name)
+        df.collect()
+        assert_in_plan(df, "[codegen id :")
