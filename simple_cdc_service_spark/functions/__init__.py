@@ -66,22 +66,37 @@ def word_ngrams(ws: Column, n: int) -> Column:
 
 
 def minhash_signature(shingles: Column, k: int) -> Column:
-    """k-element MinHash signature. Hash family h_i(s) = md5(i || '|' || s);
-    the minimum is taken over the hex STRING ordering, which is identical
-    in every engine (byte-wise) — no integer conversion needed.
+    """k-element MinHash signature, four hash functions per md5 call.
+
+    Hash family: h_{4g+j}(s) = substr(md5(g || '|' || s), 8j+1, 8) — each
+    md5 yields four independent-ish 32-bit (8-hex-char) hashes, so k hashes
+    cost ceil(k/4) md5 calls per shingle instead of k (md5 is essentially
+    the whole signature cost at corpus scale). Minima are taken over the
+    hex STRING ordering, which is byte-wise identical in every engine — no
+    integer conversion to diverge on.
 
     Empty shingle sets get NULL mins → such docs never collide into a band
-    bucket (array equality with NULL element is never true for the join).
+    bucket (array equality with a NULL element is never true in the join).
     """
-    def hash_min(prefix: str) -> Column:
-        # NB: the lambda must take exactly ONE parameter — PySpark treats a
-        # second parameter as the array-index column, silently changing the
-        # function's meaning.
-        return F.array_min(
-            F.transform(shingles, lambda s: F.md5(F.concat(F.lit(prefix), s)))
-        )
 
-    return F.array(*[hash_min(f"{i}|") for i in range(k)])
+    # NB: each lambda must take exactly ONE parameter — PySpark treats a
+    # second parameter as the array-index column, silently changing the
+    # function's meaning. Prefix/offset are bound via closure factories.
+    return F.array(
+        *[
+            _chunk_min(_md5_array(shingles, f"{i // 4}|"), i % 4)
+            for i in range(k)
+        ]
+    )
+
+
+def _md5_array(shingles: Column, prefix: str) -> Column:
+    return F.transform(shingles, lambda s: F.md5(F.concat(F.lit(prefix), s)))
+
+
+def _chunk_min(hashed: Column, j: int) -> Column:
+    lo = 8 * j + 1
+    return F.array_min(F.transform(hashed, lambda h: F.substring(h, lo, 8)))
 
 
 def jaccard(a: Column, b: Column) -> Column:

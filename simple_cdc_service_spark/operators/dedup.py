@@ -39,7 +39,9 @@ def dedup_exact(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -
 
 
 def shingle_docs(df: DataFrame, n: int = 3, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
-    return df.select(
+    from ..sources.tables import spread
+
+    return spread(df).select(
         F.col(id_col), word_ngrams(words(F.col(text_col)), n).alias("shingles")
     )
 
@@ -54,8 +56,21 @@ def minhash_candidates(
     signature. rows_per_band = k // bands. Returns (doc_id_a, doc_id_b),
     a < b, distinct."""
     r = k // bands
-    sig = shingled.select(
-        F.col(id_col), minhash_signature(F.col("shingles"), k).alias("sig")
+    # Stage the per-group md5 arrays as real columns so each md5 pass runs
+    # ONCE per row; the four 32-bit chunk minima per group are then cheap
+    # substring scans. (CollapseProject keeps the staging: the hashed
+    # arrays are non-cheap and referenced 4×, so the optimizer does not
+    # inline them back into duplicated md5 calls.)
+    from ..functions import _chunk_min, _md5_array
+
+    staged = shingled
+    for g in range((k + 3) // 4):
+        staged = staged.withColumn(f"__h{g}", _md5_array(F.col("shingles"), f"{g}|"))
+    sig = staged.select(
+        F.col(id_col),
+        F.array(
+            *[_chunk_min(F.col(f"__h{i // 4}"), i % 4) for i in range(k)]
+        ).alias("sig"),
     )
     banded = sig.select(
         id_col,
@@ -73,20 +88,34 @@ def minhash_candidates(
             )
         ).alias("bb"),
     ).select(id_col, "bb.band", "bb.bv")
-    a = banded.select(
-        F.col(id_col).alias("doc_id_a"), F.col("band"), F.col("bv")
+    # Bucket-local pair generation instead of a self-join: group each band
+    # bucket, explode id pairs from buckets with >1 member. One pass over
+    # the signature pipeline (a self-join would recompute shingles+md5 for
+    # BOTH sides) and one shuffle keyed on (band, band-value). Hot buckets
+    # (near-identical corpus slices) are the skew risk — their pair count
+    # is quadratic in bucket size, which is the inherent LSH cost, not a
+    # join artifact.
+    buckets = (
+        banded.groupBy("band", "bv")
+        .agg(F.array_sort(F.collect_list(F.col(id_col))).alias("ids"))
+        .filter((F.size("ids") > 1) & F.col("bv").isNotNull())
     )
-    b = banded.select(
-        F.col(id_col).alias("doc_id_b"), F.col("band").alias("band_b"), F.col("bv").alias("bv_b")
+    n = F.size(F.col("ids"))
+    pairs = F.flatten(
+        F.transform(
+            F.sequence(F.lit(0), n - 2),
+            lambda i: F.transform(
+                F.sequence(i + 1, n - 1),
+                lambda j: F.struct(
+                    F.element_at(F.col("ids"), (i + 1).cast("int")).alias("doc_id_a"),
+                    F.element_at(F.col("ids"), (j + 1).cast("int")).alias("doc_id_b"),
+                ),
+            ),
+        )
     )
     return (
-        a.join(
-            b,
-            (F.col("band") == F.col("band_b"))
-            & (F.col("bv") == F.col("bv_b"))
-            & (F.col("doc_id_a") < F.col("doc_id_b")),
-        )
-        .select("doc_id_a", "doc_id_b")
+        buckets.select(F.explode(pairs).alias("p"))
+        .select(F.col("p.doc_id_a"), F.col("p.doc_id_b"))
         .distinct()
     )
 
@@ -103,19 +132,26 @@ def minhash_dedup_pairs(
     """Full MinHash-LSH pipeline: shingle → sign → band-join candidates →
     verify with TRUE Jaccard on the shingle sets → threshold.
 
-    The verify join re-attaches shingle sets only for candidate docs —
-    at scale that's |candidates| rows, not |corpus|."""
+    The candidate set is broadcast back onto the corpus for the verify
+    joins, and shingles are recomputed only on the joined (candidate)
+    rows — verify cost is O(|candidates|), not O(|corpus|)."""
     sh = shingle_docs(df, n, text_col, id_col)
     cand = minhash_candidates(sh, k, bands, id_col)
-    a = sh.select(F.col(id_col).alias("doc_id_a"), F.col("shingles").alias("sh_a"))
-    b = sh.select(F.col(id_col).alias("doc_id_b"), F.col("shingles").alias("sh_b"))
+    a = df.select(F.col(id_col).alias("doc_id_a"), F.col(text_col).alias("__text_a"))
+    b = df.select(F.col(id_col).alias("doc_id_b"), F.col(text_col).alias("__text_b"))
     return (
-        cand.join(a, "doc_id_a")
+        a.join(F.broadcast(cand), "doc_id_a")
         .join(b, "doc_id_b")
         .select(
             "doc_id_a",
             "doc_id_b",
-            F.round(jaccard(F.col("sh_a"), F.col("sh_b")), 4).alias("jaccard"),
+            F.round(
+                jaccard(
+                    word_ngrams(words(F.col("__text_a")), n),
+                    word_ngrams(words(F.col("__text_b")), n),
+                ),
+                4,
+            ).alias("jaccard"),
         )
         .filter(F.col("jaccard") >= threshold)
     )

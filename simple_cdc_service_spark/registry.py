@@ -624,10 +624,20 @@ def dedup_exact_q(spark: SparkSession, sf_dir: str) -> DataFrame:
                                            i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2])
                        ELSE [] END) AS shingles
            FROM w),
-    mh AS (SELECT doc_id,
-                  [list_min(list_transform(shingles,
-                       s -> md5(CAST(h AS VARCHAR) || '|' || s))) FOR h IN range(0, 8)] AS sig
+    hx AS (SELECT doc_id, shingles,
+                  list_transform(shingles, s -> md5('0|' || s)) AS h0,
+                  list_transform(shingles, s -> md5('1|' || s)) AS h1
            FROM sh),
+    mh AS (SELECT doc_id,
+                  [list_min(list_transform(h0, x -> substr(x, 1, 8))),
+                   list_min(list_transform(h0, x -> substr(x, 9, 8))),
+                   list_min(list_transform(h0, x -> substr(x, 17, 8))),
+                   list_min(list_transform(h0, x -> substr(x, 25, 8))),
+                   list_min(list_transform(h1, x -> substr(x, 1, 8))),
+                   list_min(list_transform(h1, x -> substr(x, 9, 8))),
+                   list_min(list_transform(h1, x -> substr(x, 17, 8))),
+                   list_min(list_transform(h1, x -> substr(x, 25, 8)))] AS sig
+           FROM hx),
     banded AS (SELECT doc_id, unnest(range(0, 4)) AS band, sig FROM mh),
     cand AS (SELECT DISTINCT a.doc_id AS doc_id_a, b.doc_id AS doc_id_b
              FROM banded a JOIN banded b
@@ -953,4 +963,133 @@ def media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     UDF semantics); exact values asserted against numpy in tests."""
     from .operators.multimodal import extract_features, synthesize_media
 
-    return extract_features(synthesize_media(_t(spark, sf_dir, "documents")))
+    from .sources.tables import spread
+
+    return extract_features(synthesize_media(spread(_t(spark, sf_dir, "documents"))))
+
+
+# ===========================================================================
+# TF-IDF [EXT E6], CUBE, and pyspark.ml LSH variants.
+# ===========================================================================
+
+
+@register(
+    "tfidf_top_terms",
+    oracle="""
+    WITH tok AS (
+        SELECT doc_id, unnest(string_split(lower(text), ' ')) AS word FROM documents
+    ),
+    tf AS (SELECT doc_id, word, count(*) AS tf FROM tok GROUP BY doc_id, word),
+    df AS (SELECT word, count(DISTINCT doc_id) AS df FROM tok GROUP BY word),
+    n AS (SELECT count(*) AS n_docs FROM documents),
+    scored AS (
+        SELECT tf.doc_id, tf.word,
+               round(tf.tf * (ln((n.n_docs + 1.0) / (df.df + 1.0)) + 1.0), 4) AS tfidf
+        FROM tf JOIN df USING (word) CROSS JOIN n
+    ),
+    ranked AS (
+        SELECT *, CAST(row_number() OVER (
+            PARTITION BY doc_id ORDER BY tfidf DESC, word) AS BIGINT) AS term_rank
+        FROM scored
+    )
+    SELECT doc_id, word, tfidf, term_rank FROM ranked WHERE term_rank <= 3
+    """,
+)
+def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E6 TF-IDF, fully declarative: explode → tf groupBy → df groupBy →
+    smooth-idf join → per-doc top-3. The df side is tiny (vocabulary) and
+    broadcast; the only big shuffles are the two aggregations on
+    (doc, word) / (word) — both with map-side partial aggregation."""
+    d = _t(spark, sf_dir, "documents")
+    tok = d.select("doc_id", F.explode(F.split(F.lower("text"), " ")).alias("word"))
+    tf = tok.groupBy("doc_id", "word").agg(F.count("*").alias("tf"))
+    df = tok.groupBy("word").agg(F.countDistinct("doc_id").alias("df"))
+    n_docs = d.count()  # scalar: one number, fine on the driver
+    scored = tf.join(F.broadcast(df), "word").select(
+        "doc_id",
+        "word",
+        F.round(
+            F.col("tf") * (F.log((n_docs + 1.0) / (F.col("df") + 1.0)) + 1.0), 4
+        ).alias("tfidf"),
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.col("tfidf").desc(), F.col("word"))
+    return (
+        scored.withColumn("term_rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("term_rank") <= 3)
+        .select("doc_id", "word", "tfidf", "term_rank")
+    )
+
+
+@register(
+    "cube_revenue",
+    oracle="""
+    SELECT l_returnflag, l_linestatus,
+           round(sum(l_extendedprice), 2) AS sum_base, count(*) AS n
+    FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)
+    """,
+)
+def cube_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE grouping sets (all 4 grouping combinations in one Expand +
+    hash aggregate pass)."""
+    return (
+        _t(spark, sf_dir, "lineitem")
+        .cube("l_returnflag", "l_linestatus")
+        .agg(F.round(F.sum("l_extendedprice"), 2).alias("sum_base"), F.count("*").alias("n"))
+    )
+
+
+@register("dedup_minhash_ml", oracle=None)
+def dedup_minhash_ml(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E3 via pyspark.ml MinHashLSH (HashingTF term vectors →
+    approxSimilarityJoin) — the library counterpart of the hand-rolled
+    md5 MinHash pipeline (dedup_minhash). Rows-only: the ml hash family
+    is seeded differently from any SQL oracle could replicate; recall
+    against the exact pipeline is asserted in tests."""
+    from pyspark.ml.feature import HashingTF, MinHashLSH
+
+    from .sources.tables import spread
+
+    d = spread(_t(spark, sf_dir, "documents"))
+    tokens = d.select("doc_id", F.split(F.lower("text"), " ").alias("tokens"))
+    tf = HashingTF(inputCol="tokens", outputCol="features", numFeatures=1 << 18)
+    feats = tf.transform(tokens)
+    lsh = MinHashLSH(inputCol="features", outputCol="hashes", numHashTables=4, seed=42)
+    model = lsh.fit(feats)
+    # distance threshold 0.35 ⇒ token-set jaccard ≥ 0.65; the corpus's
+    # small shared vocabulary makes looser thresholds explode into
+    # ~all-pairs output.
+    pairs = model.approxSimilarityJoin(feats, feats, 0.35, distCol="jaccard_dist")
+    return (
+        pairs.filter(F.col("datasetA.doc_id") < F.col("datasetB.doc_id"))
+        .select(
+            F.col("datasetA.doc_id").alias("doc_id_a"),
+            F.col("datasetB.doc_id").alias("doc_id_b"),
+            F.round(1 - F.col("jaccard_dist"), 4).alias("jaccard"),
+        )
+    )
+
+
+@register("knn_lsh_ml", oracle=None)
+def knn_lsh_ml(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E4 via pyspark.ml BucketedRandomProjectionLSH approxNearestNeighbors
+    for each of the 5 query vectors. Rows-only (seeded random projections);
+    recall vs knn_bruteforce asserted in tests."""
+    from pyspark.ml.feature import BucketedRandomProjectionLSH
+    from pyspark.ml.functions import array_to_vector
+
+    emb = _t(spark, sf_dir, "embeddings")
+    with_vec = emb.select("vec_id", array_to_vector(F.col("embedding")).alias("features"))
+    corpus = with_vec.filter(F.col("vec_id") >= 5)
+    lsh = BucketedRandomProjectionLSH(
+        inputCol="features", outputCol="hashes", bucketLength=0.5, numHashTables=4, seed=42
+    )
+    model = lsh.fit(corpus)
+    out = None
+    for q in with_vec.filter(F.col("vec_id") < 5).collect():
+        nn = model.approxNearestNeighbors(corpus, q.features, 10).select(
+            F.lit(q.vec_id).alias("query_id"),
+            F.col("vec_id").alias("neighbor_id"),
+            F.round(F.col("distCol"), 6).alias("dist"),
+        )
+        out = nn if out is None else out.unionAll(nn)
+    return out

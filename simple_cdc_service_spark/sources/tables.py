@@ -72,5 +72,25 @@ def load_table(spark: SparkSession, name: str, sf_dir: str | None = None) -> Dat
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
 
+def spread(df: DataFrame) -> DataFrame:
+    """Round-robin repartition to the cluster's core count.
+
+    For CPU-heavy map-only pipelines (shingling, hashing, pandas UDFs) a
+    single small parquet file means a single partition — one core working,
+    the rest idle. The partition count is EXPLICIT because AQE's
+    byte-based coalescing would happily merge a few MB of text back into
+    one partition even though each row carries milliseconds of compute.
+    (At real scale the same applies: tune files.maxPartitionBytes DOWN for
+    compute-bound scans; bytes are a bad proxy for work here.)
+
+    Conditional: when the source already has >= core-count partitions
+    (the many-files case of any real deployment) this is a no-op — never
+    pay a full-corpus shuffle for parallelism you already have."""
+    target = df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() >= target:
+        return df
+    return df.repartition(target)
+
+
 def load_tables(spark: SparkSession, sf_dir: str | None = None) -> dict[str, DataFrame]:
     return {t: load_table(spark, t, sf_dir) for t in TABLES}
