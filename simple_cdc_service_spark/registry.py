@@ -1093,3 +1093,21 @@ def knn_lsh_ml(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         out = nn if out is None else out.unionAll(nn)
     return out
+
+
+@register(
+    "json_extract_props",
+    oracle="""
+    SELECT event_id,
+           CAST(json_extract_string(props, '$.k') AS BIGINT) AS prop_k
+    FROM events
+    WHERE CAST(json_extract_string(props, '$.k') AS BIGINT) > 90
+    """,
+)
+def json_extract_props(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scalar JSON functions (the batch cousin of the envelope decode R3):
+    extract a field from the events.props JSON string and filter on it.
+    get_json_object is JVM-side Jackson — no Python in the loop."""
+    ev = _t(spark, sf_dir, "events")
+    k = F.get_json_object(F.col("props"), "$.k").cast("long")
+    return ev.select("event_id", k.alias("prop_k")).filter(F.col("prop_k") > 90)

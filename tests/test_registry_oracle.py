@@ -44,3 +44,46 @@ def test_matches_oracle(spark, oracle, name):
 def test_rows_only_runs(spark, name):
     df = REGISTRY[name].fn(spark, SF_DIR)
     assert df.count() >= 0
+
+
+class TestApproxVariants:
+    """Approximate operators are rows-only for the driver; their quality
+    contract is pinned here against the exact implementations."""
+
+    def test_approx_distinct_close_to_exact(self, spark):
+        from simple_cdc_service_spark.registry import REGISTRY
+
+        approx = REGISTRY["approx_distinct"].fn(spark, SF_DIR).collect()[0]
+        exact = REGISTRY["distinct_count"].fn(spark, SF_DIR).collect()[0]
+        assert abs(approx.approx_users - exact.n_users) <= max(2, 0.05 * exact.n_users)
+        assert approx.approx_types == exact.n_types
+
+    def test_ml_minhash_recall_vs_exact(self, spark):
+        from simple_cdc_service_spark.registry import REGISTRY
+
+        exact = {
+            (r.doc_id_a, r.doc_id_b)
+            for r in REGISTRY["dedup_minhash"].fn(spark, SF_DIR).collect()
+            if r.jaccard >= 0.65
+        }
+        ml = {
+            (r.doc_id_a, r.doc_id_b)
+            for r in REGISTRY["dedup_minhash_ml"].fn(spark, SF_DIR).collect()
+        }
+        if exact:
+            assert len(exact & ml) / len(exact) >= 0.8
+
+    def test_knn_ivf_recall_floor(self, spark):
+        from simple_cdc_service_spark.registry import REGISTRY
+
+        bf = {
+            (r.query_id, r.neighbor_id)
+            for r in REGISTRY["knn_bruteforce"].fn(spark, SF_DIR).collect()
+        }
+        ivf = {
+            (r.query_id, r.neighbor_id)
+            for r in REGISTRY["knn_ivf"].fn(spark, SF_DIR).collect()
+        }
+        # single-probe IVF on uniform random vectors: recall is modest by
+        # design; the floor just catches total breakage (e.g. empty probe).
+        assert len(bf & ivf) / len(bf) >= 0.2
