@@ -1,0 +1,58 @@
+"""Skew-aware aggregation: two-stage salted aggregate.
+
+When the group-key cardinality is far below the cluster's parallelism (or
+one key is disproportionately hot), a plain groupBy lands whole key groups
+on single reducers. Salting splits each key into ``salt_buckets`` synthetic
+sub-keys, aggregates partially per (key, salt), then merges the partials —
+the first shuffle fans out over key×salt, the second moves only
+|keys|×|salt| pre-aggregated rows.
+
+Note Spark's map-side partial aggregation already handles *moderate* skew
+for algebraic aggregates; explicit salting is for the regime where even
+the reduce-side per-key row count (one per map task) or the final
+combine work is too much for one task — or for non-algebraic aggregates
+(exact distinct, collect) where map-side combine can't reduce the data.
+AQE's skew handling only splits *join* partitions, not aggregation keys,
+so this pattern stays necessary at 100 TB.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+# Aggregates that decompose as partial → merge over the salted sub-groups.
+_MERGEABLE = {
+    "sum": (F.sum, F.sum),
+    "count": (F.count, F.sum),
+    "min": (F.min, F.min),
+    "max": (F.max, F.max),
+}
+
+
+def salted_agg(
+    df: DataFrame,
+    keys: Sequence[str],
+    aggs: dict[str, tuple[str, str]],
+    salt_buckets: int = 16,
+) -> DataFrame:
+    """Two-stage salted aggregation.
+
+    aggs: output_name -> (fn, input_col) with fn in sum/count/min/max.
+    The salt is a deterministic hash of a uniform-ish source (here
+    spark_partition_id + a per-row monotonic id would be nondeterministic
+    across runs; instead we hash the full row via xxhash64, which is stable
+    for identical input data).
+    """
+    salt = (F.xxhash64(*[F.col(c) for c in df.columns]) % salt_buckets).alias("__salt")
+    partials = [
+        _MERGEABLE[fn][0](F.col(col)).alias(f"__p_{out}") for out, (fn, col) in aggs.items()
+    ]
+    finals = [
+        _MERGEABLE[fn][1](F.col(f"__p_{out}")).alias(out) for out, (fn, col) in aggs.items()
+    ]
+    stage1 = df.withColumn("__salt", salt).groupBy(*keys, "__salt").agg(*partials)
+    return stage1.groupBy(*keys).agg(*finals)

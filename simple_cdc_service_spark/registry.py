@@ -1111,3 +1111,122 @@ def json_extract_props(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = _t(spark, sf_dir, "events")
     k = F.get_json_object(F.col("props"), "$.k").cast("long")
     return ev.select("event_id", k.alias("prop_k")).filter(F.col("prop_k") > 90)
+
+
+@register(
+    "skew_salted_agg",
+    oracle="""
+    SELECT event_type, count(*) AS n, round(sum(value), 2) AS sum_value
+    FROM events GROUP BY event_type
+    """,
+)
+def skew_salted_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew-handling demo: events has only 5 event_type keys — a plain
+    groupBy funnels the final combine into 5 reducer tasks; the salted
+    two-stage version fans the first shuffle over 5×16 sub-keys and moves
+    only 80 pre-aggregated rows in the second. Result is identical to the
+    plain GROUP BY (the oracle)."""
+    from .operators.skew import salted_agg
+
+    out = salted_agg(
+        _t(spark, sf_dir, "events"),
+        keys=["event_type"],
+        aggs={"n": ("count", "event_id"), "sum_value": ("sum", "value")},
+        salt_buckets=16,
+    )
+    return out.select("event_type", "n", F.round("sum_value", 2).alias("sum_value"))
+
+
+@register(
+    "cdc_envelope_roundtrip",
+    oracle=f"""
+    {_CH},
+    env AS (
+        SELECT ev_offset,
+               '{{"payload":{{"before":' ||
+               CASE WHEN op IN ('u','d')
+                    THEN '{{"order_id":' || CAST(user_id AS VARCHAR) ||
+                         ',"invoice_number":' ||
+                         CAST(CAST(round(val) AS BIGINT) AS VARCHAR) || '}}'
+                    ELSE 'null' END ||
+               ',"after":' ||
+               CASE WHEN op IN ('c','u')
+                    THEN '{{"order_id":' || CAST(user_id AS VARCHAR) ||
+                         ',"invoice_number":' ||
+                         CAST(CAST(round(val) AS BIGINT) AS VARCHAR) || '}}'
+                    ELSE 'null' END ||
+               ',"op":"' || op || '"}}}}' AS msg
+        FROM ch
+    ),
+    parsed AS (
+        SELECT ev_offset,
+               CAST(json_extract_string(msg, '$.payload.before.order_id') AS BIGINT) AS b_k,
+               CAST(json_extract_string(msg, '$.payload.after.order_id') AS BIGINT) AS a_k,
+               CAST(json_extract_string(msg, '$.payload.after.invoice_number') AS BIGINT) AS a_v
+        FROM env
+    ),
+    cl AS (
+        SELECT ev_offset,
+               CASE WHEN b_k IS NULL AND a_k IS NOT NULL THEN 'c'
+                    WHEN b_k IS NOT NULL AND a_k IS NOT NULL THEN 'u'
+                    WHEN b_k IS NOT NULL AND a_k IS NULL THEN 'd'
+                    ELSE 't' END AS eop,
+               coalesce(a_k, b_k) AS order_id,
+               a_v
+        FROM parsed
+    ),
+    live AS (
+        SELECT cl.* FROM cl
+        CROSS JOIN (SELECT coalesce(max(ev_offset), -1) AS t_off FROM cl WHERE eop = 't') ep
+        WHERE cl.ev_offset > ep.t_off AND cl.eop <> 't'
+    ),
+    last AS (
+        SELECT order_id,
+               max_by(eop, ev_offset) AS last_op,
+               max_by(a_v, ev_offset) AS invoice_number
+        FROM live GROUP BY order_id
+    )
+    SELECT order_id, invoice_number FROM last WHERE last_op <> 'd'
+    """,
+)
+def cdc_envelope_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The FULL consumer path under the oracle gate: deterministic Debezium
+    envelope JSON strings are built from the derived changelog, then parsed
+    back with from_json over the declared schema (R3), classified by
+    before/after null-ness (R5, the consumer's discriminator — the op field
+    in the JSON is deliberately ignored, matching main.py:49-90), truncate-
+    epoch filtered (R10) and collapsed (R11). Both engines construct
+    byte-identical JSON and parse it with their own JSON machinery."""
+    from .config import ChangeTableConfig
+    from .operators.cdc import snapshot_from_envelopes
+    from .sources.changelog import parse_envelopes
+
+    ch = derive_changelog(_t(spark, sf_dir, "events"))
+    k = F.col("user_id").cast("string")
+    vi = F.round("val").cast("long").cast("string")
+    row_json = F.concat(
+        F.lit('{"order_id":'), k, F.lit(',"invoice_number":'), vi, F.lit("}")
+    )
+    before = F.when(F.col("op").isin("u", "d"), row_json).otherwise(F.lit("null"))
+    after = F.when(F.col("op").isin("c", "u"), row_json).otherwise(F.lit("null"))
+    msg = F.concat(
+        F.lit('{"payload":{"before":'),
+        before,
+        F.lit(',"after":'),
+        after,
+        F.lit(',"op":"'),
+        F.col("op"),
+        F.lit('"}}'),
+    )
+    kafka_like = ch.select(
+        F.col("ev_offset").alias("offset"),
+        F.lit(0).cast("long").alias("timestamp"),
+        msg.alias("value"),
+    )
+    cfg = ChangeTableConfig(
+        name="invoice",
+        key_columns=("order_id",),
+        value_columns=("invoice_number",),
+        order_columns=("offset",),
+    )
+    return snapshot_from_envelopes(parse_envelopes(kafka_like), cfg)

@@ -9,8 +9,16 @@ from simple_cdc_service_spark.session import get_spark  # noqa: E402
 
 
 @pytest.fixture(scope="session")
-def spark():
-    s = get_spark("tests", master="local[4]", shuffle_partitions=4)
+def spark(tmp_path_factory):
+    s = get_spark(
+        "tests",
+        master="local[4]",
+        shuffle_partitions=4,
+        # static conf — must be set at session build (bucketed-table tests)
+        extra_conf={
+            "spark.sql.warehouse.dir": str(tmp_path_factory.mktemp("warehouse"))
+        },
+    )
     s.sparkContext.setLogLevel("ERROR")
     yield s
 

@@ -1,0 +1,58 @@
+"""Sink layout tests: partition pruning and shuffle-free bucketed joins —
+the two write-time levers a 100 TB deployment lives by."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from simple_cdc_service_spark.plans import plan_string
+from simple_cdc_service_spark.sources.sinks import (
+    read_table,
+    write_bucketed,
+    write_partitioned,
+)
+
+SF = "/root/testdata/sf0.001"
+
+
+class TestPartitionedSink:
+    def test_partition_pruning(self, spark, tmp_path):
+        orders = spark.read.parquet(f"{SF}/orders.parquet").withColumn(
+            "order_year", F.year("o_orderdate")
+        )
+        path = str(tmp_path / "orders_by_year")
+        write_partitioned(orders, path, ["order_year"])
+
+        back = spark.read.parquet(path).filter(F.col("order_year") == 1997)
+        plan = plan_string(back)
+        assert "PartitionFilters: [isnotnull(order_year" in plan
+        # correctness: same rows as filtering the unpartitioned source
+        expected = orders.filter(F.col("order_year") == 1997).count()
+        assert back.count() == expected
+
+
+class TestBucketedJoin:
+    def test_join_without_exchange(self, spark):
+        orders = spark.read.parquet(f"{SF}/orders.parquet")
+        customer = spark.read.parquet(f"{SF}/customer.parquet")
+        write_bucketed(orders, "b_orders", ["o_custkey"], n_buckets=4)
+        write_bucketed(customer, "b_customer", ["c_custkey"], n_buckets=4)
+        try:
+            # forbid broadcast so the co-location (not a broadcast) is what
+            # eliminates the shuffle
+            spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+            joined = read_table(spark, "b_orders").join(
+                read_table(spark, "b_customer"),
+                F.col("o_custkey") == F.col("c_custkey"),
+            )
+            plan = plan_string(joined)
+            assert "Exchange" not in plan, plan
+            assert "SortMergeJoin" in plan
+            # correctness against the plain join
+            expected = orders.join(
+                customer, orders.o_custkey == customer.c_custkey
+            ).count()
+            assert joined.count() == expected
+        finally:
+            spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+            spark.sql("DROP TABLE IF EXISTS b_orders")
+            spark.sql("DROP TABLE IF EXISTS b_customer")
