@@ -86,3 +86,44 @@ def fingerprint(text: Column) -> Column:
     """Content fingerprint: md5 of the lowercased text. Identical hex output
     in every engine; the basis for exact near-canonical dedup."""
     return F.md5(F.lower(text))
+
+
+def simhash_bits(ws: Column, n_bits: int = 32) -> Column:
+    """SimHash over the word multiset: per-document locality-sensitive
+    fingerprint where near-identical texts differ in few bits.
+
+    Hash family: bit_i of word w = (hex digit i of md5(w)) >= 8 — i.e. the
+    top bit of each md5 hex digit, giving up to 32 independent-ish bits per
+    single md5 call. The document bit is the sign of the +1/-1 vote sum
+    over its words. Emitted as a '0'/'1' string (byte-identical across
+    engines; no 64-bit signed/unsigned divergence to worry about).
+
+    Plan shape: ONE md5 per word (staged), then n_bits cheap aggregate()
+    folds over the hashed array — map-only, no shuffle.
+    """
+    hashed = F.transform(ws, lambda w: F.md5(w))
+
+    def vote(i: int) -> Column:
+        pos = i + 1
+        return F.aggregate(
+            hashed,
+            F.lit(0),
+            lambda acc, h: acc
+            + F.when(F.substring(h, pos, 1).isin(*"89abcdef"), F.lit(1)).otherwise(
+                F.lit(-1)
+            ),
+        )
+
+    return F.concat(
+        *[F.when(vote(i) >= 0, F.lit("1")).otherwise(F.lit("0")) for i in range(n_bits)]
+    )
+
+
+def hamming_bits(a: Column, b: Column, n_bits: int = 32) -> Column:
+    """Hamming distance between two equal-length '0'/'1' strings."""
+    return F.size(
+        F.filter(
+            F.zip_with(F.split(a, ""), F.split(b, ""), lambda x, y: x != y),
+            lambda d: d,
+        )
+    )

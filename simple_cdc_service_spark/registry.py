@@ -1230,3 +1230,189 @@ def cdc_envelope_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         order_columns=("offset",),
     )
     return snapshot_from_envelopes(parse_envelopes(kafka_like), cfg)
+
+
+@register(
+    "text_simhash",
+    oracle="""
+    WITH w AS (SELECT doc_id, string_split(lower(text), ' ') AS ws FROM documents),
+    hx AS (SELECT doc_id, list_transform(ws, w -> md5(w)) AS hashed FROM w),
+    bits AS (
+        SELECT doc_id,
+               list_aggregate(
+                   list_transform(range(1, 33),
+                       i -> CASE WHEN list_sum(list_transform(hashed,
+                                h -> CASE WHEN substr(h, CAST(i AS INT), 1)
+                                          IN ('8','9','a','b','c','d','e','f')
+                                     THEN 1 ELSE -1 END)) >= 0
+                            THEN '1' ELSE '0' END),
+                   'string_agg', '') AS simhash
+        FROM hx
+    )
+    SELECT doc_id, simhash FROM bits
+    """,
+)
+def text_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash document fingerprint (32-bit, md5-digit hash family) —
+    the third near-dup scheme alongside MinHash-LSH and n-gram Jaccard."""
+    from .operators import text as T
+    from .sources.tables import spread
+
+    d = spread(_t(spark, sf_dir, "documents"))
+    return d.select(
+        "doc_id", T.simhash_bits(F.split(F.lower("text"), " ")).alias("simhash")
+    )
+
+
+@register(
+    "dedup_simhash",
+    oracle="""
+    WITH w AS (SELECT doc_id, string_split(lower(text), ' ') AS ws FROM documents),
+    hx AS (SELECT doc_id, list_transform(ws, w -> md5(w)) AS hashed FROM w),
+    bits AS (
+        SELECT doc_id,
+               list_aggregate(
+                   list_transform(range(1, 33),
+                       i -> CASE WHEN list_sum(list_transform(hashed,
+                                h -> CASE WHEN substr(h, CAST(i AS INT), 1)
+                                          IN ('8','9','a','b','c','d','e','f')
+                                     THEN 1 ELSE -1 END)) >= 0
+                            THEN '1' ELSE '0' END),
+                   'string_agg', '') AS simhash
+        FROM hx
+    ),
+    banded AS (
+        SELECT doc_id, simhash, unnest(range(0, 4)) AS band,
+               substr(simhash, CAST(unnest(range(0, 4)) * 8 + 1 AS INT), 8) AS bv
+        FROM bits
+    ),
+    cand AS (
+        SELECT DISTINCT a.doc_id AS doc_id_a, b.doc_id AS doc_id_b,
+               a.simhash AS sh_a, b.simhash AS sh_b
+        FROM banded a JOIN banded b
+          ON a.band = b.band AND a.bv = b.bv AND a.doc_id < b.doc_id
+    )
+    SELECT doc_id_a, doc_id_b,
+           CAST(len(list_filter(range(1, 33),
+               i -> substr(sh_a, CAST(i AS INT), 1) <> substr(sh_b, CAST(i AS INT), 1)))
+               AS INT) AS hamming
+    FROM cand
+    WHERE len(list_filter(range(1, 33),
+          i -> substr(sh_a, CAST(i AS INT), 1) <> substr(sh_b, CAST(i AS INT), 1))) <= 6
+    """,
+)
+def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup pairs: 4 bands of 8 bits block the candidates
+    (same bucket-pair pattern as MinHash-LSH — a pair within hamming
+    distance 6 of 32 bits must agree on at least one 8-bit band by
+    pigeonhole when distance < 4 bands), then exact hamming ≤ 6 verify."""
+    from .operators import text as T
+
+    sh = text_simhash(spark, sf_dir)
+    banded = sh.select(
+        "doc_id",
+        "simhash",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.substring("simhash", b * 8 + 1, 8).alias("bv"),
+                    )
+                    for b in range(4)
+                ]
+            )
+        ).alias("bb"),
+    ).select("doc_id", "simhash", "bb.band", "bb.bv")
+    buckets = (
+        banded.groupBy("band", "bv")
+        .agg(F.array_sort(F.collect_list(F.struct("doc_id", "simhash"))).alias("ds"))
+        .filter(F.size("ds") > 1)
+    )
+    n = F.size(F.col("ds"))
+    pairs = F.flatten(
+        F.transform(
+            F.sequence(F.lit(0), n - 2),
+            lambda i: F.transform(
+                F.sequence(i + 1, n - 1),
+                lambda j: F.struct(
+                    F.element_at(F.col("ds"), (i + 1).cast("int")).alias("a"),
+                    F.element_at(F.col("ds"), (j + 1).cast("int")).alias("b"),
+                ),
+            ),
+        )
+    )
+    cand = (
+        buckets.select(F.explode(pairs).alias("p"))
+        .select(
+            F.col("p.a.doc_id").alias("doc_id_a"),
+            F.col("p.b.doc_id").alias("doc_id_b"),
+            F.col("p.a.simhash").alias("sh_a"),
+            F.col("p.b.simhash").alias("sh_b"),
+        )
+        .distinct()
+    )
+    return (
+        cand.select(
+            "doc_id_a",
+            "doc_id_b",
+            T.hamming_bits(F.col("sh_a"), F.col("sh_b")).cast("int").alias("hamming"),
+        )
+        .filter(F.col("hamming") <= 6)
+    )
+
+
+@register(
+    "text_tokens_bpe",
+    oracle=r"""
+    SELECT doc_id,
+           CAST(len(regexp_extract_all(text, ' ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9 ]+'))
+               AS INT) AS n_bpe_tokens,
+           CAST(len(regexp_extract_all(lower(text), '[a-z]+')) AS INT) AS n_word_tokens
+    FROM documents
+    """,
+)
+def text_tokens_bpe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE-ish regex token counting (GPT-2-style pre-tokenizer shape:
+    letter runs / digit runs / punctuation runs, each with optional leading
+    space). The pattern sticks to constructs with identical semantics in
+    Java regex (Spark) and RE2-ish (DuckDB)."""
+    d = _t(spark, sf_dir, "documents")
+    bpe = F.regexp_extract_all(
+        F.col("text"), F.lit(" ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9 ]+"), F.lit(0)
+    )
+    word = F.regexp_extract_all(F.lower("text"), F.lit("[a-z]+"), F.lit(0))
+    return d.select(
+        "doc_id",
+        F.size(bpe).alias("n_bpe_tokens"),
+        F.size(word).alias("n_word_tokens"),
+    )
+
+
+@register(
+    "q6_forecast_revenue",
+    oracle="""
+    SELECT round(sum(l_extendedprice * l_discount), 2) AS revenue
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+      AND l_shipdate <  TIMESTAMP '1997-01-01 00:00:00'
+      AND l_discount BETWEEN 0.05 AND 0.07
+      AND l_quantity < 24
+    """,
+    headline=True,
+)
+def q6_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q6-style: the pure scan-bound query (all four predicates push
+    to the parquet scan; zero shuffle beyond the 1-row final agg) — the
+    bench's scan-path regression canary."""
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.filter(
+            (F.col("l_shipdate") >= F.lit("1996-01-01 00:00:00").cast("timestamp_ntz"))
+            & (F.col("l_shipdate") < F.lit("1997-01-01 00:00:00").cast("timestamp_ntz"))
+            & (F.col("l_discount") >= 0.05)
+            & (F.col("l_discount") <= 0.07)
+            & (F.col("l_quantity") < 24)
+        )
+        .agg(F.round(F.sum(F.col("l_extendedprice") * F.col("l_discount")), 2).alias("revenue"))
+    )

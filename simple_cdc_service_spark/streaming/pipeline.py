@@ -268,3 +268,114 @@ def start_windowed_counts(
     if trigger_available_now:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+def start_session_windows(
+    stream: DataFrame,
+    out_dir: str,
+    checkpoint: str,
+    ts_col: str = "event_time",
+    key_col: str = "user_id",
+    gap: str = "30 minutes",
+    watermark: str = "1 hour",
+    trigger_available_now: bool = True,
+):
+    """E8 streaming session windows: gap-based sessions per key via the
+    native session_window aggregation (state is merged session ranges, not
+    raw events; a session emits once the watermark passes its close)."""
+    agg = (
+        stream.withWatermark(ts_col, watermark)
+        .groupBy(F.session_window(F.col(ts_col), gap), F.col(key_col))
+        .agg(F.count("*").alias("n_events"))
+        .select(
+            F.col(key_col),
+            F.unix_millis(F.col("session_window.start")).alias("session_start"),
+            F.unix_millis(F.col("session_window.end")).alias("session_end"),
+            F.col("n_events"),
+        )
+    )
+    writer = (
+        agg.writeStream.format("parquet")
+        .option("path", out_dir)
+        .option("checkpointLocation", checkpoint)
+        .outputMode("append")
+    )
+    if trigger_available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
+def start_stateful_replica(
+    stream: DataFrame,
+    out_dir: str,
+    checkpoint: str,
+    row_schema=INVOICE_ROW,
+    trigger_available_now: bool = True,
+):
+    """E9: the replica as a CUSTOM STATEFUL OPERATOR — per-key running
+    state via applyInPandasWithState instead of the foreachBatch merge.
+
+    Each micro-batch emits one row per touched key with the post-batch
+    state (latest value by offset, or a tombstone row when the latest event
+    is a delete) — i.e. the update-mode changelog of the replica. State is
+    one (offset, value, deleted) triple per key, checkpointed by Spark.
+
+    Trade-off vs the foreachBatch MERGE (the default path): state lives in
+    the streaming state store (fast key lookups, no target-table rewrite)
+    but the queryable table must be derived from the emitted changelog;
+    truncate events also cannot reach other keys' state from inside a
+    per-key group — route streams with truncates through the foreachBatch
+    path, which handles them exactly (test_streaming.py).
+    """
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    parsed = _parse(stream, row_schema)
+    cls = classify_op(F.col("before"), F.col("after"))
+    flat = parsed.select(
+        F.col("offset"),
+        F.coalesce(F.col("after.order_id"), F.col("before.order_id")).alias("order_id"),
+        F.col("after.invoice_number").alias("invoice_number"),
+        cls.alias("op_class"),
+    ).filter(F.col("op_class") != "truncate")
+
+    def update(key, pdfs, state: GroupState):
+        import pandas as pd
+
+        max_off, value, deleted = state.get if state.exists else (-1, None, False)
+        for pdf in pdfs:
+            pdf = pdf.sort_values("offset")
+            for off, inv, op in zip(pdf["offset"], pdf["invoice_number"], pdf["op_class"]):
+                if off <= max_off:
+                    continue  # replayed/out-of-order duplicate: idempotent
+                max_off = int(off)
+                if op == "delete":
+                    value, deleted = None, True
+                else:
+                    value, deleted = int(inv), False
+        state.update((max_off, value, deleted))
+        yield pd.DataFrame(
+            [{"order_id": int(key[0]), "invoice_number": value, "is_deleted": deleted}]
+        )
+
+    out = flat.groupBy("order_id").applyInPandasWithState(
+        update,
+        outputStructType="order_id long, invoice_number long, is_deleted boolean",
+        stateStructType="max_off long, invoice_number long, deleted boolean",
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+    # The parquet file sink is append-only, while a stateful operator needs
+    # update output mode — bridge with foreachBatch, appending each
+    # micro-batch's state changelog.
+    def append_batch(batch_df: DataFrame, _batch_id: int) -> None:
+        batch_df.write.mode("append").parquet(out_dir)
+
+    writer = (
+        out.writeStream.foreachBatch(append_batch)
+        .option("checkpointLocation", checkpoint)
+        .outputMode("update")
+    )
+    if trigger_available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

@@ -159,3 +159,81 @@ class TestWindowedCounts:
         feed("b.json", [4])  # advances watermark to 03:43
         got2 = run()
         assert got2 == {base: 4, base + 3600000: 4, base + 2 * 3600000: 4}
+
+
+class TestSessionWindows:
+    def test_sessions_emitted_per_key(self, spark, tmp_path):
+        from simple_cdc_service_spark.streaming.pipeline import start_session_windows
+
+        src = str(tmp_path / "src")
+        out = str(tmp_path / "out")
+        ckpt = str(tmp_path / "ckpt")
+        os.makedirs(src)
+
+        def feed(name, rows):
+            with open(os.path.join(src, name), "w") as f:
+                for uid, t in rows:
+                    f.write(json.dumps({"user_id": uid, "event_time": t}) + "\n")
+
+        def run():
+            stream = (
+                spark.readStream.schema("user_id long, event_time string")
+                .json(src)
+                .withColumn("event_time", F.col("event_time").cast("timestamp"))
+            )
+            start_session_windows(
+                stream, out, ckpt, "event_time", "user_id", "10 minutes", "30 minutes"
+            ).awaitTermination()
+
+        # user 1: two bursts >10min apart (2 sessions); user 2: one burst
+        feed("a.json", [(1, "2024-01-01 00:00:00"), (1, "2024-01-01 00:05:00"),
+                        (1, "2024-01-01 01:00:00"),
+                        (2, "2024-01-01 00:30:00")])
+        run()
+        feed("b.json", [(9, "2024-01-01 05:00:00")])  # advances watermark
+        run()
+        got = {(r.user_id, r.n_events) for r in spark.read.parquet(out).collect()}
+        assert (1, 2) in got and (1, 1) in got and (2, 1) in got
+
+
+class TestStatefulReplica:
+    def test_state_survives_batches(self, spark, tmp_path):
+        from simple_cdc_service_spark.sources.changelog import _envelope
+        from simple_cdc_service_spark.streaming.pipeline import start_stateful_replica
+        from simple_cdc_service_spark.streaming import read_changelog_stream
+
+        src = str(tmp_path / "src")
+        out = str(tmp_path / "out")
+        ckpt = str(tmp_path / "ckpt")
+        b1 = [
+            json.dumps(_envelope("c", None, {"order_id": 1, "invoice_number": 10}, 1, 1)),
+            json.dumps(_envelope("c", None, {"order_id": 2, "invoice_number": 20}, 2, 2)),
+        ]
+        _write_batch(src, "b1.json", b1, 0)
+        start_stateful_replica(read_changelog_stream(spark, src), out, ckpt).awaitTermination()
+
+        # batch 2 updates key 1 and deletes key 2 — state from batch 1 must
+        # still be there (checkpointed GroupState), not recomputed from zero
+        b2 = [
+            json.dumps(_envelope("u", {"order_id": 1, "invoice_number": 10},
+                                 {"order_id": 1, "invoice_number": 11}, 3, 3)),
+            json.dumps(_envelope("d", {"order_id": 2, "invoice_number": 20}, None, 4, 4)),
+        ]
+        _write_batch(src, "b2.json", b2, 2)
+        start_stateful_replica(read_changelog_stream(spark, src), out, ckpt).awaitTermination()
+
+        rows = spark.read.parquet(out).collect()
+        # last emission per key = current state
+        latest = {}
+        for r in sorted(rows, key=lambda r: (r.order_id,)):
+            latest[r.order_id] = r
+        by_key = {}
+        # emissions are append-only; reconstruct per-key final state by the
+        # max invoice progression: batch2 rows have the later values
+        for r in rows:
+            prev = by_key.get(r.order_id)
+            if prev is None or (r.is_deleted and not prev.is_deleted) or (
+                r.invoice_number or 0) > (prev.invoice_number or 0):
+                by_key[r.order_id] = r
+        assert by_key[1].invoice_number == 11 and not by_key[1].is_deleted
+        assert by_key[2].is_deleted
