@@ -1416,3 +1416,61 @@ def q6_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .agg(F.round(F.sum(F.col("l_extendedprice") * F.col("l_discount")), 2).alias("revenue"))
     )
+
+
+@register(
+    "sql_subquery",
+    oracle="""
+    SELECT p.p_partkey, p.p_brand, round(p.p_retailprice, 2) AS price
+    FROM part p
+    WHERE p.p_retailprice > 1.05 * (
+        SELECT avg(p2.p_retailprice) FROM part p2 WHERE p2.p_brand = p.p_brand)
+    """,
+)
+def sql_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated scalar subquery through the SQL entry point (temp views +
+    spark.sql): Catalyst decorrelates it into an aggregate + join — there
+    is no per-row re-execution, which is exactly why the same text is safe
+    at 100 TB. Also exercises the engine's SQL API surface."""
+    _t(spark, sf_dir, "part").createOrReplaceTempView("part")
+    return spark.sql(
+        """
+        SELECT p.p_partkey, p.p_brand, round(p.p_retailprice, 2) AS price
+        FROM part p
+        WHERE p.p_retailprice > 1.05 * (
+            SELECT avg(p2.p_retailprice) FROM part p2 WHERE p2.p_brand = p.p_brand)
+        """
+    )
+
+
+@register(
+    "array_funcs",
+    oracle="""
+    SELECT vec_id,
+           CAST(len(embedding) AS INT) AS dim,
+           round(CAST(list_max(embedding) AS DOUBLE), 6) AS max_val,
+           round(CAST(list_min(embedding) AS DOUBLE), 6) AS min_val,
+           round(CAST(embedding[1] AS DOUBLE), 6) AS first_val,
+           round(CAST(list_sum(list_transform(embedding[1:8],
+                 x -> CAST(x AS DOUBLE))) AS DOUBLE), 6) AS head_sum,
+           CAST(len(list_filter(embedding, x -> x > 0)) AS INT) AS n_positive
+    FROM embeddings
+    """,
+)
+def array_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Array function library sample over the embedding column: size,
+    min/max, subscript, slice-fold, filter-count — all JVM built-ins
+    (the building blocks the vector ops compose from)."""
+    e = _t(spark, sf_dir, "embeddings")
+    head = F.slice(F.col("embedding"), 1, 8)
+    return e.select(
+        "vec_id",
+        F.size("embedding").alias("dim"),
+        F.round(F.array_max("embedding").cast("double"), 6).alias("max_val"),
+        F.round(F.array_min("embedding").cast("double"), 6).alias("min_val"),
+        F.round(F.col("embedding")[0].cast("double"), 6).alias("first_val"),
+        F.round(
+            F.aggregate(head, F.lit(0.0), lambda a, x: a + x.cast("double")), 6
+        ).alias("head_sum"),
+        F.size(F.filter(F.col("embedding"), lambda x: x > 0)).alias("n_positive"),
+    )
