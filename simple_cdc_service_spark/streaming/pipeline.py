@@ -379,3 +379,115 @@ def start_stateful_replica(
     if trigger_available_now:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+def read_replica_bucketed(spark: SparkSession, state_dir: str) -> DataFrame | None:
+    """Current state of the bucket-partitioned replica (all buckets)."""
+    if not os.path.isdir(state_dir) or not any(
+        d.startswith("bucket=") for d in os.listdir(state_dir)
+    ):
+        return None
+    return spark.read.parquet(state_dir)
+
+
+def start_replica_merge_bucketed(
+    stream: DataFrame,
+    cfg: ChangeTableConfig,
+    state_dir: str,
+    checkpoint: str,
+    n_buckets: int = 16,
+    row_schema=INVOICE_ROW,
+    trigger_available_now: bool = True,
+):
+    """Replica merge with BOUNDED per-batch I/O: state is parquet
+    partitioned by ``bucket = pmod(hash(key), n_buckets)`` and each
+    micro-batch rewrites only the buckets containing touched keys
+    (dynamic partition overwrite). With B total buckets and a batch
+    touching k keys, the rewrite is O(state × min(k, B)/B) instead of
+    O(state) — the plain-parquet approximation of what Delta/Iceberg
+    MERGE does with file-level key statistics.
+
+    Reads of untouched buckets are pruned away by the partition filter
+    (bucket IN touched) — verified by test asserting untouched bucket
+    files are byte-identical after a batch.
+
+    Idempotency: re-running a batch re-derives the same touched-bucket
+    contents (anti-join + union is idempotent). Trade-off vs the
+    versioned-state merge: no atomic multi-bucket snapshot — a reader
+    during the overwrite can see mixed generations (production answer:
+    a transactional table format).
+    """
+
+    def apply_batch(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        parsed = _parse(batch_df, row_schema)
+        cls = classify_op(F.col("before"), F.col("after"))
+        code = (
+            F.when(cls == "insert", F.lit("c"))
+            .when(cls == "update", F.lit("u"))
+            .when(cls == "delete", F.lit("d"))
+            .when(cls == "truncate", F.lit("t"))
+            .otherwise(F.lit("?"))
+        )
+        changelog = parsed.select(
+            F.col("offset"),
+            code.alias(cfg.op_column),
+            *[
+                F.coalesce(F.col(f"after.{k}"), F.col(f"before.{k}")).alias(k)
+                for k in cfg.key_columns
+            ],
+            *[F.col(f"after.{v}").alias(v) for v in cfg.value_columns],
+        )
+        if changelog.isEmpty():
+            return
+        from ..operators.cdc import truncate_epoch_filter
+
+        had_truncate = changelog.filter(F.col(cfg.op_column) == "t").limit(1).count() > 0
+        live = truncate_epoch_filter(changelog, cfg.op_column, "offset")
+        payload = F.struct(
+            F.col(cfg.op_column).alias("__op"),
+            *[F.col(c) for c in cfg.value_columns],
+        )
+        bucket = F.pmod(F.hash(*[F.col(k) for k in cfg.key_columns]), F.lit(n_buckets))
+        batch_last = (
+            live.groupBy(*cfg.key_columns)
+            .agg(F.max_by(payload, F.col("offset")).alias("__last"))
+            .select(
+                *cfg.key_columns,
+                F.col("__last.__op").alias("__op"),
+                *[F.col(f"__last.{c}").alias(c) for c in cfg.value_columns],
+            )
+            .withColumn("bucket", bucket)
+        )
+        upserts = batch_last.filter(F.col("__op") != "d").select(
+            *cfg.key_columns, *cfg.value_columns, "bucket"
+        )
+        if had_truncate:
+            # state reset: full overwrite with only the post-truncate rows
+            upserts.write.mode("overwrite").partitionBy("bucket").parquet(state_dir)
+            return
+        current = read_replica_bucketed(spark, state_dir)
+        if current is None:
+            merged = upserts
+        else:
+            touched = [
+                r.bucket for r in batch_last.select("bucket").distinct().collect()
+            ]
+            # partition pruning: only touched buckets are read
+            cur_touched = current.filter(F.col("bucket").isin(touched))
+            keys = batch_last.select(*cfg.key_columns)
+            survivors = cur_touched.join(keys, list(cfg.key_columns), "left_anti")
+            merged = survivors.select(
+                *cfg.key_columns, *cfg.value_columns, "bucket"
+            ).unionByName(upserts)
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+        merged.write.mode("overwrite").partitionBy("bucket").parquet(state_dir)
+
+    writer = (
+        stream.writeStream.foreachBatch(apply_batch)
+        .option("checkpointLocation", checkpoint)
+        .outputMode("update")
+    )
+    if trigger_available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

@@ -237,3 +237,82 @@ class TestStatefulReplica:
                 by_key[r.order_id] = r
         assert by_key[1].invoice_number == 11 and not by_key[1].is_deleted
         assert by_key[2].is_deleted
+
+
+class TestBucketedReplicaMerge:
+    def test_matches_replay_and_touches_only_needed_buckets(self, spark, tmp_path):
+        from simple_cdc_service_spark.sources.changelog import _envelope
+        from simple_cdc_service_spark.streaming.pipeline import (
+            read_replica_bucketed,
+            start_replica_merge_bucketed,
+        )
+
+        src = str(tmp_path / "src")
+        state = str(tmp_path / "state")
+        ckpt = str(tmp_path / "ckpt")
+
+        msgs, expected = generate_envelopes(n=500, seed=13, truncate_every=200, key_space=150)
+        _write_batch(src, "a.json", msgs[:300], 0)
+        start_replica_merge_bucketed(
+            read_changelog_stream(spark, src), INVOICE, state, ckpt, n_buckets=8
+        ).awaitTermination()
+
+        # snapshot per-bucket file listing + sizes
+        import glob
+
+        def bucket_files():
+            out = {}
+            for b in glob.glob(os.path.join(state, "bucket=*")):
+                files = sorted(
+                    (os.path.basename(f), os.path.getsize(f), os.path.getmtime(f))
+                    for f in glob.glob(os.path.join(b, "*.parquet"))
+                )
+                out[os.path.basename(b)] = files
+            return out
+
+        before = bucket_files()
+
+        # single-key update -> exactly one bucket rewritten
+        k = next(iter(expected))
+        up = [
+            json.dumps(
+                _envelope(
+                    "u",
+                    {"order_id": k, "invoice_number": expected[k]},
+                    {"order_id": k, "invoice_number": expected[k] + 1000},
+                    9999,
+                    9999,
+                )
+            )
+        ]
+        _write_batch(src, "b.json", up, 300)
+        start_replica_merge_bucketed(
+            read_changelog_stream(spark, src), INVOICE, state, ckpt, n_buckets=8
+        ).awaitTermination()
+        after = bucket_files()
+        changed = [b for b in before if before[b] != after.get(b)]
+        assert len(changed) == 1, f"expected 1 rewritten bucket, got {changed}"
+
+        # full workload: feed the rest, compare with sequential replay
+        expected[k] = expected[k] + 1000  # our manual update, offset beyond the rest
+        _write_batch(src, "c.json", msgs[300:], 301)
+        start_replica_merge_bucketed(
+            read_changelog_stream(spark, src), INVOICE, state, ckpt, n_buckets=8
+        ).awaitTermination()
+        # replay msgs[300:] on top of expected-state-after-our-update
+        import json as _json
+
+        st = dict(expected)
+        for m in msgs[300:]:
+            p = _json.loads(m)["payload"]
+            if p["op"] == "t":
+                st.clear()
+            elif p["op"] == "d":
+                st.pop(p["before"]["order_id"], None)
+            else:
+                st[p["after"]["order_id"]] = p["after"]["invoice_number"]
+        got = {
+            r.order_id: r.invoice_number
+            for r in read_replica_bucketed(spark, state).collect()
+        }
+        assert got == st
