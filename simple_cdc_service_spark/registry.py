@@ -1584,3 +1584,21 @@ def pivot_event_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         .count()
         .na.fill(0, ["click", "error", "purchase", "signup", "view"])
     )
+
+
+@register("knn_bruteforce_pandas", oracle=None, headline=True)
+def knn_bruteforce_pandas_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E4 exact top-k via Arrow-batched numpy matmul (the pandas-UDF
+    counterpart of knn_bruteforce; same semantics, different engine path).
+    Rows-only for the driver; exact agreement with the expression version
+    is asserted in tests."""
+    from .operators.similarity import knn_bruteforce_pandas
+    from .sources.tables import spread
+
+    emb = _t(spark, sf_dir, "embeddings")
+    res = knn_bruteforce_pandas(
+        spread(emb.filter(F.col("vec_id") >= 5)), emb.filter(F.col("vec_id") < 5), k=10
+    )
+    return res.select(
+        "query_id", "neighbor_id", F.col("rank").cast("long").alias("nn_rank"), "cos_sim"
+    )

@@ -193,6 +193,12 @@ def parse_envelopes(kafka_df: DataFrame, row_schema=INVOICE_ROW) -> DataFrame:
         .withColumn(
             "msg", F.from_json(F.col("value").cast("string"), kafka_message_schema(row_schema))
         )
+        # Malformed JSON yields a NULL struct from from_json. Without this
+        # guard such a record has before=after=NULL and the null-ness
+        # classifier reads it as a TRUNCATE — one corrupt message would
+        # wipe the replica. Corrupt records are dropped here; route them to
+        # a dead-letter sink with ``corrupt_records`` for auditing.
+        .filter(F.col("msg.payload").isNotNull())
         .select(
             "offset",
             "timestamp",
@@ -207,3 +213,16 @@ def parse_envelopes(kafka_df: DataFrame, row_schema=INVOICE_ROW) -> DataFrame:
         )
     )
     return parsed
+
+
+def corrupt_records(kafka_df: DataFrame, row_schema=INVOICE_ROW) -> DataFrame:
+    """Dead-letter view: non-tombstone messages whose envelope failed to
+    parse (the complement of parse_envelopes' corrupt guard)."""
+    return (
+        kafka_df.filter(F.col("value").isNotNull())
+        .withColumn(
+            "msg", F.from_json(F.col("value").cast("string"), kafka_message_schema(row_schema))
+        )
+        .filter(F.col("msg.payload").isNull())
+        .select("offset", "timestamp", F.col("value").cast("string").alias("raw"))
+    )

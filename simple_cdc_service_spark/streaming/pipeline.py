@@ -71,10 +71,15 @@ def kafka_changelog_stream(
 
 
 def _parse(stream: DataFrame, row_schema) -> DataFrame:
-    """Tombstone-filter + envelope decode (R2+R3), streaming-safe."""
+    """Tombstone-filter + envelope decode (R2+R3), streaming-safe.
+
+    Drops corrupt (unparseable) messages — without the payload-not-null
+    guard a malformed record would classify as truncate and wipe the
+    replica (see sources/changelog.parse_envelopes)."""
     return (
         stream.filter(F.col("value").isNotNull())
         .withColumn("msg", F.from_json(F.col("value"), kafka_message_schema(row_schema)))
+        .filter(F.col("msg.payload").isNotNull())
         .select(
             "offset",
             "timestamp",

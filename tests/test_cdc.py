@@ -137,3 +137,52 @@ class TestReplay:
         messages, _ = generate_envelopes(n=900, seed=7, truncate_every=350, key_space=300)
         ops = {json.loads(m)["payload"]["op"] for m in messages}
         assert ops == {"c", "u", "d", "t"}  # fixes the reference's insert-only bug
+
+
+class TestCorruptRecords:
+    """A malformed message must NEVER classify as truncate (null struct ⇒
+    before/after null ⇒ would wipe the replica without the corrupt guard)."""
+
+    def test_malformed_does_not_truncate(self, spark):
+        from simple_cdc_service_spark.sources.changelog import corrupt_records
+
+        rows = [
+            (0, _mk_envelope("c", None, {"order_id": 1, "invoice_number": 1})),
+            (1, "THIS IS NOT JSON {"),
+            (2, "123"),  # valid JSON, not an envelope object
+        ]
+        df = spark.createDataFrame(rows, "offset long, value string").withColumn(
+            "timestamp", F.lit(0)
+        )
+        parsed = parse_envelopes(df)
+        snap = cdc.snapshot_from_envelopes(parsed, INVOICE)
+        got = {r.order_id: r.invoice_number for r in snap.collect()}
+        assert got == {1: 1}  # row 1 survived; corrupt rows changed nothing
+        dead = corrupt_records(df)
+        assert {r.offset for r in dead.collect()} == {1, 2}
+
+    def test_streaming_parse_drops_corrupt(self, spark, tmp_path):
+        import json as _json
+        import os
+
+        from simple_cdc_service_spark.config import INVOICE as CFG_INV
+        from simple_cdc_service_spark.streaming import (
+            read_changelog_stream,
+            read_replica,
+            start_replica_merge,
+        )
+        from simple_cdc_service_spark.sources.changelog import _envelope
+
+        src = str(tmp_path / "src")
+        os.makedirs(src)
+        with open(os.path.join(src, "a.json"), "w") as f:
+            f.write(_json.dumps({"offset": 0, "timestamp": 1,
+                "value": _json.dumps(_envelope("c", None, {"order_id": 5, "invoice_number": 50}, 1, 1))}) + "\n")
+            f.write(_json.dumps({"offset": 1, "timestamp": 2, "value": "garbage!!"}) + "\n")
+        state = str(tmp_path / "state")
+        ckpt = str(tmp_path / "ckpt")
+        start_replica_merge(
+            read_changelog_stream(spark, src), CFG_INV, state, ckpt
+        ).awaitTermination()
+        got = {r.order_id: r.invoice_number for r in read_replica(spark, state).collect()}
+        assert got == {5: 50}

@@ -87,3 +87,16 @@ class TestApproxVariants:
         # single-probe IVF on uniform random vectors: recall is modest by
         # design; the floor just catches total breakage (e.g. empty probe).
         assert len(bf & ivf) / len(bf) >= 0.2
+
+    def test_pandas_knn_agrees_with_expression_knn(self, spark):
+        from simple_cdc_service_spark.registry import REGISTRY
+
+        a = {
+            (r.query_id, r.neighbor_id, r.nn_rank)
+            for r in REGISTRY["knn_bruteforce"].fn(spark, SF_DIR).collect()
+        }
+        b = {
+            (r.query_id, r.neighbor_id, r.nn_rank)
+            for r in REGISTRY["knn_bruteforce_pandas"].fn(spark, SF_DIR).collect()
+        }
+        assert a == b
