@@ -212,3 +212,61 @@ def embedding_dup_pairs(
         )
         .filter(F.col("cos_sim") >= threshold)
     )
+
+
+def dup_clusters(pairs: DataFrame, a_col: str = "doc_id_a", b_col: str = "doc_id_b") -> DataFrame:
+    """Near-dup pairs → connected components → (doc_id, cluster_id) with
+    cluster_id = min doc id in the component (the canonical survivor).
+
+    Iterative min-label propagation over the edge list: each round every
+    node adopts the smallest label among itself and its neighbors;
+    converges in O(component diameter) rounds. Each round is two
+    hash joins + an aggregate on the EDGE list — no driver-side graph.
+    Dedup components are overwhelmingly tiny (pairs of near-identical
+    docs), so rounds ≈ 2-3; the loop stops as soon as a round changes
+    nothing. (GraphFrames would do the same thing; this stays in pure
+    DataFrame ops.)
+    """
+    edges = (
+        pairs.select(F.col(a_col).alias("a"), F.col(b_col).alias("b"))
+        .unionAll(pairs.select(F.col(b_col).alias("a"), F.col(a_col).alias("b")))
+        .distinct()
+        # Iterative algorithm: truncate the lineage so each round reads the
+        # materialized edge list instead of re-running the (expensive)
+        # pair-generation upstream. localCheckpoint stores on executors —
+        # production would use a reliable checkpoint dir.
+        .localCheckpoint(eager=True)
+    )
+    labels = (
+        edges.select(F.col("a").alias("node"))
+        .distinct()
+        .withColumn("label", F.col("node"))
+        .localCheckpoint(eager=True)
+    )
+    for _ in range(20):  # diameter bound; real exit is the no-change check
+        neighbor_min = (
+            edges.join(labels, edges.b == labels.node)
+            .groupBy("a")
+            .agg(F.min("label").alias("nmin"))
+        )
+        new_labels = (
+            labels.join(neighbor_min, labels.node == neighbor_min.a, "left")
+            .select(
+                "node",
+                F.least(F.col("label"), F.coalesce(F.col("nmin"), F.col("label"))).alias(
+                    "label"
+                ),
+            )
+            .localCheckpoint(eager=True)  # per-round lineage stays O(1)
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "node")
+            .filter(F.col("n.label") != F.col("o.label"))
+            .limit(1)
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels.select(F.col("node").alias("doc_id"), F.col("label").alias("cluster_id"))

@@ -1602,3 +1602,37 @@ def knn_bruteforce_pandas_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return res.select(
         "query_id", "neighbor_id", F.col("rank").cast("long").alias("nn_rank"), "cos_sim"
     )
+
+
+@register(
+    "dedup_clusters",
+    oracle="""
+    WITH RECURSIVE w AS (SELECT doc_id, source, list_distinct(string_split(lower(text), ' ')) AS ws
+               FROM documents),
+    pairs AS (
+        SELECT a.doc_id AS pa, b.doc_id AS pb
+        FROM w a JOIN w b ON a.source = b.source AND a.doc_id < b.doc_id
+        WHERE round(len(list_intersect(a.ws, b.ws)) * 1.0
+                    / len(list_distinct(list_concat(a.ws, b.ws))), 4) >= 0.95
+    ),
+    edges AS (SELECT pa AS a, pb AS b FROM pairs
+              UNION SELECT pb, pa FROM pairs),
+    reach AS (
+        SELECT a, b FROM edges
+        UNION
+        SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a
+    )
+    SELECT a AS doc_id, least(a, min(b)) AS cluster_id
+    FROM reach GROUP BY a
+    """,
+)
+def dedup_clusters_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dedup completion: near-dup pairs (blocked jaccard ≥ 0.95) →
+    connected components → canonical representative (min doc id) per
+    cluster. Oracle: DuckDB recursive-CTE transitive closure — fine for
+    the oracle's small graphs; the engine side is the iterative
+    label-propagation join that scales."""
+    from .operators.dedup import dup_clusters, ngram_jaccard_pairs
+
+    pairs = ngram_jaccard_pairs(_t(spark, sf_dir, "documents"), threshold=0.95)
+    return dup_clusters(pairs)

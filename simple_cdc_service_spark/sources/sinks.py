@@ -46,3 +46,43 @@ def write_bucketed(
 
 def read_table(spark: SparkSession, table: str) -> DataFrame:
     return spark.table(table)
+
+
+def compact_parquet_dir(
+    spark: SparkSession,
+    path: str,
+    target_file_bytes: int = 128 * 1024 * 1024,
+    min_files: int = 2,
+) -> int:
+    """Compact a small-files parquet directory (e.g. the streaming event
+    log, which accrues one file per micro-batch) into ~target-size files.
+
+    The streaming small-files problem is the classic silent killer at
+    scale: a year of 1-minute micro-batches is ~500k files whose listing
+    and footer reads dominate query time. Compaction = read → coalesce to
+    ceil(bytes/target) → rewrite to a temp dir → atomic-ish swap.
+
+    Returns the new file count (or the current one if below min_files).
+    Production notes: run per time-partition so compaction never rewrites
+    the live head; a transactional format makes the swap actually atomic.
+    """
+    import math
+    import os
+    import shutil
+
+    files = [
+        f
+        for f in os.listdir(path)
+        if f.endswith(".parquet") and not f.startswith("_")
+    ]
+    if len(files) < min_files:
+        return len(files)
+    total = sum(os.path.getsize(os.path.join(path, f)) for f in files)
+    n_out = max(1, math.ceil(total / target_file_bytes))
+    tmp = path.rstrip("/") + ".compact.tmp"
+    spark.read.parquet(path).coalesce(n_out).write.mode("overwrite").parquet(tmp)
+    old = path.rstrip("/") + ".compact.old"
+    os.rename(path, old)
+    os.rename(tmp, path)
+    shutil.rmtree(old)
+    return n_out

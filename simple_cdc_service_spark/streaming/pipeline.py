@@ -86,6 +86,7 @@ def _parse(stream: DataFrame, row_schema) -> DataFrame:
             F.col("value").alias("raw"),
             F.col("msg.payload.before").alias("before"),
             F.col("msg.payload.after").alias("after"),
+            F.col("msg.payload.source.table").alias("source_table"),
         )
     )
 
@@ -130,6 +131,66 @@ def read_replica(spark: SparkSession, state_dir: str) -> DataFrame | None:
     return spark.read.parquet(os.path.join(state_dir, f"v{versions[-1]}"))
 
 
+def _merge_parsed_batch(
+    parsed: DataFrame, cfg: ChangeTableConfig, state_dir: str, batch_id: int
+) -> None:
+    """One micro-batch of parsed envelopes → merged versioned state.
+    Shared by the single-table and multi-table merge sinks."""
+    spark = parsed.sparkSession
+    cls = classify_op(F.col("before"), F.col("after"))
+    code = (
+        F.when(cls == "insert", F.lit("c"))
+        .when(cls == "update", F.lit("u"))
+        .when(cls == "delete", F.lit("d"))
+        .when(cls == "truncate", F.lit("t"))
+        .otherwise(F.lit("?"))
+    )
+    changelog = parsed.select(
+        F.col("offset"),
+        code.alias(cfg.op_column),
+        *[
+            F.coalesce(F.col(f"after.{k}"), F.col(f"before.{k}")).alias(k)
+            for k in cfg.key_columns
+        ],
+        *[F.col(f"after.{v}").alias(v) for v in cfg.value_columns],
+    )
+    if changelog.isEmpty():
+        return
+    # Batch-local collapse keeping deletes (collapse_changelog drops rows
+    # whose final op is 'd'; here they must erase existing state): same
+    # truncate-epoch + max_by pattern.
+    from ..operators.cdc import truncate_epoch_filter
+
+    had_truncate = changelog.filter(F.col(cfg.op_column) == "t").limit(1).count() > 0
+    live = truncate_epoch_filter(changelog, cfg.op_column, "offset")
+    payload = F.struct(
+        F.col(cfg.op_column).alias("__op"),
+        *[F.col(c) for c in cfg.value_columns],
+    )
+    batch_last = (
+        live.groupBy(*cfg.key_columns)
+        .agg(F.max_by(payload, F.col("offset")).alias("__last"))
+        .select(
+            *cfg.key_columns,
+            F.col("__last.__op").alias("__op"),
+            *[F.col(f"__last.{c}").alias(c) for c in cfg.value_columns],
+        )
+    )
+
+    current = None if had_truncate else read_replica(spark, state_dir)
+    upserts = batch_last.filter(F.col("__op") != "d").select(
+        *cfg.key_columns, *cfg.value_columns
+    )
+    if current is not None:
+        keys = batch_last.select(*cfg.key_columns)
+        survivors = current.join(keys, list(cfg.key_columns), "left_anti")
+        new_state = survivors.unionByName(upserts)
+    else:
+        new_state = upserts
+    out = os.path.join(state_dir, f"v{batch_id}")
+    new_state.write.mode("overwrite").parquet(out)
+
+
 def start_replica_merge(
     stream: DataFrame,
     cfg: ChangeTableConfig,
@@ -154,58 +215,7 @@ def start_replica_merge(
     parsed_schema = row_schema
 
     def apply_batch(batch_df: DataFrame, batch_id: int) -> None:
-        spark = batch_df.sparkSession
-        parsed = _parse(batch_df, parsed_schema)
-        cls = classify_op(F.col("before"), F.col("after"))
-        code = (
-            F.when(cls == "insert", F.lit("c"))
-            .when(cls == "update", F.lit("u"))
-            .when(cls == "delete", F.lit("d"))
-            .when(cls == "truncate", F.lit("t"))
-            .otherwise(F.lit("?"))
-        )
-        changelog = parsed.select(
-            F.col("offset"),
-            code.alias(cfg.op_column),
-            *[
-                F.coalesce(F.col(f"after.{k}"), F.col(f"before.{k}")).alias(k)
-                for k in cfg.key_columns
-            ],
-            *[F.col(f"after.{v}").alias(v) for v in cfg.value_columns],
-        )
-        if changelog.isEmpty():
-            return
-        # Batch-local collapse keeping deletes (collapse_changelog drops
-        # rows whose final op is 'd'; here they must erase existing state):
-        # same truncate-epoch + max_by pattern.
-        from ..operators.cdc import truncate_epoch_filter
-
-        had_truncate = changelog.filter(F.col(cfg.op_column) == "t").limit(1).count() > 0
-        live = truncate_epoch_filter(changelog, cfg.op_column, "offset")
-        payload = F.struct(
-            F.col(cfg.op_column).alias("__op"),
-            *[F.col(c) for c in cfg.value_columns],
-        )
-        batch_last = live.groupBy(*cfg.key_columns).agg(
-            F.max_by(payload, F.col("offset")).alias("__last")
-        ).select(
-            *cfg.key_columns,
-            F.col("__last.__op").alias("__op"),
-            *[F.col(f"__last.{c}").alias(c) for c in cfg.value_columns],
-        )
-
-        current = None if had_truncate else read_replica(spark, state_dir)
-        upserts = batch_last.filter(F.col("__op") != "d").select(
-            *cfg.key_columns, *cfg.value_columns
-        )
-        if current is not None:
-            keys = batch_last.select(*cfg.key_columns)
-            survivors = current.join(keys, list(cfg.key_columns), "left_anti")
-            new_state = survivors.unionByName(upserts)
-        else:
-            new_state = upserts
-        out = os.path.join(state_dir, f"v{batch_id}")
-        new_state.write.mode("overwrite").parquet(out)
+        _merge_parsed_batch(_parse(batch_df, parsed_schema), cfg, state_dir, batch_id)
 
     writer = (
         stream.writeStream.foreachBatch(apply_batch)
@@ -487,6 +497,45 @@ def start_replica_merge_bucketed(
             ).unionByName(upserts)
         spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
         merged.write.mode("overwrite").partitionBy("bucket").parquet(state_dir)
+
+    writer = (
+        stream.writeStream.foreachBatch(apply_batch)
+        .option("checkpointLocation", checkpoint)
+        .outputMode("update")
+    )
+    if trigger_available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
+def start_multi_table_merge(
+    stream: DataFrame,
+    tables: dict[str, tuple[ChangeTableConfig, "object"]],
+    state_root: str,
+    checkpoint: str,
+    trigger_available_now: bool = True,
+):
+    """Route a mixed multi-table changelog stream into per-table replicas.
+
+    Debezium emits one topic per table; subscribing with a pattern
+    (``subscribePattern: source.dev.*``) lands every table's envelopes in
+    ONE stream, discriminated by ``payload.source.table``
+    (reference naming convention README.md:295-297). Per micro-batch each
+    configured table's slice is parsed with ITS OWN row schema and merged
+    into its own versioned state dir — one streaming query, N replicas,
+    one checkpoint (table slices commit atomically per batch).
+
+    ``tables``: table name → (ChangeTableConfig, row StructType).
+    """
+
+    def apply_batch(batch_df: DataFrame, batch_id: int) -> None:
+        for name, (cfg, row_schema) in tables.items():
+            parsed = _parse(batch_df, row_schema).filter(
+                # truncate envelopes may omit the row images but always
+                # carry source.table; route on it.
+                F.col("source_table") == name
+            )
+            _merge_parsed_batch(parsed, cfg, os.path.join(state_root, name), batch_id)
 
     writer = (
         stream.writeStream.foreachBatch(apply_batch)

@@ -56,3 +56,31 @@ class TestBucketedJoin:
             spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
             spark.sql("DROP TABLE IF EXISTS b_orders")
             spark.sql("DROP TABLE IF EXISTS b_customer")
+
+
+class TestCompaction:
+    def test_compacts_micro_batch_files(self, spark, tmp_path):
+        from simple_cdc_service_spark.sources.sinks import compact_parquet_dir
+
+        path = str(tmp_path / "log")
+        # simulate 12 micro-batch appends -> >=12 files
+        for i in range(12):
+            spark.range(i * 100, (i + 1) * 100).write.mode("append").parquet(path)
+        import glob
+
+        files_before = glob.glob(f"{path}/*.parquet")
+        assert len(files_before) >= 12
+        before = {r.id for r in spark.read.parquet(path).collect()}
+
+        n = compact_parquet_dir(spark, path, target_file_bytes=10**9)
+        files_after = glob.glob(f"{path}/*.parquet")
+        assert len(files_after) == n == 1
+        after = {r.id for r in spark.read.parquet(path).collect()}
+        assert after == before  # content identical
+
+    def test_noop_below_threshold(self, spark, tmp_path):
+        from simple_cdc_service_spark.sources.sinks import compact_parquet_dir
+
+        path = str(tmp_path / "one")
+        spark.range(10).coalesce(1).write.parquet(path)
+        assert compact_parquet_dir(spark, path) == 1

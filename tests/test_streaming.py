@@ -316,3 +316,52 @@ class TestBucketedReplicaMerge:
             for r in read_replica_bucketed(spark, state).collect()
         }
         assert got == st
+
+
+class TestMultiTableRouting:
+    def test_two_tables_one_stream(self, spark, tmp_path):
+        """Interleave two tables' envelopes (different schemas) in one
+        stream; each replica must reflect only its own table's events."""
+        import json as _json
+
+        from pyspark.sql import types as T
+
+        from simple_cdc_service_spark.config import ChangeTableConfig
+        from simple_cdc_service_spark.schemas import INVOICE_ROW, row_schema
+        from simple_cdc_service_spark.streaming import read_changelog_stream, read_replica
+        from simple_cdc_service_spark.streaming.pipeline import start_multi_table_merge
+
+        def env(table, op, before, after, pos):
+            return _json.dumps(
+                {"payload": {"before": before, "after": after, "op": op, "ts_ms": pos,
+                             "source": {"table": table, "file": "b.1", "pos": pos, "row": 0}}}
+            )
+
+        PRODUCT_ROW = row_schema({"sku": T.LongType(), "price": T.LongType()})
+        PRODUCT = ChangeTableConfig(
+            name="product", key_columns=("sku",), value_columns=("price",),
+            order_columns=("offset",),
+        )
+        msgs = [
+            env("invoice", "c", None, {"order_id": 1, "invoice_number": 10}, 1),
+            env("product", "c", None, {"sku": 7, "price": 99}, 2),
+            env("invoice", "u", {"order_id": 1, "invoice_number": 10},
+                {"order_id": 1, "invoice_number": 11}, 3),
+            env("product", "d", {"sku": 7, "price": 99}, None, 4),
+            env("product", "c", None, {"sku": 8, "price": 42}, 5),
+        ]
+        src = str(tmp_path / "src")
+        _write_batch(src, "a.json", msgs, 0)
+        start_multi_table_merge(
+            read_changelog_stream(spark, src),
+            {"invoice": (INVOICE, INVOICE_ROW), "product": (PRODUCT, PRODUCT_ROW)},
+            str(tmp_path / "state"),
+            str(tmp_path / "ckpt"),
+        ).awaitTermination()
+
+        inv = {r.order_id: r.invoice_number
+               for r in read_replica(spark, str(tmp_path / "state" / "invoice")).collect()}
+        prod = {r.sku: r.price
+                for r in read_replica(spark, str(tmp_path / "state" / "product")).collect()}
+        assert inv == {1: 11}
+        assert prod == {8: 42}
