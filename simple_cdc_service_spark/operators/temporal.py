@@ -1,0 +1,88 @@
+"""Temporal joins [EXT]: as-of join and range join — operators Spark has
+no native form of, built as compositions of DataFrame primitives.
+
+Scale design:
+  * As-of: union both sides tagged, ONE shuffle on the key, per-key
+    ordered carry-forward via a range-frame window. Never the naive
+    per-left-row subquery (quadratic) or a full inequality join.
+  * Range join: the equi-key component anchors a hash join; the range
+    predicate is a post-join filter. At 100 TB add bucketing on the key
+    and/or time-bucket duplication of the build side to bound per-key
+    fan-out.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    key: str,
+    ts: str,
+    right_cols: list[str],
+    strict: bool = True,
+) -> DataFrame:
+    """For each left row: the right row with the greatest ``ts`` strictly
+    (or non-strictly) below the left row's ``ts``, per key.
+
+    Implementation: tag and union both sides, then per key carry the last
+    right-side values forward over a RANGE window ending one tick before
+    the current timestamp (strict) or at it (non-strict) — one shuffle on
+    the key, one ordered pass, no inequality join anywhere. Right rows are
+    pre-deduplicated to one per (key, ts) (latest wins) so the carried
+    value is uniquely defined — the same contract DuckDB's native ASOF
+    JOIN has, which the oracle cross-validates against.
+    """
+    r_latest = right.groupBy(key, ts).agg(
+        *[F.max_by(F.col(c), F.col(ts)).alias(c) for c in right_cols]
+    )
+    l_tag = left.withColumn("__is_left", F.lit(1))
+    r_tag = r_latest.withColumn("__is_left", F.lit(0))
+    for c in left.columns:
+        if c not in r_tag.columns:
+            r_tag = r_tag.withColumn(c, F.lit(None))
+    for c in r_tag.columns:
+        if c not in l_tag.columns:
+            l_tag = l_tag.withColumn(c, F.lit(None))
+    u = l_tag.unionByName(r_tag)
+    hi = -1 if strict else 0
+    w = Window.partitionBy(key).orderBy(ts).rangeBetween(Window.unboundedPreceding, hi)
+    carried = [
+        F.last(F.when(F.col("__is_left") == 0, F.col(c)), ignorenulls=True)
+        .over(w)
+        .alias(f"asof_{c}")
+        for c in right_cols
+    ]
+    return (
+        u.select(*left.columns, "__is_left", *carried)
+        .filter(F.col("__is_left") == 1)
+        .drop("__is_left")
+    )
+
+
+def range_join_count(
+    anchors: DataFrame,
+    events: DataFrame,
+    key: str,
+    anchor_ts: str,
+    event_ts: str,
+    lo_offset: int,
+    hi_offset: int,
+    anchor_id: str,
+) -> DataFrame:
+    """Count events per anchor within (anchor_ts+lo, anchor_ts+hi] for the
+    same key. Equi-join on the key carries the hash join; the range is a
+    filter on the joined rows."""
+    e = events.select(F.col(key).alias("__k"), F.col(event_ts).alias("__ets"))
+    joined = anchors.join(e, F.col(key) == F.col("__k"), "left").withColumn(
+        "__in_range",
+        (F.col("__ets") > F.col(anchor_ts) + lo_offset)
+        & (F.col("__ets") <= F.col(anchor_ts) + hi_offset),
+    )
+    return joined.groupBy(anchor_id, key, anchor_ts).agg(
+        F.sum(F.when(F.col("__in_range"), 1).otherwise(0)).alias("n_in_range")
+    )

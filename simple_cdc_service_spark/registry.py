@@ -1636,3 +1636,83 @@ def dedup_clusters_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     pairs = ngram_jaccard_pairs(_t(spark, sf_dir, "documents"), threshold=0.95)
     return dup_clusters(pairs)
+
+
+@register(
+    "asof_join_signup",
+    oracle="""
+    WITH su AS (
+        SELECT user_id, epoch_ms(ts) AS s_ms
+        FROM events WHERE event_type = 'signup'
+    ),
+    su_d AS (SELECT user_id, s_ms FROM su GROUP BY user_id, s_ms),
+    ev AS (
+        SELECT event_id, user_id, epoch_ms(ts) AS e_ms
+        FROM events WHERE event_type <> 'signup'
+    )
+    SELECT ev.event_id, ev.user_id,
+           su_d.s_ms AS asof_signup_ms,
+           ev.e_ms - su_d.s_ms AS ms_since_signup
+    FROM ev ASOF LEFT JOIN su_d
+      ON ev.user_id = su_d.user_id AND ev.e_ms > su_d.s_ms
+    """,
+)
+def asof_join_signup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join: each non-signup event matched to the user's most recent
+    STRICTLY-earlier signup. The oracle is DuckDB's native ASOF JOIN —
+    cross-validating the union+carry-forward composition against a real
+    as-of implementation."""
+    from .operators.temporal import asof_join
+
+    ev = _t(spark, sf_dir, "events")
+    left = ev.filter(F.col("event_type") != "signup").select(
+        "event_id", "user_id", F.col("ts_ms").alias("e_ms")
+    )
+    right = ev.filter(F.col("event_type") == "signup").select(
+        "user_id", F.col("ts_ms").alias("e_ms"), F.col("ts_ms").alias("s_ms")
+    )
+    out = asof_join(left, right, key="user_id", ts="e_ms", right_cols=["s_ms"], strict=True)
+    return out.select(
+        "event_id",
+        "user_id",
+        F.col("asof_s_ms").alias("asof_signup_ms"),
+        (F.col("e_ms") - F.col("asof_s_ms")).alias("ms_since_signup"),
+    )
+
+
+@register(
+    "range_join_activity",
+    oracle="""
+    WITH su AS (
+        SELECT event_id AS signup_id, user_id, epoch_ms(ts) AS s_ms
+        FROM events WHERE event_type = 'signup'
+    ),
+    ev AS (SELECT user_id AS ek, epoch_ms(ts) AS e_ms FROM events)
+    SELECT su.signup_id, su.user_id, su.s_ms,
+           CAST(count(*) FILTER (WHERE ev.e_ms > su.s_ms
+                                   AND ev.e_ms <= su.s_ms + 3600000) AS BIGINT)
+               AS n_in_range
+    FROM su LEFT JOIN ev ON ev.ek = su.user_id
+    GROUP BY su.signup_id, su.user_id, su.s_ms
+    """,
+)
+def range_join_activity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Range join: per signup, count same-user events in the following
+    hour — equi-hash-join on user anchors the plan, the time range is a
+    filter, the count a partial-aggregated groupBy."""
+    from .operators.temporal import range_join_count
+
+    ev = _t(spark, sf_dir, "events")
+    su = ev.filter(F.col("event_type") == "signup").select(
+        F.col("event_id").alias("signup_id"), "user_id", F.col("ts_ms").alias("s_ms")
+    )
+    return range_join_count(
+        su,
+        ev.select("user_id", "ts_ms"),
+        key="user_id",
+        anchor_ts="s_ms",
+        event_ts="ts_ms",
+        lo_offset=0,
+        hi_offset=3_600_000,
+        anchor_id="signup_id",
+    )
