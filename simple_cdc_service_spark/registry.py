@@ -1716,3 +1716,83 @@ def range_join_activity(spark: SparkSession, sf_dir: str) -> DataFrame:
         hi_offset=3_600_000,
         anchor_id="signup_id",
     )
+
+
+@register(
+    "stats_agg",
+    oracle="""
+    SELECT event_type,
+           round(stddev_samp(value), 4) AS sd_value,
+           round(var_samp(value), 4)    AS var_value,
+           round(corr(value, CAST(user_id AS DOUBLE)), 4) AS corr_value_user,
+           round(covar_pop(value, CAST(user_id AS DOUBLE)), 4) AS covar_value_user
+    FROM events GROUP BY event_type
+    """,
+)
+def stats_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Statistical aggregate library: stddev/variance/corr/covar/skewness —
+    all single-pass algebraic aggregates with map-side partials."""
+    ev = _t(spark, sf_dir, "events")
+    u = F.col("user_id").cast("double")
+    return ev.groupBy("event_type").agg(
+        F.round(F.stddev_samp("value"), 4).alias("sd_value"),
+        F.round(F.var_samp("value"), 4).alias("var_value"),
+        F.round(F.corr(F.col("value"), u), 4).alias("corr_value_user"),
+        F.round(F.covar_pop(F.col("value"), u), 4).alias("covar_value_user"),
+        # NB: skewness/kurtosis deliberately excluded from the oracle
+        # contract - Spark reports population (g1) while DuckDB reports
+        # bias-corrected sample (G1) skewness; same data, different
+        # estimator. They are available via F.skewness/F.kurtosis.
+    )
+
+
+@register(
+    "percentiles_value",
+    oracle="""
+    SELECT event_type,
+           round(quantile_cont(value, 0.25), 4) AS p25,
+           round(quantile_cont(value, 0.50), 4) AS p50,
+           round(quantile_cont(value, 0.75), 4) AS p75,
+           round(quantile_cont(value, 0.99), 4) AS p99
+    FROM events GROUP BY event_type
+    """,
+)
+def percentiles_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT continuous percentiles (linear interpolation — identical
+    definition in both engines). Exact percentile sorts per group; the
+    approximate path for 100 TB is approx_percentiles below."""
+    ev = _t(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        F.round(F.percentile("value", F.lit(0.25)), 4).alias("p25"),
+        F.round(F.percentile("value", F.lit(0.50)), 4).alias("p50"),
+        F.round(F.percentile("value", F.lit(0.75)), 4).alias("p75"),
+        F.round(F.percentile("value", F.lit(0.99)), 4).alias("p99"),
+    )
+
+
+@register("approx_percentiles", oracle=None)
+def approx_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate percentiles via percentile_approx (KLL-like sketch,
+    mergeable → map-side partials; the scale path where exact percentile's
+    per-group sort is unaffordable). Rows-only: sketch results are
+    engine-specific; error vs the exact query is asserted in tests."""
+    ev = _t(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        F.round(F.percentile_approx("value", F.lit(0.5), F.lit(1000)), 4).alias("ap50"),
+        F.round(F.percentile_approx("value", F.lit(0.99), F.lit(1000)), 4).alias("ap99"),
+    )
+
+
+@register("sample_stratified", oracle=None)
+def sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sampling operators: seeded uniform sample + stratified sampleBy
+    (per-event-type fractions). Rows-only: sampling algorithms are
+    engine-specific by nature; determinism under a fixed seed and
+    fraction bounds are asserted in tests."""
+    ev = _t(spark, sf_dir, "events")
+    strata = {"click": 0.5, "error": 1.0, "purchase": 0.1, "signup": 0.0, "view": 0.25}
+    return (
+        ev.sampleBy("event_type", strata, seed=42)
+        .groupBy("event_type")
+        .agg(F.count("*").alias("n_sampled"))
+    )

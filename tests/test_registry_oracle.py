@@ -100,3 +100,49 @@ class TestApproxVariants:
             for r in REGISTRY["knn_bruteforce_pandas"].fn(spark, SF_DIR).collect()
         }
         assert a == b
+
+    def test_approx_percentiles_near_exact(self, spark):
+        from simple_cdc_service_spark.registry import REGISTRY
+
+        from pyspark.sql import functions as F
+
+        from simple_cdc_service_spark.sources.tables import load_events
+
+        exact = {r.event_type: (r.p50, r.p99)
+                 for r in REGISTRY["percentiles_value"].fn(spark, SF_DIR).collect()}
+        approx = {r.event_type: (r.ap50, r.ap99)
+                  for r in REGISTRY["approx_percentiles"].fn(spark, SF_DIR).collect()}
+        # approx returns an actual data point; with tiny per-type groups at
+        # sf0.001 the p99 tail gap between adjacent order statistics is
+        # wide, so pin the tail by RANK (between exact p95 and max), and
+        # the median by value.
+        bounds = {
+            r.event_type: (r.p95, r.mx)
+            for r in load_events(spark, SF_DIR)
+            .groupBy("event_type")
+            .agg(
+                F.percentile("value", F.lit(0.95)).alias("p95"),
+                F.max("value").alias("mx"),
+            )
+            .collect()
+        }
+        for et, (p50, p99) in exact.items():
+            a50, a99 = approx[et]
+            assert abs(a50 - p50) <= max(1.0, 0.05 * p50)
+            p95, mx = bounds[et]
+            assert p95 - 0.01 <= a99 <= mx + 0.01
+
+    def test_stratified_sample_bounds_and_determinism(self, spark):
+        from simple_cdc_service_spark.registry import REGISTRY
+
+        fn = REGISTRY["sample_stratified"].fn
+        a = {r.event_type: r.n_sampled for r in fn(spark, SF_DIR).collect()}
+        b = {r.event_type: r.n_sampled for r in fn(spark, SF_DIR).collect()}
+        assert a == b  # fixed seed => deterministic
+        assert "signup" not in a  # fraction 0.0
+        totals = {
+            r.event_type: r.n
+            for r in REGISTRY["skew_salted_agg"].fn(spark, SF_DIR).collect()
+        }
+        assert a["error"] == totals["error"]  # fraction 1.0 keeps all
+        assert 0 < a["click"] < totals["click"]
