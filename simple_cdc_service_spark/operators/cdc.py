@@ -140,14 +140,47 @@ def snapshot_from_envelopes(parsed: DataFrame, cfg: ChangeTableConfig) -> DataFr
         .when(cls == "truncate", F.lit("t"))
         .otherwise(F.lit("?"))
     )
+    # PK-changing update (before.key ≠ after.key): the reference would
+    # corrupt its replica (UPDATE ... WHERE pk = before.pk leaves the old
+    # row keyed wrong, main.py:56-70; SURVEY.md §1.3). Correct semantics is
+    # delete(before.key) + upsert(after.key) — emitted here as two
+    # changelog rows from one envelope via a conditional explode.
+    key_changed = F.lit(False)
+    for k in cfg.key_columns:
+        key_changed = key_changed | (
+            F.col(f"before.{k}").isNotNull()
+            & F.col(f"after.{k}").isNotNull()
+            & (F.col(f"before.{k}") != F.col(f"after.{k}"))
+        )
+
+    def event(op_col, key_src):
+        # values always come from `after`; a 'd' row's values are never
+        # read by the collapse (keeps the struct type uniform across the
+        # array branches)
+        return F.struct(
+            op_col.alias("__op"),
+            *[F.col(f"{key_src}.{k}").alias(k) for k in cfg.key_columns],
+            *[F.col(f"after.{v}").alias(v) for v in cfg.value_columns],
+        )
+
+    events = F.when(
+        (code == F.lit("u")) & key_changed,
+        F.array(event(F.lit("d"), "before"), event(F.lit("c"), "after")),
+    ).otherwise(F.array(event(code, "after")))
+    # for deletes/truncates `after` is null → keys fall back to `before`
+    fallback_keys = [
+        F.coalesce(F.col(f"__e.{k}"), F.col(f"before.{k}")).alias(k)
+        for k in cfg.key_columns
+    ]
     changelog = parsed.select(
         *[F.col(c) for c in cfg.order_columns],
-        code.alias(cfg.op_column),
-        *[
-            F.coalesce(F.col(f"after.{k}"), F.col(f"before.{k}")).alias(k)
-            for k in cfg.key_columns
-        ],
-        *[F.col(f"after.{v}").alias(v) for v in cfg.value_columns],
+        F.explode(events).alias("__e"),
+        F.col("before"),
+    ).select(
+        *cfg.order_columns,
+        F.col("__e.__op").alias(cfg.op_column),
+        *fallback_keys,
+        *[F.col(f"__e.{v}").alias(v) for v in cfg.value_columns],
     )
     return collapse_changelog(changelog, cfg)
 

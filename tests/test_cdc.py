@@ -186,3 +186,36 @@ class TestCorruptRecords:
         ).awaitTermination()
         got = {r.order_id: r.invoice_number for r in read_replica(spark, state).collect()}
         assert got == {5: 50}
+
+
+class TestPKChangingUpdate:
+    """before.key != after.key: the reference corrupts its replica
+    (UPDATE WHERE pk = before.pk, main.py:56-70); we emit
+    delete(old key) + insert(new key) from the one envelope."""
+
+    def test_old_key_removed_new_key_present(self, spark):
+        rows = [
+            (0, _mk_envelope("c", None, {"order_id": 1, "invoice_number": 10})),
+            (1, _mk_envelope("u", {"order_id": 1, "invoice_number": 10},
+                             {"order_id": 2, "invoice_number": 10})),  # PK 1 -> 2
+        ]
+        df = spark.createDataFrame(rows, "offset long, value string").withColumn(
+            "timestamp", F.lit(0)
+        )
+        snap = cdc.snapshot_from_envelopes(parse_envelopes(df), INVOICE)
+        got = {r.order_id: r.invoice_number for r in snap.collect()}
+        assert got == {2: 10}
+
+    def test_pk_change_then_reinsert_old_key(self, spark):
+        rows = [
+            (0, _mk_envelope("c", None, {"order_id": 1, "invoice_number": 10})),
+            (1, _mk_envelope("u", {"order_id": 1, "invoice_number": 10},
+                             {"order_id": 2, "invoice_number": 10})),
+            (2, _mk_envelope("c", None, {"order_id": 1, "invoice_number": 99})),
+        ]
+        df = spark.createDataFrame(rows, "offset long, value string").withColumn(
+            "timestamp", F.lit(0)
+        )
+        snap = cdc.snapshot_from_envelopes(parse_envelopes(df), INVOICE)
+        got = {r.order_id: r.invoice_number for r in snap.collect()}
+        assert got == {1: 99, 2: 10}
