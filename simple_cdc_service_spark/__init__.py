@@ -29,3 +29,15 @@ Layout:
 """
 
 __version__ = "0.1.0"
+
+# Public API — the operators a user of the reference pipeline would reach
+# for first. (Submodules remain importable for the full surface.)
+from .config import INVOICE, USER_VALUE, ChangeTableConfig  # noqa: E402,F401
+from .operators.cdc import (  # noqa: E402,F401
+    classify_op,
+    collapse_changelog,
+    consistency_diff,
+    snapshot_from_envelopes,
+    truncate_epoch_filter,
+)
+from .session import get_spark  # noqa: E402,F401

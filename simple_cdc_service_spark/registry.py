@@ -1796,3 +1796,47 @@ def sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("event_type")
         .agg(F.count("*").alias("n_sampled"))
     )
+
+
+@register(
+    "q2_min_cost_supplier",
+    oracle="""
+    WITH uc AS (SELECT l_partkey, l_suppkey, l_extendedprice / l_quantity AS cost
+                FROM lineitem),
+    mn AS (SELECT l_partkey, min(cost) AS mcost FROM uc GROUP BY l_partkey)
+    SELECT DISTINCT p.p_partkey, uc.l_suppkey AS s_suppkey
+    FROM part p
+    JOIN mn ON mn.l_partkey = p.p_partkey
+    JOIN uc ON uc.l_partkey = p.p_partkey AND uc.cost = mn.mcost
+    WHERE p.p_size < 10
+    """,
+)
+def q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q2-style: for each small part, the supplier(s) offering the
+    minimum unit cost — the correlated-min pattern, planned as one
+    grouped min + self-equality filter (window-free: the min is computed
+    once per part and joined back, ties kept). Cross-engine equality of
+    the min is exact because both engines derive it from identical IEEE
+    divisions of identical stored doubles — no rounding before compare."""
+    li = _t(spark, sf_dir, "lineitem")
+    uc = li.select(
+        "l_partkey",
+        "l_suppkey",
+        (F.col("l_extendedprice") / F.col("l_quantity")).alias("cost"),
+    )
+    mn = uc.groupBy("l_partkey").agg(F.min("cost").alias("mcost"))
+    p = _t(spark, sf_dir, "part").filter(F.col("p_size") < 10).select("p_partkey")
+    return (
+        p.join(mn, mn.l_partkey == F.col("p_partkey"))
+        .join(
+            uc.withColumnRenamed("l_partkey", "uc_partkey"),
+            (F.col("uc_partkey") == F.col("p_partkey")) & (F.col("cost") == F.col("mcost")),
+        )
+        # NB: the cost itself stays OUT of the output — price/qty lands on
+        # exact decimal-halfway points where Spark (shortest-decimal-string
+        # HALF_UP) and DuckDB (binary-value rounding) round differently.
+        # The min-cost SEMANTICS is still fully checked by which
+        # (part, supplier) pairs match.
+        .select("p_partkey", F.col("l_suppkey").alias("s_suppkey"))
+        .distinct()
+    )

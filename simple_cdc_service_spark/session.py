@@ -29,6 +29,9 @@ def get_spark(
     builder = (
         SparkSession.builder.appName(app_name)
         .master(master or f"local[{cpus}]")
+        # local-mode driver hosts all 32 executor threads; the 1g default
+        # heap is far too small for that (must be set before JVM launch)
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
         # AQE: runtime coalescing of small shuffle partitions, dynamic
         # broadcast-join conversion, and skew-join splitting. Essential at
         # scale, harmless locally.
