@@ -40,11 +40,14 @@ def main() -> None:
         spark.sparkContext.defaultParallelism
     ).mapInPandas(lambda it: it, "id long").count()
 
-    # Steady-state timing: first run per query pays one-time plan
-    # compilation/codegen; the measured second run is what a long-lived
+    # Steady-state timing: the first TWO runs pay plan compilation and JVM
+    # JIT (C2 compiles the hot codegen stages only after repeated
+    # execution — measured: heavy md5/shingle stages run 3x faster from
+    # the third execution). The measured third run is what a long-lived
     # cluster session actually sees.
     times: dict[str, float] = {}
     for name in headline:
+        REGISTRY[name].fn(spark, sf_dir).collect()
         REGISTRY[name].fn(spark, sf_dir).collect()
         t0 = time.perf_counter()
         REGISTRY[name].fn(spark, sf_dir).collect()
