@@ -1840,3 +1840,36 @@ def q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("p_partkey", F.col("l_suppkey").alias("s_suppkey"))
         .distinct()
     )
+
+
+@register(
+    "dq_checks",
+    oracle="""
+    SELECT 'orders' AS tbl,
+           count(*) AS n_rows,
+           CAST(count(*) FILTER (WHERE o_orderkey IS NULL) AS BIGINT) AS n_null_key,
+           CAST(count(*) FILTER (WHERE o_totalprice <= 0) AS BIGINT) AS n_nonpositive,
+           CAST((SELECT count(*) FROM orders o
+                 WHERE NOT EXISTS (SELECT 1 FROM customer c
+                                   WHERE c.c_custkey = o.o_custkey)) AS BIGINT)
+               AS n_fk_orphans
+    FROM orders
+    """,
+)
+def dq_checks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-quality validation: null-rate, range, and referential-integrity
+    checks emitted as one metrics row — the admission gate of a training-
+    data pipeline. The FK check is an anti join (never a NOT IN
+    crossJoin); all checks share one scan via conditional aggregation."""
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    orphans = o.join(c, o.o_custkey == c.c_custkey, "left_anti").count()
+    return o.agg(
+        F.lit("orders").alias("tbl"),
+        F.count("*").alias("n_rows"),
+        F.sum(F.when(F.col("o_orderkey").isNull(), 1).otherwise(0)).alias("n_null_key"),
+        F.sum(F.when(F.col("o_totalprice") <= 0, 1).otherwise(0)).alias("n_nonpositive"),
+        F.lit(orphans).alias("n_fk_orphans"),
+    ).select(
+        "tbl", "n_rows", "n_null_key", "n_nonpositive", F.col("n_fk_orphans").cast("long").alias("n_fk_orphans")
+    )

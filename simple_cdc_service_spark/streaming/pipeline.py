@@ -184,7 +184,12 @@ def _merge_parsed_batch(
     if current is not None:
         keys = batch_last.select(*cfg.key_columns)
         survivors = current.join(keys, list(cfg.key_columns), "left_anti")
-        new_state = survivors.unionByName(upserts)
+        # allowMissingColumns: schema evolution. When the table config
+        # grows a value column (Debezium schema-change events,
+        # debezium-config-push.sh:21 — enabled but never consumed by the
+        # reference), pre-evolution state rows simply carry NULL for the
+        # new column instead of failing the union.
+        new_state = survivors.unionByName(upserts, allowMissingColumns=True)
     else:
         new_state = upserts
     out = os.path.join(state_dir, f"v{batch_id}")

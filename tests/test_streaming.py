@@ -365,3 +365,41 @@ class TestMultiTableRouting:
                 for r in read_replica(spark, str(tmp_path / "state" / "product")).collect()}
         assert inv == {1: 11}
         assert prod == {8: 42}
+
+
+class TestSchemaEvolution:
+    def test_new_value_column_appears_mid_stream(self, spark, tmp_path):
+        """The table grows a column between restarts (Debezium schema
+        change): old state rows carry NULL for it, new rows populate it."""
+        import json as _json
+
+        from pyspark.sql import types as T
+
+        from simple_cdc_service_spark.config import ChangeTableConfig
+        from simple_cdc_service_spark.schemas import row_schema
+
+        def env(op, before, after):
+            return _json.dumps({"payload": {"before": before, "after": after, "op": op, "ts_ms": 1}})
+
+        src = str(tmp_path / "src")
+        state = str(tmp_path / "state")
+        ckpt = str(tmp_path / "ckpt")
+
+        v1_row = row_schema({"order_id": T.LongType(), "invoice_number": T.LongType()})
+        v1_cfg = ChangeTableConfig("invoice", ("order_id",), ("invoice_number",), ("offset",))
+        _write_batch(src, "a.json", [env("c", None, {"order_id": 1, "invoice_number": 10})], 0)
+        start_replica_merge(read_changelog_stream(spark, src), v1_cfg, state, ckpt,
+                            row_schema=v1_row).awaitTermination()
+
+        v2_row = row_schema({"order_id": T.LongType(), "invoice_number": T.LongType(),
+                             "currency": T.StringType()})
+        v2_cfg = ChangeTableConfig("invoice", ("order_id",),
+                                   ("invoice_number", "currency"), ("offset",))
+        _write_batch(src, "b.json",
+                     [env("c", None, {"order_id": 2, "invoice_number": 20, "currency": "EUR"})], 1)
+        start_replica_merge(read_changelog_stream(spark, src), v2_cfg, state, ckpt,
+                            row_schema=v2_row).awaitTermination()
+
+        got = {r.order_id: (r.invoice_number, r.currency)
+               for r in read_replica(spark, state).collect()}
+        assert got == {1: (10, None), 2: (20, "EUR")}

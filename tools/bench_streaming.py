@@ -1,0 +1,59 @@
+"""Streaming throughput micro-benchmark (not part of the driver's bench.py
+contract — records the CDC pipeline's end-to-end micro-batch rate).
+
+Feeds the seeded envelope workload through the checkpointed replica merge
+in K chunks (K micro-batch cycles incl. state read-merge-write) and prints
+events/sec overall.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import tempfile
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from simple_cdc_service_spark.config import INVOICE
+from simple_cdc_service_spark.session import get_spark
+from simple_cdc_service_spark.sources.changelog import generate_envelopes
+from simple_cdc_service_spark.streaming import read_changelog_stream, read_replica, start_replica_merge
+
+
+def main(n_events: int = 50_000, chunks: int = 5) -> None:
+    spark = get_spark("bench-streaming")
+    spark.sparkContext.setLogLevel("ERROR")
+    d = tempfile.mkdtemp()
+    src, state, ckpt = f"{d}/src", f"{d}/state", f"{d}/ckpt"
+    os.makedirs(src)
+    msgs, expected = generate_envelopes(n=n_events, seed=42, truncate_every=None,
+                                        key_space=n_events // 3)
+    per = len(msgs) // chunks
+    t0 = time.perf_counter()
+    for c in range(chunks):
+        lo, hi = c * per, (c + 1) * per if c < chunks - 1 else len(msgs)
+        with open(f"{src}/c{c}.json", "w") as f:
+            for i in range(lo, hi):
+                f.write(json.dumps({"offset": i, "timestamp": i, "value": msgs[i]}) + "\n")
+        start_replica_merge(
+            read_changelog_stream(spark, src), INVOICE, state, ckpt
+        ).awaitTermination()
+    wall = time.perf_counter() - t0
+    got = {r.order_id: r.invoice_number for r in read_replica(spark, state).collect()}
+    ok = got == expected
+    print(json.dumps({
+        "metric": "cdc_stream_events_per_sec",
+        "value": round(len(msgs) / wall, 1),
+        "unit": "events/sec",
+        "events": len(msgs),
+        "micro_batches": chunks,
+        "wall_sec": round(wall, 2),
+        "replica_exact": ok,
+    }))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
