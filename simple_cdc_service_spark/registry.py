@@ -1873,3 +1873,63 @@ def dq_checks(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select(
         "tbl", "n_rows", "n_null_key", "n_nonpositive", F.col("n_fk_orphans").cast("long").alias("n_fk_orphans")
     )
+
+
+@register(
+    "collect_values",
+    oracle="""
+    SELECT user_id,
+           string_agg(DISTINCT event_type, ',' ORDER BY event_type) AS types_csv,
+           CAST(count(DISTINCT event_type) AS BIGINT) AS n_types
+    FROM events GROUP BY user_id
+    """,
+)
+def collect_values(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """List aggregation (collect_set) emitted as a SORTED joined string —
+    deterministic across engines (raw collect_list order is partition-
+    dependent and must never be part of a correctness contract)."""
+    return (
+        _t(spark, sf_dir, "events")
+        .groupBy("user_id")
+        .agg(
+            F.array_join(F.array_sort(F.collect_set("event_type")), ",").alias("types_csv"),
+            F.countDistinct("event_type").alias("n_types"),
+        )
+    )
+
+
+@register(
+    "join_full_outer",
+    oracle="""
+    WITH s AS (SELECT user_id, count(*) AS n_signup FROM events
+               WHERE event_type = 'signup' GROUP BY user_id),
+    e AS (SELECT user_id, count(*) AS n_error FROM events
+          WHERE event_type = 'error' GROUP BY user_id)
+    SELECT coalesce(s.user_id, e.user_id) AS user_id,
+           coalesce(s.n_signup, 0) AS n_signup,
+           coalesce(e.n_error, 0) AS n_error
+    FROM s FULL OUTER JOIN e ON s.user_id = e.user_id
+    """,
+)
+def join_full_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full outer join of two aggregates (users missing either side get
+    zero-filled rows) — completes the join-type coverage
+    (inner/left/semi/anti/cross/full)."""
+    ev = _t(spark, sf_dir, "events")
+    s = (
+        ev.filter(F.col("event_type") == "signup")
+        .groupBy("user_id")
+        .agg(F.count("*").alias("n_signup"))
+        .withColumnRenamed("user_id", "s_uid")
+    )
+    e = (
+        ev.filter(F.col("event_type") == "error")
+        .groupBy("user_id")
+        .agg(F.count("*").alias("n_error"))
+        .withColumnRenamed("user_id", "e_uid")
+    )
+    return s.join(e, s.s_uid == e.e_uid, "full_outer").select(
+        F.coalesce(F.col("s_uid"), F.col("e_uid")).alias("user_id"),
+        F.coalesce(F.col("n_signup"), F.lit(0)).alias("n_signup"),
+        F.coalesce(F.col("n_error"), F.lit(0)).alias("n_error"),
+    )
