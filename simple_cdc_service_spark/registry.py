@@ -1933,3 +1933,40 @@ def join_full_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.coalesce(F.col("n_signup"), F.lit(0)).alias("n_signup"),
         F.coalesce(F.col("n_error"), F.lit(0)).alias("n_error"),
     )
+
+
+@register(
+    "vec_normalize",
+    oracle="""
+    WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+               FROM embeddings),
+    n AS (SELECT vec_id, v, sqrt(list_sum(list_transform(v, x -> x * x))) AS nrm FROM e)
+    SELECT vec_id,
+           round(nrm, 6) AS l2_norm,
+           round(list_sum(list_transform(v, x -> x / nrm)), 6) AS unit_sum,
+           CAST(len(list_filter(v, x -> abs(x) > 0.2)) AS INT) AS n_large
+    FROM n
+    """,
+)
+def vec_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vector normalization metrics (training-data hygiene for embedding
+    columns): L2 norm, the normalized-component sum, and an outlier-
+    magnitude count — map-only expressions over the array column."""
+    from .functions import as_double_array, dot
+
+    e = _t(spark, sf_dir, "embeddings").select(
+        "vec_id", as_double_array(F.col("embedding")).alias("v")
+    )
+    nrm = F.sqrt(dot(F.col("v"), F.col("v")))
+    unit_sum = F.aggregate(
+        F.col("v"), F.lit(0.0), lambda acc, x: acc + x / F.col("l2n")
+    )
+    return (
+        e.withColumn("l2n", nrm)
+        .select(
+            "vec_id",
+            F.round("l2n", 6).alias("l2_norm"),
+            F.round(unit_sum, 6).alias("unit_sum"),
+            F.size(F.filter(F.col("v"), lambda x: F.abs(x) > 0.2)).alias("n_large"),
+        )
+    )

@@ -550,3 +550,21 @@ def start_multi_table_merge(
     if trigger_available_now:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+def vacuum_state(state_dir: str, keep: int = 3) -> list[int]:
+    """Drop all but the newest ``keep`` committed state versions.
+
+    The versioned-state merge accumulates one directory per micro-batch;
+    older versions exist only for readers that started before the latest
+    commit. Returns the removed version numbers. (The bucketed merge has
+    no versions to vacuum — its garbage is handled by dynamic partition
+    overwrite itself.)
+    """
+    import shutil
+
+    versions = _state_versions(state_dir)
+    doomed = versions[:-keep] if keep > 0 else versions
+    for v in doomed:
+        shutil.rmtree(os.path.join(state_dir, f"v{v}"))
+    return doomed

@@ -403,3 +403,23 @@ class TestSchemaEvolution:
         got = {r.order_id: (r.invoice_number, r.currency)
                for r in read_replica(spark, state).collect()}
         assert got == {1: (10, None), 2: (20, "EUR")}
+
+
+class TestVacuum:
+    def test_keeps_newest_versions(self, spark, tmp_path):
+        from simple_cdc_service_spark.streaming.pipeline import vacuum_state
+
+        msgs, expected = generate_envelopes(n=300, seed=4, truncate_every=None, key_space=100)
+        src = str(tmp_path / "src")
+        state = str(tmp_path / "state")
+        ckpt = str(tmp_path / "ckpt")
+        for i, (a, b) in enumerate([(0, 100), (100, 200), (200, 300)]):
+            _write_batch(src, f"c{i}.json", msgs[a:b], a)
+            _run(start_replica_merge(read_changelog_stream(spark, src), INVOICE, state, ckpt))
+        import os as _os
+
+        assert len([d for d in _os.listdir(state) if d.startswith("v")]) >= 3
+        removed = vacuum_state(state, keep=1)
+        assert len(removed) >= 2
+        got = {r.order_id: r.invoice_number for r in read_replica(spark, state).collect()}
+        assert got == expected  # latest state untouched
