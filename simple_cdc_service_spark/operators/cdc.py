@@ -46,7 +46,11 @@ def classify_op(before: Column, after: Column) -> Column:
     )
 
 
-def truncate_epoch_filter(changelog: DataFrame, op_col: str = "op", offset_col: str = "offset") -> DataFrame:
+def truncate_epoch_filter(
+    changelog: DataFrame,
+    op_col: str = "op",
+    order_cols: "str | tuple[str, ...]" = "offset",
+) -> DataFrame:
     """Keep only events after the last truncate marker.
 
     Reference semantics: ``op='t'`` wipes the replica (TRUNCATE TABLE,
@@ -54,14 +58,21 @@ def truncate_epoch_filter(changelog: DataFrame, op_col: str = "op", offset_col: 
     last truncate contribute to the final state (SURVEY.md §2 R10).
 
     Implemented as a 1-row max aggregate cross-joined (broadcast) back onto
-    the stream — stays fully distributed, nothing on the driver.
+    the stream — stays fully distributed, nothing on the driver. The order
+    may be a single column or a coordinate tuple (e.g. Debezium's
+    (source.file, source.pos)); comparison is on the packed struct
+    (lexicographic), with a NULL epoch meaning "no truncate seen".
     """
-    epoch = changelog.filter(F.col(op_col) == "t").agg(
-        F.coalesce(F.max(offset_col), F.lit(-1)).alias("__t_off")
-    )
+    if isinstance(order_cols, str):
+        order_cols = (order_cols,)
+    pos = F.struct(*[F.col(c) for c in order_cols])
+    epoch = changelog.filter(F.col(op_col) == "t").agg(F.max(pos).alias("__t_off"))
     return (
         changelog.crossJoin(F.broadcast(epoch))
-        .filter((F.col(offset_col) > F.col("__t_off")) & (F.col(op_col) != "t"))
+        .filter(
+            (F.col("__t_off").isNull() | (pos > F.col("__t_off")))
+            & (F.col(op_col) != "t")
+        )
         .drop("__t_off")
     )
 
@@ -84,7 +95,7 @@ def collapse_changelog(changelog: DataFrame, cfg: ChangeTableConfig) -> DataFram
     shuffle of |keys| pre-collapsed rows and no sort anywhere
     (tests/test_plans.py pins this).
     """
-    df = truncate_epoch_filter(changelog, cfg.op_column, cfg.order_columns[0])
+    df = truncate_epoch_filter(changelog, cfg.op_column, cfg.order_columns)
     order = (
         F.col(cfg.order_columns[0])
         if len(cfg.order_columns) == 1
@@ -107,7 +118,7 @@ def collapse_changelog_window(changelog: DataFrame, cfg: ChangeTableConfig) -> D
     """
     from pyspark.sql.window import Window
 
-    df = truncate_epoch_filter(changelog, cfg.op_column, cfg.order_columns[0])
+    df = truncate_epoch_filter(changelog, cfg.op_column, cfg.order_columns)
     w = Window.partitionBy(*cfg.key_columns).orderBy(
         *[F.col(c).desc() for c in cfg.order_columns]
     )

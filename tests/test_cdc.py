@@ -219,3 +219,51 @@ class TestPKChangingUpdate:
         snap = cdc.snapshot_from_envelopes(parse_envelopes(df), INVOICE)
         got = {r.order_id: r.invoice_number for r in snap.collect()}
         assert got == {1: 99, 2: 10}
+
+
+class TestCompositeKeysAndOrder:
+    """ChangeTableConfig generality: multi-column merge keys and
+    multi-column (binlog-coordinate) ordering."""
+
+    def test_two_column_key(self, spark):
+        cfg = ChangeTableConfig(
+            name="t2", key_columns=("region", "order_id"),
+            value_columns=("amount",), order_columns=("offset",),
+        )
+        rows = [
+            (0, "c", "eu", 1, 10),
+            (1, "c", "us", 1, 99),   # same order_id, different region
+            (2, "u", "eu", 1, 11),
+            (3, "d", "us", 1, None),
+            (4, "c", "us", 2, 50),
+        ]
+        ch = spark.createDataFrame(
+            rows, "offset long, op string, region string, order_id long, amount long"
+        )
+        got = {(r.region, r.order_id): r.amount
+               for r in cdc.collapse_changelog(ch, cfg).collect()}
+        assert got == {("eu", 1): 11, ("us", 2): 50}
+
+    def test_binlog_coordinate_ordering(self, spark):
+        """Order by (file, pos) — the Debezium coordinates
+        (example/insert.json:186-190) — instead of a single offset. Rows
+        arrive shuffled; the collapse must follow the coordinate order, not
+        arrival order."""
+        cfg = ChangeTableConfig(
+            name="t3", key_columns=("order_id",), value_columns=("amount",),
+            order_columns=("source_file", "source_pos"),
+        )
+        rows = [  # arrival order deliberately scrambled
+            ("binlog.000002", 120, "u", 1, 12),
+            ("binlog.000001", 900, "c", 1, 10),
+            ("binlog.000002", 50, "u", 1, 11),
+            ("binlog.000001", 950, "d", 2, None),
+            ("binlog.000001", 940, "c", 2, 20),
+        ]
+        ch = spark.createDataFrame(
+            rows, "source_file string, source_pos long, op string, order_id long, amount long"
+        )
+        got = {r.order_id: r.amount for r in cdc.collapse_changelog(ch, cfg).collect()}
+        # key 1: latest by (file,pos) = binlog.000002/120 -> 12
+        # key 2: created then deleted within file 1 -> absent
+        assert got == {1: 12}
