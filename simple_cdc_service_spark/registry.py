@@ -975,6 +975,7 @@ def media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "tfidf_top_terms",
+    headline=True,
     oracle="""
     WITH tok AS (
         SELECT doc_id, unnest(string_split(lower(text), ' ')) AS word FROM documents
@@ -1640,6 +1641,7 @@ def dedup_clusters_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "asof_join_signup",
+    headline=True,
     oracle="""
     WITH su AS (
         SELECT user_id, epoch_ms(ts) AS s_ms

@@ -91,21 +91,36 @@ def _parse(stream: DataFrame, row_schema) -> DataFrame:
     )
 
 
-def start_event_log_sink(stream: DataFrame, out_dir: str, checkpoint: str, trigger_available_now: bool = True):
+def start_event_log_sink(
+    stream: DataFrame,
+    out_dir: str,
+    checkpoint: str,
+    trigger_available_now: bool = True,
+    partition_by_day: bool = False,
+):
     """Sink 1: append-only raw log (timestamp, kafka_message) — the
     dev.kafka_message_log table (clickhouse/init-script/db-table-init.sql:3-9).
-    Pure projection, no shuffle; partition by time in production for
-    retention + pruning."""
+    Pure projection, no shuffle. ``partition_by_day`` adds a derived
+    log_date partition column — at scale that is what makes retention a
+    directory delete and time-scoped replays a pruned scan (and it bounds
+    compact_parquet_dir to closed partitions)."""
     log = stream.filter(F.col("value").isNotNull()).select(
         F.col("timestamp").cast("long").alias("timestamp"),
         F.col("value").alias("kafka_message"),
     )
+    writer = log
+    if partition_by_day:
+        log = log.withColumn(
+            "log_date", F.date_format(F.timestamp_millis(F.col("timestamp")), "yyyy-MM-dd")
+        )
     writer = (
         log.writeStream.format("parquet")
         .option("path", out_dir)
         .option("checkpointLocation", checkpoint)
         .outputMode("append")
     )
+    if partition_by_day:
+        writer = writer.partitionBy("log_date")
     if trigger_available_now:
         writer = writer.trigger(availableNow=True)
     return writer.start()

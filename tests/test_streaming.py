@@ -423,3 +423,28 @@ class TestVacuum:
         assert len(removed) >= 2
         got = {r.order_id: r.invoice_number for r in read_replica(spark, state).collect()}
         assert got == expected  # latest state untouched
+
+
+class TestPartitionedEventLog:
+    def test_day_partitions_created_and_pruned(self, spark, tmp_path):
+        import glob
+
+        from simple_cdc_service_spark.plans import plan_string
+
+        msgs, _ = generate_envelopes(n=50, seed=9, truncate_every=None)
+        src = str(tmp_path / "src")
+        out = str(tmp_path / "log")
+        ckpt = str(tmp_path / "ckpt")
+        os.makedirs(src)
+        # two distinct days of timestamps
+        with open(os.path.join(src, "a.json"), "w") as f:
+            for i, m in enumerate(msgs):
+                day_ms = 1_700_000_000_000 + (i % 2) * 86_400_000
+                f.write(json.dumps({"offset": i, "timestamp": day_ms, "value": m}) + "\n")
+        _run(start_event_log_sink(read_changelog_stream(spark, src), out, ckpt,
+                                  partition_by_day=True))
+        days = sorted(os.path.basename(d) for d in glob.glob(f"{out}/log_date=*"))
+        assert len(days) == 2
+        one_day = spark.read.parquet(out).filter(F.col("log_date") == days[0][9:])
+        assert "PartitionFilters: [isnotnull(log_date" in plan_string(one_day)
+        assert one_day.count() == 25
