@@ -165,3 +165,35 @@ def sample_frames(media: DataFrame, frame_bytes: int = 16, every: int = 2) -> Da
             yield pd.DataFrame(rows)
 
     return media.select("doc_id", "payload").mapInPandas(gen, FRAME_SCHEMA)
+
+
+def extract_features_arrow(media) -> "DataFrame":
+    """extract_features via mapInArrow: consumes pyarrow RecordBatches
+    directly, skipping the Arrow→pandas→Arrow conversion that mapInPandas
+    pays per batch. Same output schema and values as extract_features
+    (asserted in tests); bench-compared — the conversion tax matters once
+    payloads are large.
+    """
+    import pyarrow as pa
+
+    # Arrow output must match the declared Spark schema EXACTLY (pandas
+    # would widen n_bytes to int64 and the JVM reader then calls the wrong
+    # vector accessor).
+    target = pa.schema(
+        [
+            ("doc_id", pa.int64()),
+            ("n_bytes", pa.int32()),
+            ("byte_mean", pa.float64()),
+            ("byte_entropy", pa.float64()),
+            ("histogram", pa.list_(pa.int64())),
+        ]
+    )
+
+    def gen(batches):
+        for batch in batches:
+            ids = batch.column("doc_id").to_numpy(zero_copy_only=False)
+            payloads = batch.column("payload").to_pylist()
+            pdf = _byte_features(ids, payloads)
+            yield from pa.Table.from_pandas(pdf, schema=target, preserve_index=False).to_batches()
+
+    return media.select("doc_id", "payload").mapInArrow(gen, FEATURE_SCHEMA)

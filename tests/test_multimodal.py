@@ -80,3 +80,17 @@ class TestFrameSampling:
         for did, fr in by_doc.items():
             assert sorted(f.frame_idx for f in fr) == [0, 2]
             assert all(len(bytes(f.frame)) == 16 for f in fr)
+
+
+class TestArrowVariant:
+    def test_agrees_with_pandas_variant(self, spark, media):
+        from simple_cdc_service_spark.operators.multimodal import (
+            extract_features,
+            extract_features_arrow,
+        )
+
+        a = {r.doc_id: (r.n_bytes, r.byte_mean, r.byte_entropy, tuple(r.histogram))
+             for r in extract_features(media).collect()}
+        b = {r.doc_id: (r.n_bytes, r.byte_mean, r.byte_entropy, tuple(r.histogram))
+             for r in extract_features_arrow(media).collect()}
+        assert a == b
