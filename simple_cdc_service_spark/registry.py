@@ -21,6 +21,8 @@ from __future__ import annotations
 from collections.abc import Callable
 from dataclasses import dataclass, field
 
+import pandas as pd
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
@@ -1972,3 +1974,59 @@ def vec_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.size(F.filter(F.col("v"), lambda x: F.abs(x) > 0.2)).alias("n_large"),
         )
     )
+
+
+@register(
+    "grouped_zscore",
+    oracle="""
+    SELECT event_id, event_type,
+           round((value - avg(value) OVER (PARTITION BY event_type))
+                 / stddev_samp(value) OVER (PARTITION BY event_type), 4) AS z
+    FROM events
+    """,
+)
+def grouped_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grouped-map applyInPandas: per-event-type z-score normalization —
+    the per-group pandas pattern (each group becomes one pandas frame).
+    Fine here (5 groups × 20k rows); for high-cardinality groups prefer
+    the window-function formulation the oracle uses, which never
+    materializes a whole group in one worker."""
+    import pandas as pd
+
+    ev = _t(spark, sf_dir, "events").select("event_id", "event_type", "value")
+
+    def zscore(pdf: pd.DataFrame) -> pd.DataFrame:
+        mu = pdf["value"].mean()
+        sd = pdf["value"].std(ddof=1)
+        out = pdf[["event_id", "event_type"]].copy()
+        out["z"] = ((pdf["value"] - mu) / sd).round(4)
+        return out
+
+    return ev.groupBy("event_type").applyInPandas(
+        zscore, "event_id long, event_type string, z double"
+    )
+
+
+@register(
+    "udf_scalar_pandas",
+    oracle="""
+    SELECT event_id,
+           round(1.0 / (1.0 + exp(-(value - 100.0) / 50.0)), 6) AS sigmoid_score
+    FROM events
+    """,
+)
+def udf_scalar_pandas(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scalar @pandas_udf (Arrow-vectorized series-to-series) — the user
+    extension point the reference entirely lacks (SURVEY.md §2 'UDF/UDAF
+    surface: none'). A built-in expression would beat it (and the oracle
+    IS the built-in formula); the point is the registration surface."""
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("double")
+    def sigmoid(v: pd.Series) -> pd.Series:
+        import numpy as np
+
+        return (1.0 / (1.0 + np.exp(-(v - 100.0) / 50.0))).round(6)
+
+    ev = _t(spark, sf_dir, "events")
+    return ev.select("event_id", sigmoid(F.col("value")).alias("sigmoid_score"))
