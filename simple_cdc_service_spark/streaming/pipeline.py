@@ -231,6 +231,13 @@ def start_replica_merge(
       3. write state version v{batchId} — re-running a batch after a crash
          rewrites the same version with the same content (idempotent), and
          readers only see versions with a _SUCCESS marker.
+
+    Ordering contract: events for a key must not arrive in a LATER batch
+    with an EARLIER offset — guaranteed by Kafka's per-partition order
+    (the same assumption the reference makes implicitly). Within a batch,
+    arrival order is irrelevant (the collapse orders by offset). If the
+    source can violate cross-batch order, use start_stateful_replica,
+    which tracks per-key max offset in state and skips stale events.
     """
     parsed_schema = row_schema
 
