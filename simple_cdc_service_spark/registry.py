@@ -958,16 +958,73 @@ def media_catalog(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("media_features", oracle=None, headline=True)
+@register(
+    "media_features",
+    headline=True,
+    # The payload is 4× the md5(doc_id) bytes (synthesize_media), so the
+    # oracle re-derives every byte from the md5 hex string: histogram counts
+    # are 4× the per-md5-byte counts and the mean/entropy are identical.
+    oracle="""
+    WITH h AS (SELECT doc_id, md5(CAST(doc_id AS VARCHAR)) AS hx FROM documents),
+    b AS (
+        SELECT doc_id,
+               (strpos('0123456789abcdef', substring(hx, CAST(2 * i + 1 AS INT), 1)) - 1) * 16
+               + (strpos('0123456789abcdef', substring(hx, CAST(2 * i + 2 AS INT), 1)) - 1)
+                   AS byte
+        FROM h CROSS JOIN (SELECT CAST(range AS INT) AS i FROM range(16)) g
+    ),
+    bins AS (
+        SELECT doc_id, CAST(byte // 16 AS INT) AS bin, count(*) * 4 AS cnt
+        FROM b GROUP BY 1, 2
+    ),
+    grid AS (
+        SELECT d.doc_id, g.bin
+        FROM (SELECT doc_id FROM documents) d
+        CROSS JOIN (SELECT CAST(range AS INT) AS bin FROM range(16)) g
+    ),
+    hist AS (
+        SELECT grid.doc_id, grid.bin, coalesce(bins.cnt, 0) AS cnt
+        FROM grid LEFT JOIN bins ON grid.doc_id = bins.doc_id AND grid.bin = bins.bin
+    ),
+    hcsv AS (
+        SELECT doc_id, string_agg(CAST(cnt AS VARCHAR), ',' ORDER BY bin)
+                   AS histogram_csv
+        FROM hist GROUP BY doc_id
+    ),
+    stats AS (
+        SELECT doc_id, CAST(64 AS INT) AS n_bytes, avg(byte) AS byte_mean
+        FROM b GROUP BY doc_id
+    ),
+    ent AS (
+        SELECT doc_id, round(-sum((cnt / 64.0) * log2(cnt / 64.0)), 6) AS byte_entropy
+        FROM hist WHERE cnt > 0 GROUP BY doc_id
+    )
+    SELECT s.doc_id, s.n_bytes, s.byte_mean, e.byte_entropy, c.histogram_csv
+    FROM stats s JOIN ent e USING (doc_id) JOIN hcsv c USING (doc_id)
+    """,
+)
 def media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """E7 Arrow-batched byte-level feature extraction (histogram/mean/
-    entropy) over binary payloads via mapInPandas. No SQL oracle (pandas
-    UDF semantics); exact values asserted against numpy in tests."""
+    entropy) over binary payloads via mapInPandas. The operator keeps the
+    histogram as array<long>; this driver-facing query serializes it to a
+    CSV string (the driver canonicalizes results through pandas, where an
+    array column is unhashable). byte_mean is exact on both engines: sums
+    of small ints are exact in float64 and the /64 divisor is a power of
+    two, so no rounding is needed."""
     from .operators.multimodal import extract_features, synthesize_media
 
     from .sources.tables import spread
 
-    return extract_features(synthesize_media(spread(_t(spark, sf_dir, "documents"))))
+    feats = extract_features(synthesize_media(spread(_t(spark, sf_dir, "documents"))))
+    return feats.select(
+        "doc_id",
+        "n_bytes",
+        "byte_mean",
+        "byte_entropy",
+        F.array_join(
+            F.transform(F.col("histogram"), lambda x: x.cast("string")), ","
+        ).alias("histogram_csv"),
+    )
 
 
 # ===========================================================================
@@ -1863,19 +1920,21 @@ def q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
 def dq_checks(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Data-quality validation: null-rate, range, and referential-integrity
     checks emitted as one metrics row — the admission gate of a training-
-    data pipeline. The FK check is an anti join (never a NOT IN
-    crossJoin); all checks share one scan via conditional aggregation."""
+    data pipeline. ONE plan, one job: the FK check is a left join against
+    the (unique-key) dimension and the orphan count is a conditional
+    aggregate over the unmatched rows — no separate .count() action (a
+    driver round-trip per check would serialize the pipeline at scale)."""
     o = _t(spark, sf_dir, "orders")
-    c = _t(spark, sf_dir, "customer")
-    orphans = o.join(c, o.o_custkey == c.c_custkey, "left_anti").count()
-    return o.agg(
+    c = _t(spark, sf_dir, "customer").select(F.col("c_custkey"))
+    joined = o.join(c, o.o_custkey == c.c_custkey, "left")
+    return joined.agg(
         F.lit("orders").alias("tbl"),
         F.count("*").alias("n_rows"),
         F.sum(F.when(F.col("o_orderkey").isNull(), 1).otherwise(0)).alias("n_null_key"),
         F.sum(F.when(F.col("o_totalprice") <= 0, 1).otherwise(0)).alias("n_nonpositive"),
-        F.lit(orphans).alias("n_fk_orphans"),
-    ).select(
-        "tbl", "n_rows", "n_null_key", "n_nonpositive", F.col("n_fk_orphans").cast("long").alias("n_fk_orphans")
+        F.sum(F.when(F.col("c_custkey").isNull(), 1).otherwise(0))
+        .cast("long")
+        .alias("n_fk_orphans"),
     )
 
 
@@ -1986,11 +2045,35 @@ def vec_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def grouped_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Grouped-map applyInPandas: per-event-type z-score normalization —
-    the per-group pandas pattern (each group becomes one pandas frame).
-    Fine here (5 groups × 20k rows); for high-cardinality groups prefer
-    the window-function formulation the oracle uses, which never
-    materializes a whole group in one worker."""
+    """Per-event-type z-score normalization, window formulation — the
+    DEFAULT scale path. The per-type mean/stddev are window aggregates:
+    one shuffle on event_type, rows stream through, and no group is ever
+    materialized whole in one worker. This matters precisely when group
+    cardinality is LOW (5 event types ⇒ each group is ~20% of the table
+    — a grouped-map pandas version would hold that in one worker's
+    memory; see grouped_zscore_pandas for that API-coverage variant)."""
+    ev = _t(spark, sf_dir, "events").select("event_id", "event_type", "value")
+    w = Window.partitionBy("event_type")
+    z = (F.col("value") - F.avg("value").over(w)) / F.stddev_samp("value").over(w)
+    return ev.select("event_id", "event_type", F.round(z, 4).alias("z"))
+
+
+@register(
+    "grouped_zscore_pandas",
+    oracle="""
+    SELECT event_id, event_type,
+           round((value - avg(value) OVER (PARTITION BY event_type))
+                 / stddev_samp(value) OVER (PARTITION BY event_type), 4) AS z
+    FROM events
+    """,
+)
+def grouped_zscore_pandas(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grouped-map applyInPandas variant of grouped_zscore — API-coverage
+    demo of the per-group pandas pattern (each group arrives as ONE pandas
+    frame). Contract: group sizes must fit a single worker's memory; with
+    low-cardinality keys like these 5 event types that is exactly what is
+    violated at scale, so the window formulation (grouped_zscore) is the
+    production path."""
     import pandas as pd
 
     ev = _t(spark, sf_dir, "events").select("event_id", "event_type", "value")
