@@ -129,20 +129,33 @@ def collapse_changelog_window(changelog: DataFrame, cfg: ChangeTableConfig) -> D
     )
 
 
-def snapshot_from_envelopes(parsed: DataFrame, cfg: ChangeTableConfig) -> DataFrame:
-    """Parsed Debezium envelopes → replica snapshot (the full consumer apply
-    path, main.py:47-93, as one declarative plan).
+def envelope_changelog(
+    parsed: DataFrame,
+    cfg: ChangeTableConfig,
+    passthrough_cols: "tuple[str, ...] | None" = None,
+) -> DataFrame:
+    """Parsed Debezium envelopes → flat keyed changelog rows (the shared
+    front half of the batch snapshot AND the streaming merge, so the two
+    paths cannot disagree on the same input).
 
     Derives the flat changelog from the envelope structs:
-      * key from ``coalesce(after.k, before.k)`` — for deletes only
-        ``before`` is populated (example/delete.json), for inserts only
-        ``after`` (example/insert.json). The reference assumes PK-immutable
-        updates (main.py:56-70) so for updates the two agree.
+      * key from ``after`` (falling back to ``before`` for deletes —
+        example/delete.json populates only ``before``, insert.json only
+        ``after``).
       * values from ``after``.
       * op from the null-ness classifier (NOT the envelope's op field —
-        matching the consumer's actual discriminator).
-    Then collapses with the standard changelog collapse.
+        matching the consumer's actual discriminator, main.py:49-88).
+
+    PK-changing update (before.key ≠ after.key): the reference would
+    corrupt its replica (UPDATE ... WHERE pk = before.pk leaves the old
+    row keyed wrong, main.py:56-70; SURVEY.md §1.3). Correct semantics is
+    delete(before.key) + upsert(after.key) — emitted here as two changelog
+    rows from one envelope via a conditional explode.
+
+    ``passthrough_cols`` are copied through unchanged (default:
+    ``cfg.order_columns``) — order coordinates, raw message, etc.
     """
+    passthrough = tuple(passthrough_cols or cfg.order_columns)
     cls = classify_op(F.col("before"), F.col("after"))
     code = (
         F.when(cls == "insert", F.lit("c"))
@@ -151,11 +164,6 @@ def snapshot_from_envelopes(parsed: DataFrame, cfg: ChangeTableConfig) -> DataFr
         .when(cls == "truncate", F.lit("t"))
         .otherwise(F.lit("?"))
     )
-    # PK-changing update (before.key ≠ after.key): the reference would
-    # corrupt its replica (UPDATE ... WHERE pk = before.pk leaves the old
-    # row keyed wrong, main.py:56-70; SURVEY.md §1.3). Correct semantics is
-    # delete(before.key) + upsert(after.key) — emitted here as two
-    # changelog rows from one envelope via a conditional explode.
     key_changed = F.lit(False)
     for k in cfg.key_columns:
         key_changed = key_changed | (
@@ -183,17 +191,23 @@ def snapshot_from_envelopes(parsed: DataFrame, cfg: ChangeTableConfig) -> DataFr
         F.coalesce(F.col(f"__e.{k}"), F.col(f"before.{k}")).alias(k)
         for k in cfg.key_columns
     ]
-    changelog = parsed.select(
-        *[F.col(c) for c in cfg.order_columns],
+    return parsed.select(
+        *[F.col(c) for c in passthrough],
         F.explode(events).alias("__e"),
         F.col("before"),
     ).select(
-        *cfg.order_columns,
+        *passthrough,
         F.col("__e.__op").alias(cfg.op_column),
         *fallback_keys,
         *[F.col(f"__e.{v}").alias(v) for v in cfg.value_columns],
     )
-    return collapse_changelog(changelog, cfg)
+
+
+def snapshot_from_envelopes(parsed: DataFrame, cfg: ChangeTableConfig) -> DataFrame:
+    """Parsed Debezium envelopes → replica snapshot (the full consumer apply
+    path, main.py:47-93, as one declarative plan): the shared
+    envelope_changelog derivation followed by the standard collapse."""
+    return collapse_changelog(envelope_changelog(parsed, cfg), cfg)
 
 
 def event_log(changelog: DataFrame, ts_col: Column, message: Column) -> DataFrame:

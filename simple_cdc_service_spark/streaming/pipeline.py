@@ -21,10 +21,16 @@ Scale notes:
     touched files. The collapse half (per-batch last-event-per-key) is the
     same max_by aggregate as the batch operator and carries all the same
     scale properties.
-  * Kafka parallelism = topic partitions; per-key ordering holds within a
-    partition, which is exactly the guarantee Debezium's per-table topics
-    give. The batch-local collapse orders by (partition, offset) — the
-    explicit version of the reference's implicit single-partition order.
+  * Kafka parallelism = topic partitions; OFFSETS ONLY ORDER WITHIN ONE
+    PARTITION, so Kafka (partition, offset) is not a total order over a
+    multi-partition topic. The batch-local collapse therefore orders by
+    the Debezium binlog coordinates (source.file, source.pos, source.row)
+    — a total order assigned by the single source database, valid however
+    the events were partitioned in transit — with the Kafka offset as a
+    fallback for sources that lack them (the file-JSON test stand-in).
+    The reference gets ordering implicitly from a single-partition topic
+    and one consumer (main.py:25-29); binlog coordinates are the explicit
+    contract that survives scaling the topic out.
 """
 
 from __future__ import annotations
@@ -35,7 +41,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..config import ChangeTableConfig
-from ..operators.cdc import classify_op, collapse_changelog
+from ..operators.cdc import classify_op
 from ..schemas import INVOICE_ROW, kafka_message_schema
 
 KAFKA_LIKE_SCHEMA = "offset long, timestamp long, value string"
@@ -55,7 +61,10 @@ def kafka_changelog_stream(
     main.py:25-29 — but with `latest` and no group; we default to
     `earliest` + checkpointing so restarts replay instead of dropping).
     Not exercised in tests (no broker in the container); the returned frame
-    has the same (offset, timestamp, value) shape as the test source."""
+    has the same (offset, timestamp, value) shape as the test source, plus
+    the Kafka partition. NB: (partition, offset) is NOT a total order — the
+    merge orders by the Debezium binlog coordinates carried inside the
+    envelope (see module docstring)."""
     raw = (
         spark.readStream.format("kafka")
         .option("kafka.bootstrap.servers", bootstrap)
@@ -64,6 +73,7 @@ def kafka_changelog_stream(
         .load()
     )
     return raw.select(
+        F.col("partition"),
         F.col("offset"),
         F.unix_millis(F.col("timestamp")).alias("timestamp"),
         F.col("value").cast("string").alias("value"),
@@ -87,7 +97,28 @@ def _parse(stream: DataFrame, row_schema) -> DataFrame:
             F.col("msg.payload.before").alias("before"),
             F.col("msg.payload.after").alias("after"),
             F.col("msg.payload.source.table").alias("source_table"),
+            # Binlog coordinates: the cross-partition total order for the
+            # merge (module docstring). NULL for sources without them.
+            F.col("msg.payload.source.file").alias("source_file"),
+            F.col("msg.payload.source.pos").alias("source_pos"),
+            F.col("msg.payload.source.row").alias("source_row"),
         )
+    )
+
+
+def _order_coordinate() -> F.Column:
+    """The changelog total-order coordinate: Debezium binlog position
+    (file, pos, row) first — valid across Kafka partitions — with the
+    Kafka offset both as a tiebreaker and as the fallback when the source
+    carries no binlog metadata (file-JSON test stand-in, non-Debezium
+    feeds). Struct comparison is lexicographic, so rows WITH coordinates
+    order by them and coordinate-free streams degrade to offset order
+    (the single-partition assumption the reference always makes)."""
+    return F.struct(
+        F.coalesce(F.col("source_file"), F.lit("")).alias("f"),
+        F.coalesce(F.col("source_pos"), F.col("offset")).alias("p"),
+        F.coalesce(F.col("source_row"), F.lit(0)).alias("r"),
+        F.col("offset").alias("o"),
     )
 
 
@@ -146,51 +177,58 @@ def read_replica(spark: SparkSession, state_dir: str) -> DataFrame | None:
     return spark.read.parquet(os.path.join(state_dir, f"v{versions[-1]}"))
 
 
-def _merge_parsed_batch(
-    parsed: DataFrame, cfg: ChangeTableConfig, state_dir: str, batch_id: int
-) -> None:
-    """One micro-batch of parsed envelopes → merged versioned state.
-    Shared by the single-table and multi-table merge sinks."""
-    spark = parsed.sparkSession
-    cls = classify_op(F.col("before"), F.col("after"))
-    code = (
-        F.when(cls == "insert", F.lit("c"))
-        .when(cls == "update", F.lit("u"))
-        .when(cls == "delete", F.lit("d"))
-        .when(cls == "truncate", F.lit("t"))
-        .otherwise(F.lit("?"))
-    )
-    changelog = parsed.select(
-        F.col("offset"),
-        code.alias(cfg.op_column),
-        *[
-            F.coalesce(F.col(f"after.{k}"), F.col(f"before.{k}")).alias(k)
-            for k in cfg.key_columns
-        ],
-        *[F.col(f"after.{v}").alias(v) for v in cfg.value_columns],
+def _batch_last_per_key(parsed: DataFrame, cfg: ChangeTableConfig):
+    """Shared micro-batch collapse: envelope_changelog derivation (same as
+    the batch snapshot — including the PK-changing-update explode into
+    delete(before.key) + insert(after.key)), truncate-epoch filter, and
+    last-event-per-key by the binlog-coordinate total order. Returns
+    (batch_last, had_truncate) with final deletes KEPT (they must erase
+    existing state)."""
+    from ..operators.cdc import envelope_changelog, truncate_epoch_filter
+
+    changelog = envelope_changelog(
+        parsed.withColumn("__ord", _order_coordinate()), cfg, passthrough_cols=("__ord",)
     )
     if changelog.isEmpty():
-        return
-    # Batch-local collapse keeping deletes (collapse_changelog drops rows
-    # whose final op is 'd'; here they must erase existing state): same
-    # truncate-epoch + max_by pattern.
-    from ..operators.cdc import truncate_epoch_filter
-
+        return None, False
     had_truncate = changelog.filter(F.col(cfg.op_column) == "t").limit(1).count() > 0
-    live = truncate_epoch_filter(changelog, cfg.op_column, "offset")
+    live = truncate_epoch_filter(changelog, cfg.op_column, "__ord")
     payload = F.struct(
         F.col(cfg.op_column).alias("__op"),
         *[F.col(c) for c in cfg.value_columns],
     )
     batch_last = (
         live.groupBy(*cfg.key_columns)
-        .agg(F.max_by(payload, F.col("offset")).alias("__last"))
+        .agg(F.max_by(payload, F.col("__ord")).alias("__last"))
         .select(
             *cfg.key_columns,
             F.col("__last.__op").alias("__op"),
             *[F.col(f"__last.{c}").alias(c) for c in cfg.value_columns],
         )
     )
+    return batch_last, had_truncate
+
+
+def _merge_parsed_batch(
+    parsed: DataFrame, cfg: ChangeTableConfig, state_dir: str, batch_id: int
+) -> None:
+    """One micro-batch of parsed envelopes → merged versioned state.
+    Shared by the single-table and multi-table merge sinks.
+
+    Crash-recovery replay: foreachBatch re-delivers batch N when the job
+    died after the merge committed but before the checkpoint recorded it.
+    v{N} already holding a _SUCCESS marker IS that case — without the guard
+    read_replica() would return v{N} itself and the overwrite would delete
+    the directory out from under the job reading it (FAILED_READ_FILE
+    crash loop). Skipping is exactly idempotent: the committed version was
+    derived from this same batch."""
+    spark = parsed.sparkSession
+    out = os.path.join(state_dir, f"v{batch_id}")
+    if os.path.exists(os.path.join(out, "_SUCCESS")):
+        return
+    batch_last, had_truncate = _batch_last_per_key(parsed, cfg)
+    if batch_last is None:
+        return
 
     current = None if had_truncate else read_replica(spark, state_dir)
     upserts = batch_last.filter(F.col("__op") != "d").select(
@@ -207,7 +245,6 @@ def _merge_parsed_batch(
         new_state = survivors.unionByName(upserts, allowMissingColumns=True)
     else:
         new_state = upserts
-    out = os.path.join(state_dir, f"v{batch_id}")
     new_state.write.mode("overwrite").parquet(out)
 
 
@@ -233,11 +270,15 @@ def start_replica_merge(
          readers only see versions with a _SUCCESS marker.
 
     Ordering contract: events for a key must not arrive in a LATER batch
-    with an EARLIER offset — guaranteed by Kafka's per-partition order
-    (the same assumption the reference makes implicitly). Within a batch,
-    arrival order is irrelevant (the collapse orders by offset). If the
-    source can violate cross-batch order, use start_stateful_replica,
-    which tracks per-key max offset in state and skips stale events.
+    with an EARLIER binlog position — guaranteed when a key lives on one
+    Kafka partition (Debezium keys by PK, so per-key order holds even on
+    multi-partition topics). Within a batch, arrival order is irrelevant:
+    the collapse orders by the binlog-coordinate total order
+    (_order_coordinate), which is valid ACROSS partitions — offsets alone
+    are not. PK-changing updates are handled as delete(before.key) +
+    insert(after.key), identical to the batch snapshot path. If the source
+    can violate cross-batch order, use start_stateful_replica, which
+    tracks per-key max offset in state and skips stale events.
     """
     parsed_schema = row_schema
 
@@ -454,53 +495,34 @@ def start_replica_merge_bucketed(
     files are byte-identical after a batch.
 
     Idempotency: re-running a batch re-derives the same touched-bucket
-    contents (anti-join + union is idempotent). Trade-off vs the
-    versioned-state merge: no atomic multi-bucket snapshot — a reader
-    during the overwrite can see mixed generations (production answer:
-    a transactional table format).
+    contents (anti-join + union is idempotent) — even from a
+    crash-interrupted overwrite, because survivors are computed from
+    whatever generation each bucket holds and the batch's keys are
+    re-applied on top.
+
+    ATOMICITY WINDOW (the documented gap vs Delta/Iceberg MERGE, which is
+    not installable in this container — NOTES.md): dynamic partition
+    overwrite commits bucket directories one at a time, so a concurrent
+    reader can observe bucket A post-batch and bucket B pre-batch. The
+    window is bounded: (a) only buckets touched by the batch are ever
+    mixed — untouched buckets are never rewritten (pinned by test); (b)
+    within a bucket the swap is atomic at the directory-listing level
+    (files are staged then moved); (c) a SINGLE-bucket batch — the common
+    per-key-update case — is therefore fully atomic. Readers needing a
+    consistent multi-bucket snapshot should read through the versioned
+    merge (start_replica_merge), whose _SUCCESS-gated versions never serve
+    a partial state; production swaps this sink for a transactional table
+    format where the commit is one metadata operation.
     """
 
     def apply_batch(batch_df: DataFrame, batch_id: int) -> None:
         spark = batch_df.sparkSession
         parsed = _parse(batch_df, row_schema)
-        cls = classify_op(F.col("before"), F.col("after"))
-        code = (
-            F.when(cls == "insert", F.lit("c"))
-            .when(cls == "update", F.lit("u"))
-            .when(cls == "delete", F.lit("d"))
-            .when(cls == "truncate", F.lit("t"))
-            .otherwise(F.lit("?"))
-        )
-        changelog = parsed.select(
-            F.col("offset"),
-            code.alias(cfg.op_column),
-            *[
-                F.coalesce(F.col(f"after.{k}"), F.col(f"before.{k}")).alias(k)
-                for k in cfg.key_columns
-            ],
-            *[F.col(f"after.{v}").alias(v) for v in cfg.value_columns],
-        )
-        if changelog.isEmpty():
+        batch_last, had_truncate = _batch_last_per_key(parsed, cfg)
+        if batch_last is None:
             return
-        from ..operators.cdc import truncate_epoch_filter
-
-        had_truncate = changelog.filter(F.col(cfg.op_column) == "t").limit(1).count() > 0
-        live = truncate_epoch_filter(changelog, cfg.op_column, "offset")
-        payload = F.struct(
-            F.col(cfg.op_column).alias("__op"),
-            *[F.col(c) for c in cfg.value_columns],
-        )
         bucket = F.pmod(F.hash(*[F.col(k) for k in cfg.key_columns]), F.lit(n_buckets))
-        batch_last = (
-            live.groupBy(*cfg.key_columns)
-            .agg(F.max_by(payload, F.col("offset")).alias("__last"))
-            .select(
-                *cfg.key_columns,
-                F.col("__last.__op").alias("__op"),
-                *[F.col(f"__last.{c}").alias(c) for c in cfg.value_columns],
-            )
-            .withColumn("bucket", bucket)
-        )
+        batch_last = batch_last.withColumn("bucket", bucket)
         upserts = batch_last.filter(F.col("__op") != "d").select(
             *cfg.key_columns, *cfg.value_columns, "bucket"
         )

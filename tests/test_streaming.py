@@ -90,6 +90,148 @@ class TestReplicaMerge:
         assert got == {9: 90}
 
 
+class TestCrashRecoveryReplay:
+    def test_rerun_committed_batch_is_skipped(self, spark, tmp_path):
+        """foreachBatch re-delivers batch N when the job died between the
+        merge commit and the checkpoint ack. Re-applying must NOT read and
+        overwrite v{N} simultaneously (static overwrite deletes the dir
+        under the reading job → FAILED_READ_FILE crash loop); the committed
+        version short-circuits instead."""
+        import glob
+
+        from simple_cdc_service_spark.sources.changelog import envelopes_df
+        from simple_cdc_service_spark.streaming.pipeline import (
+            _merge_parsed_batch,
+            _parse,
+        )
+        from simple_cdc_service_spark.schemas import INVOICE_ROW
+
+        state = str(tmp_path / "state")
+        msgs, expected = generate_envelopes(n=120, seed=7, truncate_every=50, key_space=40)
+        parsed = _parse(envelopes_df(spark, msgs), INVOICE_ROW)
+
+        _merge_parsed_batch(parsed, INVOICE, state, batch_id=0)
+        files_before = {
+            f: os.path.getmtime(f)
+            for f in glob.glob(os.path.join(state, "v0", "*.parquet"))
+        }
+        got = {r.order_id: r.invoice_number for r in read_replica(spark, state).collect()}
+        assert got == expected
+
+        # the replay: same batch_id, same data — must be a no-op, not a crash
+        _merge_parsed_batch(parsed, INVOICE, state, batch_id=0)
+        files_after = {
+            f: os.path.getmtime(f)
+            for f in glob.glob(os.path.join(state, "v0", "*.parquet"))
+        }
+        assert files_after == files_before  # untouched, not rewritten
+        got2 = {r.order_id: r.invoice_number for r in read_replica(spark, state).collect()}
+        assert got2 == expected
+
+
+class TestPKChangingUpdate:
+    """An update whose before.key != after.key must delete the old key and
+    insert the new one — same semantics as the batch snapshot path
+    (operators/cdc.py envelope_changelog); previously the streaming merge
+    upserted the new key but left the stale old-key row behind."""
+
+    @staticmethod
+    def _msgs():
+        from simple_cdc_service_spark.sources.changelog import _envelope
+
+        return [
+            json.dumps(_envelope("c", None, {"order_id": 1, "invoice_number": 10}, 100, 1)),
+            json.dumps(_envelope("c", None, {"order_id": 5, "invoice_number": 50}, 110, 2)),
+            # PK-changing update: key 1 → key 2
+            json.dumps(
+                _envelope(
+                    "u",
+                    {"order_id": 1, "invoice_number": 10},
+                    {"order_id": 2, "invoice_number": 11},
+                    120,
+                    3,
+                )
+            ),
+        ]
+
+    def test_versioned_merge(self, spark, tmp_path):
+        src = str(tmp_path / "src")
+        _write_batch(src, "a.json", self._msgs(), 0)
+        _run(
+            start_replica_merge(
+                read_changelog_stream(spark, src), INVOICE,
+                str(tmp_path / "state"), str(tmp_path / "ckpt"),
+            )
+        )
+        got = {r.order_id: r.invoice_number
+               for r in read_replica(spark, str(tmp_path / "state")).collect()}
+        assert got == {2: 11, 5: 50}  # key 1 gone, key 2 present
+
+    def test_bucketed_merge(self, spark, tmp_path):
+        from simple_cdc_service_spark.streaming.pipeline import (
+            read_replica_bucketed,
+            start_replica_merge_bucketed,
+        )
+
+        src = str(tmp_path / "src")
+        _write_batch(src, "a.json", self._msgs(), 0)
+        start_replica_merge_bucketed(
+            read_changelog_stream(spark, src), INVOICE,
+            str(tmp_path / "state"), str(tmp_path / "ckpt"), n_buckets=4,
+        ).awaitTermination()
+        got = {r.order_id: r.invoice_number
+               for r in read_replica_bucketed(spark, str(tmp_path / "state")).collect()}
+        assert got == {2: 11, 5: 50}
+
+    def test_cross_batch(self, spark, tmp_path):
+        """Old key deleted even when the PK-changing update arrives in a
+        LATER batch than the insert it renames."""
+        msgs = self._msgs()
+        src = str(tmp_path / "src")
+        state = str(tmp_path / "state")
+        ckpt = str(tmp_path / "ckpt")
+        _write_batch(src, "a.json", msgs[:2], 0)
+        _run(start_replica_merge(read_changelog_stream(spark, src), INVOICE, state, ckpt))
+        _write_batch(src, "b.json", msgs[2:], 2)
+        _run(start_replica_merge(read_changelog_stream(spark, src), INVOICE, state, ckpt))
+        got = {r.order_id: r.invoice_number for r in read_replica(spark, state).collect()}
+        assert got == {2: 11, 5: 50}
+
+
+class TestBinlogCoordinateOrdering:
+    def test_binlog_position_beats_kafka_offset(self, spark, tmp_path):
+        """With a multi-partition topic, Kafka offsets interleave
+        arbitrarily across partitions; the merge must order by the binlog
+        coordinates inside the envelope. Feed two updates for one key where
+        offset order CONTRADICTS binlog order — binlog must win."""
+        from simple_cdc_service_spark.sources.changelog import _envelope
+
+        msgs = [
+            json.dumps(_envelope("c", None, {"order_id": 1, "invoice_number": 10}, 100, 1)),
+            # offset 1 carries the binlog-LATER event (pos 300)...
+            json.dumps(
+                _envelope("u", {"order_id": 1, "invoice_number": 10},
+                          {"order_id": 1, "invoice_number": 99}, 300, 2)
+            ),
+            # ...offset 2 the binlog-EARLIER one (pos 200)
+            json.dumps(
+                _envelope("u", {"order_id": 1, "invoice_number": 10},
+                          {"order_id": 1, "invoice_number": 55}, 200, 3)
+            ),
+        ]
+        src = str(tmp_path / "src")
+        _write_batch(src, "a.json", msgs, 0)
+        _run(
+            start_replica_merge(
+                read_changelog_stream(spark, src), INVOICE,
+                str(tmp_path / "state"), str(tmp_path / "ckpt"),
+            )
+        )
+        got = {r.order_id: r.invoice_number
+               for r in read_replica(spark, str(tmp_path / "state")).collect()}
+        assert got == {1: 99}  # pos 300 is final, despite smaller offset
+
+
 class TestEventLogSink:
     def test_appends_every_non_tombstone(self, spark, tmp_path):
         msgs, _ = generate_envelopes(n=100, seed=5, truncate_every=40)
