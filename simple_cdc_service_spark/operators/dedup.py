@@ -132,29 +132,38 @@ def minhash_dedup_pairs(
     """Full MinHash-LSH pipeline: shingle → sign → band-join candidates →
     verify with TRUE Jaccard on the shingle sets → threshold.
 
-    The candidate set is broadcast back onto the corpus for the verify
-    joins, and shingles are recomputed only on the joined (candidate)
-    rows — verify cost is O(|candidates|), not O(|corpus|)."""
+    Verify joins against the STAGED shingle frame, never the raw text:
+    re-deriving shingles inside the verify join inlines the whole
+    ngram pipeline into the join condition, where the expression is too
+    large for whole-stage codegen — interpreted evaluation then re-runs
+    split() per lambda element, O(words²) per row (measured ~2.4s of a
+    4.4s sf0.1 run for only ~750 pairs). With staged arrays the join
+    condition is a plain array intersect/union over attribute refs.
+
+    Join shape: candidate pairs are broadcast onto the a-side shingles;
+    that (|pairs|-sized) result is broadcast onto the b-side — both joins
+    map-side, the corpus is never shuffled. Contract: |candidate pairs| ≪
+    |corpus| (the point of LSH banding). For an adversarial corpus where
+    candidates explode, drop the hints and let AQE pick shuffle joins —
+    correctness is unchanged."""
     sh = shingle_docs(df, n, text_col, id_col)
     cand = minhash_candidates(sh, k, bands, id_col)
-    a = df.select(F.col(id_col).alias("doc_id_a"), F.col(text_col).alias("__text_a"))
-    b = df.select(F.col(id_col).alias("doc_id_b"), F.col(text_col).alias("__text_b"))
-    return (
-        a.join(F.broadcast(cand), "doc_id_a")
+    a = sh.select(F.col(id_col).alias("doc_id_a"), F.col("shingles").alias("__sh_a"))
+    b = sh.select(F.col(id_col).alias("doc_id_b"), F.col("shingles").alias("__sh_b"))
+    out = (
+        F.broadcast(a.join(F.broadcast(cand), "doc_id_a"))
         .join(b, "doc_id_b")
         .select(
             "doc_id_a",
             "doc_id_b",
-            F.round(
-                jaccard(
-                    word_ngrams(words(F.col("__text_a")), n),
-                    word_ngrams(words(F.col("__text_b")), n),
-                ),
-                4,
-            ).alias("jaccard"),
+            F.round(jaccard(F.col("__sh_a"), F.col("__sh_b")), 4).alias("jaccard"),
         )
-        .filter(F.col("jaccard") >= threshold)
     )
+    # threshold 0 keeps every candidate — skipping the no-op filter keeps
+    # the jaccard expression out of the join condition (where Catalyst
+    # would inline it and evaluate it once for the predicate and again
+    # for the projection).
+    return out.filter(F.col("jaccard") >= threshold) if threshold > 0 else out
 
 
 def ngram_jaccard_pairs(

@@ -1131,28 +1131,39 @@ def dedup_minhash_ml(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register("knn_lsh_ml", oracle=None)
 def knn_lsh_ml(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """E4 via pyspark.ml BucketedRandomProjectionLSH approxNearestNeighbors
-    for each of the 5 query vectors. Rows-only (seeded random projections);
-    recall vs knn_bruteforce asserted in tests."""
+    """E4 via pyspark.ml BucketedRandomProjectionLSH, ALL query vectors in
+    ONE distributed job: approxSimilarityJoin band-joins the hashed query
+    set against the hashed corpus (bucket-equality candidates, exact
+    distance on candidates only), then a per-query window takes the top
+    10. The earlier formulation looped approxNearestNeighbors over
+    collect()ed queries — one Spark job and plan compilation PER query
+    vector, a scale-killer for any real query set. Rows-only (seeded
+    random projections); recall vs knn_bruteforce asserted in tests."""
     from pyspark.ml.feature import BucketedRandomProjectionLSH
     from pyspark.ml.functions import array_to_vector
 
     emb = _t(spark, sf_dir, "embeddings")
     with_vec = emb.select("vec_id", array_to_vector(F.col("embedding")).alias("features"))
     corpus = with_vec.filter(F.col("vec_id") >= 5)
+    queries = with_vec.filter(F.col("vec_id") < 5)
     lsh = BucketedRandomProjectionLSH(
         inputCol="features", outputCol="hashes", bucketLength=0.5, numHashTables=4, seed=42
     )
     model = lsh.fit(corpus)
-    out = None
-    for q in with_vec.filter(F.col("vec_id") < 5).collect():
-        nn = model.approxNearestNeighbors(corpus, q.features, 10).select(
-            F.lit(q.vec_id).alias("query_id"),
-            F.col("vec_id").alias("neighbor_id"),
-            F.round(F.col("distCol"), 6).alias("dist"),
-        )
-        out = nn if out is None else out.unionAll(nn)
-    return out
+    # Threshold is a post-candidate distance cut, not a candidate limit —
+    # pass +inf-ish so the top-k window (not the cut) decides membership.
+    pairs = model.approxSimilarityJoin(queries, corpus, float("1e18"), distCol="distCol")
+    scored = pairs.select(
+        F.col("datasetA.vec_id").alias("query_id"),
+        F.col("datasetB.vec_id").alias("neighbor_id"),
+        F.round(F.col("distCol"), 6).alias("dist"),
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("dist"), F.col("neighbor_id"))
+    return (
+        scored.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") <= 10)
+        .drop("__rn")
+    )
 
 
 @register(

@@ -88,6 +88,23 @@ class TestApproxVariants:
         # design; the floor just catches total breakage (e.g. empty probe).
         assert len(bf & ivf) / len(bf) >= 0.2
 
+    def test_knn_lsh_ml_recall_floor(self, spark):
+        from simple_cdc_service_spark.registry import REGISTRY
+
+        bf = {
+            (r.query_id, r.neighbor_id)
+            for r in REGISTRY["knn_bruteforce"].fn(spark, SF_DIR).collect()
+        }
+        lsh = {
+            (r.query_id, r.neighbor_id)
+            for r in REGISTRY["knn_lsh_ml"].fn(spark, SF_DIR).collect()
+        }
+        # NB: bruteforce ranks by COSINE, the LSH path by EUCLIDEAN — on
+        # unnormalized vectors the two top-k sets legitimately differ, so
+        # the floor only guards against structural breakage (empty join,
+        # bucket mismatch), not metric agreement.
+        assert len(bf & lsh) / len(bf) >= 0.2
+
     def test_pandas_knn_agrees_with_expression_knn(self, spark):
         from simple_cdc_service_spark.registry import REGISTRY
 
