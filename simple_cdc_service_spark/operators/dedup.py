@@ -88,17 +88,30 @@ def minhash_candidates(
             )
         ).alias("bb"),
     ).select(id_col, "bb.band", "bb.bv")
-    # Bucket-local pair generation instead of a self-join: group each band
-    # bucket, explode id pairs from buckets with >1 member. One pass over
-    # the signature pipeline (a self-join would recompute shingles+md5 for
-    # BOTH sides) and one shuffle keyed on (band, band-value). Hot buckets
-    # (near-identical corpus slices) are the skew risk — their pair count
-    # is quadratic in bucket size, which is the inherent LSH cost, not a
-    # join artifact.
+    return bucket_pairs(banded, id_col=id_col)
+
+
+def bucket_pairs(
+    banded: DataFrame,
+    id_col: str = "doc_id",
+    band_col: str = "band",
+    bv_col: str = "bv",
+    a_col: str = "doc_id_a",
+    b_col: str = "doc_id_b",
+) -> DataFrame:
+    """(id, band, bucket-value) rows → distinct candidate id pairs, a < b.
+
+    Bucket-local pair generation instead of a self-join: group each band
+    bucket, explode id pairs from buckets with >1 member. One pass over
+    the upstream hashing pipeline (a self-join would recompute it for
+    BOTH sides) and one shuffle keyed on (band, band-value). Hot buckets
+    (near-identical corpus slices) are the skew risk — their pair count
+    is quadratic in bucket size, which is the inherent LSH cost, not a
+    join artifact."""
     buckets = (
-        banded.groupBy("band", "bv")
+        banded.groupBy(band_col, bv_col)
         .agg(F.array_sort(F.collect_list(F.col(id_col))).alias("ids"))
-        .filter((F.size("ids") > 1) & F.col("bv").isNotNull())
+        .filter((F.size("ids") > 1) & F.col(bv_col).isNotNull())
     )
     n = F.size(F.col("ids"))
     pairs = F.flatten(
@@ -107,15 +120,15 @@ def minhash_candidates(
             lambda i: F.transform(
                 F.sequence(i + 1, n - 1),
                 lambda j: F.struct(
-                    F.element_at(F.col("ids"), (i + 1).cast("int")).alias("doc_id_a"),
-                    F.element_at(F.col("ids"), (j + 1).cast("int")).alias("doc_id_b"),
+                    F.element_at(F.col("ids"), (i + 1).cast("int")).alias(a_col),
+                    F.element_at(F.col("ids"), (j + 1).cast("int")).alias(b_col),
                 ),
             ),
         )
     )
     return (
         buckets.select(F.explode(pairs).alias("p"))
-        .select(F.col("p.doc_id_a"), F.col("p.doc_id_b"))
+        .select(F.col(f"p.{a_col}"), F.col(f"p.{b_col}"))
         .distinct()
     )
 
@@ -169,14 +182,25 @@ def minhash_dedup_pairs(
 def ngram_jaccard_pairs(
     df: DataFrame,
     threshold: float = 0.95,
-    block_col: str = "source",
+    block_col: str | None = "source",
     text_col: str = "text",
     id_col: str = "doc_id",
 ) -> DataFrame:
     """Blocked exact n-gram (here unigram-set) Jaccard dedup: compare only
-    pairs within the same block, keep pairs ≥ threshold. The block column
-    is the scale lever — the shuffle is per-block and the quadratic term is
-    bounded by the largest block."""
+    pairs within the same block, keep pairs ≥ threshold.
+
+    ``block_col=None`` is the PRODUCTION path: blocks are MinHash-LSH band
+    buckets over the unigram sets (minhash_dedup_pairs with n=1) — no
+    dependence on a metadata column, and the quadratic term is bounded by
+    the largest LSH bucket (similar docs only) instead of the largest
+    metadata block (which for a skewed corpus — one dominant source — is
+    the whole corpus). A metadata ``block_col`` remains useful when the
+    domain GUARANTEES duplicates never cross blocks and blocks are
+    uniformly small; it is the oracle-replicable mode."""
+    if block_col is None:
+        return minhash_dedup_pairs(
+            df, n=1, k=8, bands=4, threshold=threshold, text_col=text_col, id_col=id_col
+        )
     w = df.select(
         F.col(id_col),
         F.col(block_col).alias("blk"),
@@ -195,6 +219,71 @@ def ngram_jaccard_pairs(
     )
 
 
+def embedding_dup_pairs_lsh(
+    df: DataFrame,
+    threshold: float = 0.9,
+    bands: int = 8,
+    rbits: int = 8,
+    seed: int = 42,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Embedding-cosine near-dup with RANDOM-HYPERPLANE LSH blocking — the
+    production path with no metadata-column dependence.
+
+    Each vector gets ``bands`` sign-bucket keys (one per hash table); a
+    table's key is the sign pattern of ``rbits`` seeded random
+    projections. Candidates share a bucket in ANY table (OR-
+    amplification): P(candidate) = 1-(1-p^rbits)^bands with p = 1-θ/π.
+    At (8 tables × 8 bits): cos≥0.9 pairs (θ≤26°, p≈0.86) survive with
+    ~0.94 probability and cos≥0.98 with ~0.999, while random pairs
+    (p≈0.5) collide in a table with only 2⁻⁸ probability. Verification
+    (exact cosine) runs only on candidates. The hyperplanes are a
+    driver-side (bands·rbits)×dim seeded matrix shipped as expression
+    literals — tiny, deterministic, no fitting step.
+
+    Scale: one map pass to bucket, one shuffle on bucket keys, pair count
+    quadratic only in real near-dup clusters. Compare embedding_dup_pairs
+    (metadata blocking, oracle-replicable)."""
+    import numpy as np
+
+    dim = len(df.select(vec_col).first()[0])  # scalar, one row
+    rng = np.random.RandomState(seed)
+    planes = rng.standard_normal((bands * rbits, dim))
+    from ..functions import dot
+
+    v = as_double_array(F.col(vec_col))
+    tables = []
+    for t in range(bands):
+        bits = [
+            F.when(
+                dot(v, F.array(*[F.lit(float(x)) for x in planes[t * rbits + j]])) >= 0,
+                F.lit("1"),
+            ).otherwise(F.lit("0"))
+            for j in range(rbits)
+        ]
+        tables.append(
+            F.struct(F.lit(t).alias("band"), F.concat(*bits).alias("bv"))
+        )
+    banded = df.select(
+        F.col(id_col), F.explode(F.array(*tables)).alias("bb")
+    ).select(id_col, "bb.band", "bb.bv")
+    cand = bucket_pairs(banded, id_col=id_col, a_col="vec_id_a", b_col="vec_id_b")
+    e = df.select(F.col(id_col), as_double_array(F.col(vec_col)).alias("v"))
+    a = e.select(F.col(id_col).alias("vec_id_a"), F.col("v").alias("va"))
+    b = e.select(F.col(id_col).alias("vec_id_b"), F.col("v").alias("vb"))
+    return (
+        F.broadcast(a.join(F.broadcast(cand), "vec_id_a"))
+        .join(b, "vec_id_b")
+        .select(
+            "vec_id_a",
+            "vec_id_b",
+            F.round(cosine(F.col("va"), F.col("vb")), 6).alias("cos_sim"),
+        )
+        .filter(F.col("cos_sim") >= threshold)
+    )
+
+
 def embedding_dup_pairs(
     df: DataFrame,
     threshold: float = 0.4,
@@ -202,9 +291,10 @@ def embedding_dup_pairs(
     vec_col: str = "embedding",
     id_col: str = "vec_id",
 ) -> DataFrame:
-    """Embedding-cosine near-dup within blocks. In production the block is
-    an LSH bucket (see similarity.ivf_assign); here the dataset's label
-    column stands in so the oracle can replicate the blocking exactly."""
+    """Embedding-cosine near-dup within metadata blocks — the oracle-
+    replicable mode (DuckDB can reproduce the blocking exactly). The
+    production path with no metadata dependence is
+    embedding_dup_pairs_lsh (random-hyperplane buckets)."""
     e = df.select(
         F.col(id_col),
         F.col(block_col).alias("blk"),

@@ -57,9 +57,13 @@ def ivf_assign(
     centroids: DataFrame,
     vec_col: str = "embedding",
     id_col: str = "vec_id",
+    nprobe: int = 1,
 ) -> DataFrame:
-    """Assign every vector to its nearest centroid (broadcast centroids,
-    map-only). Returns (id, centroid_id, v)."""
+    """Assign every vector to its ``nprobe`` nearest centroids (broadcast
+    centroids, map-only). Returns (id, centroid_id, v) — one row per
+    (vector, probed centroid). Corpus assignment uses nprobe=1 (each
+    vector lives in exactly one inverted list); queries probe several
+    lists to buy recall without touching the rest of the corpus."""
     c = corpus.select(F.col(id_col), as_double_array(F.col(vec_col)).alias("v"))
     cent = centroids.select(
         F.col("centroid_id"), as_double_array(F.col(vec_col)).alias("cv")
@@ -73,8 +77,35 @@ def ivf_assign(
     w = Window.partitionBy(id_col).orderBy(F.col("sim").desc(), F.col("centroid_id"))
     return (
         scored.withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") == 1)
+        .filter(F.col("rn") <= nprobe)
         .select(id_col, "centroid_id", "v")
+    )
+
+
+def kmeans_centroids(
+    corpus: DataFrame,
+    n_centroids: int = 16,
+    seed: int = 42,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Seeded pyspark.ml KMeans centroids — the production replacement for
+    the deterministic sample. Training is one MLlib job over the corpus;
+    the model's centers are a tiny driver-side list (n_centroids × dim)
+    re-parallelized for the broadcast assign join. Deterministic for a
+    fixed (seed, data, partitioning)."""
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+
+    feats = corpus.select(
+        array_to_vector(as_double_array(F.col(vec_col))).alias("features")
+    )
+    model = KMeans(k=n_centroids, seed=seed, maxIter=20).fit(feats)
+    rows = [
+        (i, [float(x) for x in c]) for i, c in enumerate(model.clusterCenters())
+    ]
+    return corpus.sparkSession.createDataFrame(
+        rows, f"centroid_id long, {vec_col} array<double>"
     )
 
 
@@ -95,14 +126,23 @@ def knn_ivf(
     every: int = 100,
     vec_col: str = "embedding",
     id_col: str = "vec_id",
+    centroids: DataFrame | None = None,
+    nprobe: int = 1,
 ) -> DataFrame:
-    """Approximate top-k: both sides assigned to centroids; candidates are
-    corpus vectors in the query's centroid bucket (single-probe)."""
-    cents = deterministic_centroids(corpus, every, vec_col, id_col)
+    """Approximate top-k: corpus vectors live in their nearest centroid's
+    inverted list; each query probes its ``nprobe`` nearest lists and
+    scores only those candidates. ``centroids`` defaults to the
+    deterministic every-Nth sample (reproducible stand-in); pass
+    kmeans_centroids(...) for the production quality/recall."""
+    cents = (
+        centroids
+        if centroids is not None
+        else deterministic_centroids(corpus, every, vec_col, id_col)
+    )
     corpus_a = ivf_assign(corpus, cents, vec_col, id_col).select(
         F.col(id_col).alias("neighbor_id"), F.col("centroid_id"), F.col("v").alias("cv")
     )
-    queries_a = ivf_assign(queries, cents, vec_col, id_col).select(
+    queries_a = ivf_assign(queries, cents, vec_col, id_col, nprobe=nprobe).select(
         F.col(id_col).alias("query_id"),
         F.col("centroid_id").alias("centroid_q"),
         F.col("v").alias("qv"),

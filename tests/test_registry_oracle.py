@@ -88,6 +88,22 @@ class TestApproxVariants:
         # design; the floor just catches total breakage (e.g. empty probe).
         assert len(bf & ivf) / len(bf) >= 0.2
 
+    def test_knn_ivf_kmeans_recall_bar(self, spark):
+        """KMeans centroids + multi-probe must clear a real recall bar
+        (same cosine metric as bruteforce, so ≥ 0.8 is meaningful — unlike
+        the deterministic-sample single-probe floor of 0.2)."""
+        from simple_cdc_service_spark.registry import REGISTRY
+
+        bf = {
+            (r.query_id, r.neighbor_id)
+            for r in REGISTRY["knn_bruteforce"].fn(spark, SF_DIR).collect()
+        }
+        ivf = {
+            (r.query_id, r.neighbor_id)
+            for r in REGISTRY["knn_ivf_kmeans"].fn(spark, SF_DIR).collect()
+        }
+        assert len(bf & ivf) / len(bf) >= 0.8
+
     def test_knn_lsh_ml_recall_floor(self, spark):
         from simple_cdc_service_spark.registry import REGISTRY
 
