@@ -1746,6 +1746,7 @@ def q7_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
                  / sum(volume), 4) AS mkt_share
     FROM all_nations GROUP BY o_year
     """,
+    headline=True,
 )
 def q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q8-style national market share: 8-table star join (nation
@@ -1854,6 +1855,7 @@ def q9_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
     ORDER BY revenue DESC, c.c_custkey
     LIMIT 20
     """,
+    headline=True,
 )
 def q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q10-style returned-item ranking: filtered fact joins, revenue
