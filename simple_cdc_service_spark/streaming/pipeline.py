@@ -169,9 +169,17 @@ def _state_versions(state_dir: str) -> list[int]:
     return sorted(out)
 
 
-def read_replica(spark: SparkSession, state_dir: str) -> DataFrame | None:
-    """Current replica state (latest committed version), or None."""
+def read_replica(
+    spark: SparkSession, state_dir: str, before: int | None = None
+) -> DataFrame | None:
+    """Current replica state (latest committed version), or None.
+    ``before`` reads the latest version STRICTLY BELOW that batch id —
+    what a batch-N merge must read so that re-running batch N (crash
+    replay) derives from N's true predecessor, never from its own
+    partially-committed output."""
     versions = _state_versions(state_dir)
+    if before is not None:
+        versions = [v for v in versions if v < before]
     if not versions:
         return None
     return spark.read.parquet(os.path.join(state_dir, f"v{versions[-1]}"))
@@ -209,8 +217,25 @@ def _batch_last_per_key(parsed: DataFrame, cfg: ChangeTableConfig):
     return batch_last, had_truncate
 
 
+def read_agg(spark: SparkSession, state_dir: str, before: int | None = None):
+    """Latest committed incremental-aggregate row (sum_value, n_keys) for
+    a replica maintained with agg_col, or None."""
+    agg_dir = os.path.join(state_dir, "agg")
+    versions = _state_versions(agg_dir)
+    if before is not None:
+        versions = [v for v in versions if v < before]
+    if not versions:
+        return None
+    rows = spark.read.parquet(os.path.join(agg_dir, f"v{versions[-1]}")).collect()
+    return rows[0] if rows else None
+
+
 def _merge_parsed_batch(
-    parsed: DataFrame, cfg: ChangeTableConfig, state_dir: str, batch_id: int
+    parsed: DataFrame,
+    cfg: ChangeTableConfig,
+    state_dir: str,
+    batch_id: int,
+    agg_col: str | None = None,
 ) -> None:
     """One micro-batch of parsed envelopes → merged versioned state.
     Shared by the single-table and multi-table merge sinks.
@@ -221,16 +246,37 @@ def _merge_parsed_batch(
     read_replica() would return v{N} itself and the overwrite would delete
     the directory out from under the job reading it (FAILED_READ_FILE
     crash loop). Skipping is exactly idempotent: the committed version was
-    derived from this same batch."""
+    derived from this same batch.
+
+    ``agg_col`` turns on INCREMENTAL AGGREGATE MAINTENANCE (a streaming
+    materialized view): alongside the state, a (sum_value, n_keys) row is
+    kept at state_dir/agg/v{N}, updated by per-key DELTAS — upsert
+    contributes (new − old), delete contributes (−old), truncate resets —
+    so the aggregate is never recomputed from the full state. Per-batch
+    cost is O(|batch| + one state lookup join), independent of the
+    aggregate's history length. This is what the reference's consumers
+    of the ClickHouse replica would run as a full re-aggregation per
+    refresh; here the CDC stream maintains it exactly."""
     spark = parsed.sparkSession
     out = os.path.join(state_dir, f"v{batch_id}")
-    if os.path.exists(os.path.join(out, "_SUCCESS")):
+    # The last artifact written marks the whole batch committed: the agg
+    # (when enabled) is written after the state, so its marker is the
+    # commit point. A state-committed/agg-missing crash replays the batch,
+    # which is safe: merges read before=batch_id, never their own output.
+    commit_marker = (
+        os.path.join(state_dir, "agg", f"v{batch_id}", "_SUCCESS")
+        if agg_col
+        else os.path.join(out, "_SUCCESS")
+    )
+    if os.path.exists(commit_marker):
         return
     batch_last, had_truncate = _batch_last_per_key(parsed, cfg)
     if batch_last is None:
         return
 
-    current = None if had_truncate else read_replica(spark, state_dir)
+    # before=batch_id: crash replay of batch N must merge onto N's true
+    # predecessor, never onto N's own (possibly partial) output.
+    current = None if had_truncate else read_replica(spark, state_dir, before=batch_id)
     upserts = batch_last.filter(F.col("__op") != "d").select(
         *cfg.key_columns, *cfg.value_columns
     )
@@ -247,6 +293,34 @@ def _merge_parsed_batch(
         new_state = upserts
     new_state.write.mode("overwrite").parquet(out)
 
+    if agg_col is None:
+        return
+    # ---- incremental aggregate: old per-key values for TOUCHED keys only
+    keys = list(cfg.key_columns)
+    if current is not None:
+        old_vals = current.select(*keys, F.col(agg_col).alias("__old"))
+        j = batch_last.join(old_vals, keys, "left")
+    else:
+        j = batch_last.withColumn("__old", F.lit(None).cast("double"))
+    is_del = F.col("__op") == "d"
+    old = F.coalesce(F.col("__old").cast("double"), F.lit(0.0))
+    d_sum = F.when(is_del, -old).otherwise(F.col(agg_col).cast("double") - old)
+    d_n = F.when(
+        is_del, F.when(F.col("__old").isNotNull(), -1).otherwise(0)
+    ).otherwise(F.when(F.col("__old").isNull(), 1).otherwise(0))
+    deltas = j.agg(
+        F.coalesce(F.sum(d_sum), F.lit(0.0)).alias("d_sum"),
+        F.coalesce(F.sum(d_n), F.lit(0)).cast("long").alias("d_n"),
+    ).collect()[0]
+    base = None if had_truncate else read_agg(spark, state_dir, before=batch_id)
+    base_sum = base.sum_value if base else 0.0
+    base_n = base.n_keys if base else 0
+    agg_out = os.path.join(state_dir, "agg", f"v{batch_id}")
+    spark.createDataFrame(
+        [(float(base_sum + deltas.d_sum), int(base_n + deltas.d_n))],
+        "sum_value double, n_keys long",
+    ).write.mode("overwrite").parquet(agg_out)
+
 
 def start_replica_merge(
     stream: DataFrame,
@@ -255,6 +329,7 @@ def start_replica_merge(
     checkpoint: str,
     row_schema=INVOICE_ROW,
     trigger_available_now: bool = True,
+    agg_col: str | None = None,
 ):
     """Sink 2: the replica, maintained by an idempotent per-batch merge.
 
@@ -283,7 +358,9 @@ def start_replica_merge(
     parsed_schema = row_schema
 
     def apply_batch(batch_df: DataFrame, batch_id: int) -> None:
-        _merge_parsed_batch(_parse(batch_df, parsed_schema), cfg, state_dir, batch_id)
+        _merge_parsed_batch(
+            _parse(batch_df, parsed_schema), cfg, state_dir, batch_id, agg_col=agg_col
+        )
 
     writer = (
         stream.writeStream.foreachBatch(apply_batch)

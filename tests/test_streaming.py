@@ -232,6 +232,57 @@ class TestBinlogCoordinateOrdering:
         assert got == {1: 99}  # pos 300 is final, despite smaller offset
 
 
+class TestIncrementalAggMaintenance:
+    def test_agg_tracks_replica_across_batches(self, spark, tmp_path):
+        """agg_col maintains (sum, n_keys) by per-key deltas — after every
+        restart chunk the incremental row must equal a full recompute from
+        the replica (inserts, updates, deletes, AND truncate resets all
+        exercised by the seeded workload)."""
+        from simple_cdc_service_spark.streaming.pipeline import read_agg
+
+        msgs, expected = generate_envelopes(n=450, seed=21, truncate_every=170, key_space=120)
+        src = str(tmp_path / "src")
+        state = str(tmp_path / "state")
+        ckpt = str(tmp_path / "ckpt")
+        for i, (a, b) in enumerate([(0, 150), (150, 300), (300, 450)]):
+            _write_batch(src, f"c{i}.json", msgs[a:b], a)
+            _run(
+                start_replica_merge(
+                    read_changelog_stream(spark, src), INVOICE, state, ckpt,
+                    agg_col="invoice_number",
+                )
+            )
+            replica = read_replica(spark, state)
+            want_n = replica.count()
+            want_sum = (replica.agg(F.sum("invoice_number")).collect()[0][0] or 0)
+            agg = read_agg(spark, state)
+            assert agg.n_keys == want_n
+            assert agg.sum_value == float(want_sum)
+        # and the final state matches the sequential replay oracle
+        got = {r.order_id: r.invoice_number for r in read_replica(spark, state).collect()}
+        assert got == expected
+
+    def test_agg_replay_of_committed_batch_is_stable(self, spark, tmp_path):
+        """Re-delivering a fully committed batch must change neither the
+        state nor the aggregate (commit marker short-circuit)."""
+        from simple_cdc_service_spark.schemas import INVOICE_ROW
+        from simple_cdc_service_spark.sources.changelog import envelopes_df
+        from simple_cdc_service_spark.streaming.pipeline import (
+            _merge_parsed_batch,
+            _parse,
+            read_agg,
+        )
+
+        msgs, _ = generate_envelopes(n=80, seed=2, truncate_every=None, key_space=30)
+        parsed = _parse(envelopes_df(spark, msgs), INVOICE_ROW)
+        state = str(tmp_path / "state")
+        _merge_parsed_batch(parsed, INVOICE, state, 0, agg_col="invoice_number")
+        first = read_agg(spark, state)
+        _merge_parsed_batch(parsed, INVOICE, state, 0, agg_col="invoice_number")
+        again = read_agg(spark, state)
+        assert (first.sum_value, first.n_keys) == (again.sum_value, again.n_keys)
+
+
 class TestEventLogSink:
     def test_appends_every_non_tombstone(self, spark, tmp_path):
         msgs, _ = generate_envelopes(n=100, seed=5, truncate_every=40)
