@@ -190,15 +190,21 @@ def _batch_last_per_key(parsed: DataFrame, cfg: ChangeTableConfig):
     the batch snapshot — including the PK-changing-update explode into
     delete(before.key) + insert(after.key)), truncate-epoch filter, and
     last-event-per-key by the binlog-coordinate total order. Returns
-    (batch_last, had_truncate) with final deletes KEPT (they must erase
-    existing state)."""
+    (batch_last, had_truncate, cached) with final deletes KEPT (they must
+    erase existing state); ``cached`` is the persisted per-batch changelog
+    the CALLER must unpersist after its last action. Persisting is the
+    right call here and only here: a micro-batch is bounded (spills if
+    not) and every batch runs ≥3 actions over this derivation
+    (emptiness probe, truncate probe, merge write, optional agg) — without
+    the cache the parse→explode pipeline re-runs for each."""
     from ..operators.cdc import envelope_changelog, truncate_epoch_filter
 
     changelog = envelope_changelog(
         parsed.withColumn("__ord", _order_coordinate()), cfg, passthrough_cols=("__ord",)
-    )
+    ).persist()
     if changelog.isEmpty():
-        return None, False
+        changelog.unpersist(blocking=False)
+        return None, False, None
     had_truncate = changelog.filter(F.col(cfg.op_column) == "t").limit(1).count() > 0
     live = truncate_epoch_filter(changelog, cfg.op_column, "__ord")
     payload = F.struct(
@@ -214,7 +220,7 @@ def _batch_last_per_key(parsed: DataFrame, cfg: ChangeTableConfig):
             *[F.col(f"__last.{c}").alias(c) for c in cfg.value_columns],
         )
     )
-    return batch_last, had_truncate
+    return batch_last, had_truncate, changelog
 
 
 def read_agg(spark: SparkSession, state_dir: str, before: int | None = None):
@@ -270,56 +276,61 @@ def _merge_parsed_batch(
     )
     if os.path.exists(commit_marker):
         return
-    batch_last, had_truncate = _batch_last_per_key(parsed, cfg)
+    batch_last, had_truncate, cached = _batch_last_per_key(parsed, cfg)
     if batch_last is None:
         return
 
-    # before=batch_id: crash replay of batch N must merge onto N's true
-    # predecessor, never onto N's own (possibly partial) output.
-    current = None if had_truncate else read_replica(spark, state_dir, before=batch_id)
-    upserts = batch_last.filter(F.col("__op") != "d").select(
-        *cfg.key_columns, *cfg.value_columns
-    )
-    if current is not None:
-        keys = batch_last.select(*cfg.key_columns)
-        survivors = current.join(keys, list(cfg.key_columns), "left_anti")
-        # allowMissingColumns: schema evolution. When the table config
-        # grows a value column (Debezium schema-change events,
-        # debezium-config-push.sh:21 — enabled but never consumed by the
-        # reference), pre-evolution state rows simply carry NULL for the
-        # new column instead of failing the union.
-        new_state = survivors.unionByName(upserts, allowMissingColumns=True)
-    else:
-        new_state = upserts
-    new_state.write.mode("overwrite").parquet(out)
+    try:
+        # before=batch_id: crash replay of batch N must merge onto N's true
+        # predecessor, never onto N's own (possibly partial) output.
+        current = (
+            None if had_truncate else read_replica(spark, state_dir, before=batch_id)
+        )
+        upserts = batch_last.filter(F.col("__op") != "d").select(
+            *cfg.key_columns, *cfg.value_columns
+        )
+        if current is not None:
+            keys = batch_last.select(*cfg.key_columns)
+            survivors = current.join(keys, list(cfg.key_columns), "left_anti")
+            # allowMissingColumns: schema evolution. When the table config
+            # grows a value column (Debezium schema-change events,
+            # debezium-config-push.sh:21 — enabled but never consumed by the
+            # reference), pre-evolution state rows simply carry NULL for the
+            # new column instead of failing the union.
+            new_state = survivors.unionByName(upserts, allowMissingColumns=True)
+        else:
+            new_state = upserts
+        new_state.write.mode("overwrite").parquet(out)
 
-    if agg_col is None:
-        return
-    # ---- incremental aggregate: old per-key values for TOUCHED keys only
-    keys = list(cfg.key_columns)
-    if current is not None:
-        old_vals = current.select(*keys, F.col(agg_col).alias("__old"))
-        j = batch_last.join(old_vals, keys, "left")
-    else:
-        j = batch_last.withColumn("__old", F.lit(None).cast("double"))
-    is_del = F.col("__op") == "d"
-    old = F.coalesce(F.col("__old").cast("double"), F.lit(0.0))
-    d_sum = F.when(is_del, -old).otherwise(F.col(agg_col).cast("double") - old)
-    d_n = F.when(
-        is_del, F.when(F.col("__old").isNotNull(), -1).otherwise(0)
-    ).otherwise(F.when(F.col("__old").isNull(), 1).otherwise(0))
-    deltas = j.agg(
-        F.coalesce(F.sum(d_sum), F.lit(0.0)).alias("d_sum"),
-        F.coalesce(F.sum(d_n), F.lit(0)).cast("long").alias("d_n"),
-    ).collect()[0]
-    base = None if had_truncate else read_agg(spark, state_dir, before=batch_id)
-    base_sum = base.sum_value if base else 0.0
-    base_n = base.n_keys if base else 0
-    agg_out = os.path.join(state_dir, "agg", f"v{batch_id}")
-    spark.createDataFrame(
-        [(float(base_sum + deltas.d_sum), int(base_n + deltas.d_n))],
-        "sum_value double, n_keys long",
-    ).write.mode("overwrite").parquet(agg_out)
+        if agg_col is None:
+            return
+        # ---- incremental aggregate: old per-key values for TOUCHED keys only
+        keys = list(cfg.key_columns)
+        if current is not None:
+            old_vals = current.select(*keys, F.col(agg_col).alias("__old"))
+            j = batch_last.join(old_vals, keys, "left")
+        else:
+            j = batch_last.withColumn("__old", F.lit(None).cast("double"))
+        is_del = F.col("__op") == "d"
+        old = F.coalesce(F.col("__old").cast("double"), F.lit(0.0))
+        d_sum = F.when(is_del, -old).otherwise(F.col(agg_col).cast("double") - old)
+        d_n = F.when(
+            is_del, F.when(F.col("__old").isNotNull(), -1).otherwise(0)
+        ).otherwise(F.when(F.col("__old").isNull(), 1).otherwise(0))
+        deltas = j.agg(
+            F.coalesce(F.sum(d_sum), F.lit(0.0)).alias("d_sum"),
+            F.coalesce(F.sum(d_n), F.lit(0)).cast("long").alias("d_n"),
+        ).collect()[0]
+        base = None if had_truncate else read_agg(spark, state_dir, before=batch_id)
+        base_sum = base.sum_value if base else 0.0
+        base_n = base.n_keys if base else 0
+        agg_out = os.path.join(state_dir, "agg", f"v{batch_id}")
+        spark.createDataFrame(
+            [(float(base_sum + deltas.d_sum), int(base_n + deltas.d_n))],
+            "sum_value double, n_keys long",
+        ).write.mode("overwrite").parquet(agg_out)
+    finally:
+        cached.unpersist(blocking=False)
 
 
 def start_replica_merge(
@@ -595,34 +606,39 @@ def start_replica_merge_bucketed(
     def apply_batch(batch_df: DataFrame, batch_id: int) -> None:
         spark = batch_df.sparkSession
         parsed = _parse(batch_df, row_schema)
-        batch_last, had_truncate = _batch_last_per_key(parsed, cfg)
+        batch_last, had_truncate, cached = _batch_last_per_key(parsed, cfg)
         if batch_last is None:
             return
-        bucket = F.pmod(F.hash(*[F.col(k) for k in cfg.key_columns]), F.lit(n_buckets))
-        batch_last = batch_last.withColumn("bucket", bucket)
-        upserts = batch_last.filter(F.col("__op") != "d").select(
-            *cfg.key_columns, *cfg.value_columns, "bucket"
-        )
-        if had_truncate:
-            # state reset: full overwrite with only the post-truncate rows
-            upserts.write.mode("overwrite").partitionBy("bucket").parquet(state_dir)
-            return
-        current = read_replica_bucketed(spark, state_dir)
-        if current is None:
-            merged = upserts
-        else:
-            touched = [
-                r.bucket for r in batch_last.select("bucket").distinct().collect()
-            ]
-            # partition pruning: only touched buckets are read
-            cur_touched = current.filter(F.col("bucket").isin(touched))
-            keys = batch_last.select(*cfg.key_columns)
-            survivors = cur_touched.join(keys, list(cfg.key_columns), "left_anti")
-            merged = survivors.select(
+        try:
+            bucket = F.pmod(
+                F.hash(*[F.col(k) for k in cfg.key_columns]), F.lit(n_buckets)
+            )
+            batch_last = batch_last.withColumn("bucket", bucket)
+            upserts = batch_last.filter(F.col("__op") != "d").select(
                 *cfg.key_columns, *cfg.value_columns, "bucket"
-            ).unionByName(upserts)
-        spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
-        merged.write.mode("overwrite").partitionBy("bucket").parquet(state_dir)
+            )
+            if had_truncate:
+                # state reset: full overwrite with only the post-truncate rows
+                upserts.write.mode("overwrite").partitionBy("bucket").parquet(state_dir)
+                return
+            current = read_replica_bucketed(spark, state_dir)
+            if current is None:
+                merged = upserts
+            else:
+                touched = [
+                    r.bucket for r in batch_last.select("bucket").distinct().collect()
+                ]
+                # partition pruning: only touched buckets are read
+                cur_touched = current.filter(F.col("bucket").isin(touched))
+                keys = batch_last.select(*cfg.key_columns)
+                survivors = cur_touched.join(keys, list(cfg.key_columns), "left_anti")
+                merged = survivors.select(
+                    *cfg.key_columns, *cfg.value_columns, "bucket"
+                ).unionByName(upserts)
+            spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+            merged.write.mode("overwrite").partitionBy("bucket").parquet(state_dir)
+        finally:
+            cached.unpersist(blocking=False)
 
     writer = (
         stream.writeStream.foreachBatch(apply_batch)
