@@ -1394,6 +1394,83 @@ def cdc_envelope_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "cdc_incremental_agg",
+    oracle=f"""
+    {_CH},
+    live AS (
+        SELECT ch.* FROM ch
+        CROSS JOIN (SELECT coalesce(max(ev_offset), -1) AS t_off FROM ch WHERE op = 't') ep
+        WHERE ch.ev_offset > ep.t_off AND ch.op <> 't'
+    ),
+    last AS (
+        SELECT user_id,
+               max_by(op, ev_offset) AS last_op,
+               max_by(CAST(round(val) AS BIGINT), ev_offset) AS v
+        FROM live GROUP BY user_id
+    )
+    SELECT CAST(coalesce(sum(v), 0) AS DOUBLE) AS sum_value,
+           CAST(count(*) AS BIGINT) AS n_keys
+    FROM last WHERE last_op <> 'd'
+    """,
+)
+def cdc_incremental_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental aggregate maintenance (streaming materialized view)
+    under the oracle gate: the changelog is replayed through the
+    foreachBatch merge in TWO micro-batches with agg_col enabled, so the
+    (sum, key-count) row is built purely from per-key deltas — upsert
+    adds (new − old), delete subtracts old, truncate resets — across a
+    batch boundary with truncates inside. The oracle recomputes the same
+    aggregate directly from the collapsed snapshot: agreement proves the
+    delta math exact (values are integers, so no float-order drift).
+    Uses integer invoice values (round(val)) to keep both paths exact."""
+    import tempfile
+
+    from .config import ChangeTableConfig
+    from .sources.changelog import parse_envelopes
+    from .streaming.pipeline import _merge_parsed_batch, read_agg
+
+    ch = derive_changelog(_t(spark, sf_dir, "events"))
+    k = F.col("user_id").cast("string")
+    vi = F.round("val").cast("long").cast("string")
+    row_json = F.concat(
+        F.lit('{"order_id":'), k, F.lit(',"invoice_number":'), vi, F.lit("}")
+    )
+    before = F.when(F.col("op").isin("u", "d"), row_json).otherwise(F.lit("null"))
+    after = F.when(F.col("op").isin("c", "u"), row_json).otherwise(F.lit("null"))
+    msg = F.concat(
+        F.lit('{"payload":{"before":'),
+        before,
+        F.lit(',"after":'),
+        after,
+        F.lit(',"op":"'),
+        F.col("op"),
+        F.lit('"}}'),
+    )
+    kafka_like = ch.select(
+        F.col("ev_offset").alias("offset"),
+        F.lit(0).cast("long").alias("timestamp"),
+        msg.alias("value"),
+    )
+    cfg = ChangeTableConfig(
+        name="invoice",
+        key_columns=("order_id",),
+        value_columns=("invoice_number",),
+        order_columns=("offset",),
+    )
+    mid = kafka_like.agg(F.expr("percentile(offset, 0.5)")).collect()[0][0] or 0
+    parsed = parse_envelopes(kafka_like)
+    state = tempfile.mkdtemp(prefix="cdc_inc_agg_")
+    _merge_parsed_batch(parsed.filter(F.col("offset") <= mid), cfg, state, 0,
+                        agg_col="invoice_number")
+    _merge_parsed_batch(parsed.filter(F.col("offset") > mid), cfg, state, 1,
+                        agg_col="invoice_number")
+    agg = read_agg(spark, state)
+    return spark.createDataFrame(
+        [(float(agg.sum_value), int(agg.n_keys))], "sum_value double, n_keys long"
+    )
+
+
+@register(
     "text_simhash",
     oracle="""
     WITH w AS (SELECT doc_id, string_split(lower(text), ' ') AS ws FROM documents),
