@@ -2140,6 +2140,64 @@ def q18_large_volume_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "map_funcs",
+    oracle="""
+    SELECT event_id,
+           CAST(len(json_keys(props)) AS INT) AS n_keys,
+           array_to_string(list_sort(json_keys(props)), ',') AS keys_csv,
+           CAST(json_extract_string(props, '$.k') AS BIGINT) AS k_val
+    FROM events
+    """,
+)
+def map_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MapType function coverage: JSON props parsed into a real
+    map<string,string> column (from_json), then map_keys/size/element_at —
+    the typed-map counterpart of the string-path json_extract_props. Keys
+    are emitted SORTED (map iteration order is never part of a
+    correctness contract)."""
+    m = F.from_json(F.col("props"), "map<string,string>")
+    return _t(spark, sf_dir, "events").select(
+        "event_id",
+        F.size(m).alias("n_keys"),
+        F.array_join(F.array_sort(F.map_keys(m)), ",").alias("keys_csv"),
+        F.element_at(m, "k").cast("long").alias("k_val"),
+    )
+
+
+@register(
+    "window_lead_lag",
+    oracle="""
+    SELECT event_id, user_id,
+           lag(round(value, 2)) OVER w AS prev_value,
+           lead(round(value, 2)) OVER w AS next_value,
+           CAST(rank() OVER (PARTITION BY user_id ORDER BY round(value, 2) DESC,
+                             event_id) AS BIGINT) AS value_rank,
+           CAST(ntile(4) OVER w AS INT) AS quartile
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY event_id)
+    """,
+)
+def window_lead_lag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Window-function breadth: lag/lead over each user's event sequence,
+    rank by value, ntile quartiles — one shuffle on user_id serves all
+    four (two sort orders within the partition). Ordering keys are made
+    total with the unique event_id so every function is deterministic."""
+    ev = _t(spark, sf_dir, "events").select(
+        "event_id", "user_id", F.round("value", 2).alias("v")
+    )
+    w = Window.partitionBy("user_id").orderBy("event_id")
+    wr = Window.partitionBy("user_id").orderBy(F.col("v").desc(), F.col("event_id"))
+    return ev.select(
+        "event_id",
+        "user_id",
+        F.lag("v").over(w).alias("prev_value"),
+        F.lead("v").over(w).alias("next_value"),
+        F.rank().over(wr).cast("long").alias("value_rank"),
+        F.ntile(4).over(w).alias("quartile"),
+    )
+
+
+@register(
     "q19_disjunctive_filters",
     oracle="""
     SELECT round(sum(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue
