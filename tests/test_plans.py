@@ -76,6 +76,46 @@ class TestJoins:
             assert "BroadcastHashJoin" in plan or "SortMergeJoin" in plan or "ShuffledHashJoin" in plan
 
 
+class TestRound2Plans:
+    def test_q8_pushes_filters_and_broadcasts_dims(self, spark):
+        plan = plan_string(q(spark, "q8_market_share"))
+        assert "EqualTo(p_type,PROMO)" in plan  # part pruned pre-join
+        assert "GreaterThanOrEqual(o_orderdate" in plan  # date range pushed
+        assert "BroadcastHashJoin" in plan  # nation/region never shuffled
+
+    def test_q19_cnf_pushes_single_side_implications(self, spark):
+        # The OR spans both tables, but Catalyst must still extract the
+        # per-side implications: part gets the brand-set filter, lineitem
+        # the quantity bounds — both BEFORE the join.
+        plan = plan_string(q(spark, "q19_disjunctive_filters"))
+        assert "PushedFilters:" in plan
+        assert plan.count("Or(") >= 2  # disjunction reached both scans
+
+    def test_dq_checks_is_single_plan_no_driver_scalar(self, spark):
+        # The FK-orphan count must be part of the one aggregate, not a
+        # separate .count() embedded as a literal.
+        plan = plan_string(q(spark, "dq_checks"))
+        assert "LeftOuter" in plan
+        assert "partial_sum" in plan
+
+    def test_q10_topk_is_take_ordered(self, spark):
+        assert_in_plan(q(spark, "q10_returned_items"), "TakeOrderedAndProject")
+
+    def test_minhash_verify_has_no_split_in_join_condition(self, spark):
+        # The verify join must consume STAGED shingle arrays; a split()
+        # inside the join condition means the ngram pipeline was re-inlined
+        # (the interpreted-eval O(words^2) pathology).
+        plan = plan_string(q(spark, "dedup_minhash"))
+        for line in plan.splitlines():
+            if "Join condition" in line:
+                assert "split(" not in line
+
+    def test_grouped_zscore_is_window_not_pandas(self, spark):
+        plan = plan_string(q(spark, "grouped_zscore"))
+        assert "Window" in plan
+        assert "FlatMapGroupsInPandas" not in plan
+
+
 class TestTopK:
     def test_topk_is_take_ordered_not_full_sort(self, spark):
         # TakeOrderedAndProject = per-partition heap + driver merge of k
