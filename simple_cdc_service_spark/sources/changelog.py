@@ -122,6 +122,7 @@ def generate_envelopes(
     seed: int = 42,
     truncate_every: int | None = 400,
     key_space: int | None = None,
+    pk_change_prob: float = 0.0,
 ) -> tuple[list[str], dict[int, int]]:
     """Seeded insert/update/delete/truncate workload.
 
@@ -131,14 +132,19 @@ def generate_envelopes(
     the python-side oracle for unit tests (mirrors the role MySQL plays in
     the reference's consistency tests, tests/test_consistency.py:38-75).
 
-    Update events never change the key, matching the reference's
+    By default update events never change the key, matching the reference's
     PK-immutability assumption (main.py:56-70, SURVEY.md §1.3).
+    ``pk_change_prob`` makes that fraction of updates move the row to a
+    fresh key (before.key ≠ after.key) — the case the reference would
+    corrupt (stale old-key row); the oracle applies the correct
+    delete(old)+insert(new) semantics the engine must reproduce.
     """
     rng = random.Random(seed)
     key_space = key_space or n
     state: dict[int, int] = {}
     messages: list[str] = []
     pos = 100
+    next_fresh = key_space  # PK-changed rows move to keys above key_space
     for i in range(n):
         ts_ms = 1_700_000_000_000 + i * 1000
         if truncate_every and i > 0 and i % truncate_every == 0:
@@ -150,9 +156,16 @@ def generate_envelopes(
         roll = rng.random()
         if k in state and roll < 0.35:
             before = {"order_id": k, "invoice_number": state[k]}
-            after = {"order_id": k, "invoice_number": state[k] + 1}
-            messages.append(json.dumps(_envelope("u", before, after, pos, ts_ms)))
-            state[k] = state[k] + 1
+            if rng.random() < pk_change_prob:
+                new_k = next_fresh
+                next_fresh += 1
+                after = {"order_id": new_k, "invoice_number": state[k] + 1}
+                messages.append(json.dumps(_envelope("u", before, after, pos, ts_ms)))
+                state[new_k] = state.pop(k) + 1
+            else:
+                after = {"order_id": k, "invoice_number": state[k] + 1}
+                messages.append(json.dumps(_envelope("u", before, after, pos, ts_ms)))
+                state[k] = state[k] + 1
         elif k in state and roll < 0.55:
             before = {"order_id": k, "invoice_number": state[k]}
             messages.append(json.dumps(_envelope("d", before, None, pos, ts_ms)))

@@ -138,6 +138,66 @@ class TestReplay:
         ops = {json.loads(m)["payload"]["op"] for m in messages}
         assert ops == {"c", "u", "d", "t"}  # fixes the reference's insert-only bug
 
+    def test_pk_changing_updates_batch_replay(self, spark):
+        """PK-changing updates mixed into the workload: the snapshot must
+        match the python oracle's delete(old)+insert(new) semantics — the
+        case the reference would corrupt (stale old-key row,
+        main.py:56-70)."""
+        messages, expected = generate_envelopes(
+            n=700, seed=19, truncate_every=300, key_space=200, pk_change_prob=0.3
+        )
+        pk_changes = sum(
+            1
+            for m in messages
+            for p in [json.loads(m)["payload"]]
+            if p["op"] == "u" and p["before"]["order_id"] != p["after"]["order_id"]
+        )
+        assert pk_changes > 10  # the scenario is actually exercised
+        parsed = parse_envelopes(envelopes_df(spark, messages))
+        snap = cdc.snapshot_from_envelopes(parsed, INVOICE)
+        got = {r.order_id: r.invoice_number for r in snap.collect()}
+        assert got == expected
+
+    def test_pk_changing_updates_streaming_replay(self, spark, tmp_path):
+        """Same workload through the streaming merge across a restart —
+        batch and streaming paths share envelope_changelog, so both must
+        land on the oracle state."""
+        import os
+
+        from simple_cdc_service_spark.streaming import (
+            read_changelog_stream,
+            read_replica,
+            start_replica_merge,
+        )
+
+        messages, expected = generate_envelopes(
+            n=500, seed=23, truncate_every=220, key_space=150, pk_change_prob=0.3
+        )
+        src = str(tmp_path / "src")
+        os.makedirs(src)
+
+        def write(name, msgs, start):
+            with open(os.path.join(src, name), "w") as f:
+                for i, m in enumerate(msgs):
+                    f.write(
+                        json.dumps(
+                            {"offset": start + i, "timestamp": start + i, "value": m}
+                        )
+                        + "\n"
+                    )
+
+        state, ckpt = str(tmp_path / "state"), str(tmp_path / "ckpt")
+        write("a.json", messages[:250], 0)
+        start_replica_merge(
+            read_changelog_stream(spark, src), INVOICE, state, ckpt
+        ).awaitTermination()
+        write("b.json", messages[250:], 250)
+        start_replica_merge(
+            read_changelog_stream(spark, src), INVOICE, state, ckpt
+        ).awaitTermination()
+        got = {r.order_id: r.invoice_number for r in read_replica(spark, state).collect()}
+        assert got == expected
+
 
 class TestCorruptRecords:
     """A malformed message must NEVER classify as truncate (null struct ⇒
