@@ -141,9 +141,19 @@ def minhash_dedup_pairs(
     threshold: float = 0.0,
     text_col: str = "text",
     id_col: str = "doc_id",
+    stage_shingles: bool = True,
 ) -> DataFrame:
     """Full MinHash-LSH pipeline: shingle → sign → band-join candidates →
     verify with TRUE Jaccard on the shingle sets → threshold.
+
+    ``stage_shingles`` materializes the shingled corpus once
+    (localCheckpoint) instead of recomputing it for the signature pass and
+    each verify side — three map passes become one (~40% off the sf0.1
+    wall time). Trade-off: localCheckpoint storage is executor-local and
+    non-replicated, so an executor loss fails the job instead of
+    recomputing lineage — acceptable for bounded jobs; long-running
+    production pipelines should use a reliable checkpoint dir or pass
+    False to trade CPU for fault-tolerance.
 
     Verify joins against the STAGED shingle frame, never the raw text:
     re-deriving shingles inside the verify join inlines the whole
@@ -160,6 +170,8 @@ def minhash_dedup_pairs(
     candidates explode, drop the hints and let AQE pick shuffle joins —
     correctness is unchanged."""
     sh = shingle_docs(df, n, text_col, id_col)
+    if stage_shingles:
+        sh = sh.localCheckpoint(eager=False)
     cand = minhash_candidates(sh, k, bands, id_col)
     a = sh.select(F.col(id_col).alias("doc_id_a"), F.col("shingles").alias("__sh_a"))
     b = sh.select(F.col(id_col).alias("doc_id_b"), F.col("shingles").alias("__sh_b"))
