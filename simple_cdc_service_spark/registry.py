@@ -1715,6 +1715,109 @@ def array_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "lateral_topk",
+    oracle="""
+    SELECT c.c_custkey, o.o_orderkey, o.o_totalprice
+    FROM customer c,
+    LATERAL (SELECT o_orderkey, o_totalprice FROM orders
+             WHERE o_custkey = c.c_custkey
+             ORDER BY o_totalprice DESC, o_orderkey LIMIT 2) o
+    WHERE c.c_custkey <= 200
+    """,
+)
+def lateral_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated LATERAL subquery (SQL API): each customer's top-2 orders
+    by price. Catalyst decorrelates the per-row subquery into a
+    window/rank over one orders shuffle — never an execute-per-row loop
+    (the plan has exactly one join, pinned by the oracle agreeing with
+    DuckDB's native LATERAL)."""
+    _t(spark, sf_dir, "customer").createOrReplaceTempView("customer_v")
+    _t(spark, sf_dir, "orders").createOrReplaceTempView("orders_v")
+    return spark.sql(
+        """
+        SELECT c.c_custkey, o.o_orderkey, o.o_totalprice
+        FROM customer_v c,
+        LATERAL (SELECT o_orderkey, o_totalprice FROM orders_v
+                 WHERE o_custkey = c.c_custkey
+                 ORDER BY o_totalprice DESC, o_orderkey LIMIT 2) o
+        WHERE c.c_custkey <= 200
+        """
+    )
+
+
+@register(
+    "grouping_sets_revenue",
+    oracle="""
+    SELECT l_returnflag, l_linestatus,
+           round(sum(l_extendedprice), 2) AS sum_base,
+           CAST(grouping(l_returnflag) * 2 + grouping(l_linestatus) AS BIGINT)
+               AS grp_id
+    FROM lineitem
+    GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_returnflag), ())
+    """,
+)
+def grouping_sets_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit GROUPING SETS (the general form rollup/cube desugar to)
+    with grouping_id() disambiguating the NULL-as-total rows from genuine
+    NULL keys — one Expand + single aggregation pass."""
+    _t(spark, sf_dir, "lineitem").createOrReplaceTempView("lineitem_v")
+    return spark.sql(
+        """
+        SELECT l_returnflag, l_linestatus,
+               round(sum(l_extendedprice), 2) AS sum_base,
+               CAST(grouping(l_returnflag) * 2 + grouping(l_linestatus) AS BIGINT)
+                   AS grp_id
+        FROM lineitem_v
+        GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_returnflag), ())
+        """
+    )
+
+
+@register(
+    "gap_fill_hours",
+    oracle="""
+    WITH b AS (
+        SELECT user_id,
+               epoch_ms(date_trunc('hour', ts)) AS hr_ms,
+               count(*) AS n
+        FROM events WHERE user_id <= 20 GROUP BY 1, 2
+    ),
+    spans AS (SELECT user_id, min(hr_ms) AS lo, max(hr_ms) AS hi FROM b GROUP BY user_id),
+    grid AS (
+        SELECT s.user_id, g.hr_ms
+        FROM spans s,
+        LATERAL (SELECT unnest(range(s.lo, s.hi + 1, 3600000)) AS hr_ms) g
+    )
+    SELECT grid.user_id, grid.hr_ms, coalesce(b.n, 0) AS n_events
+    FROM grid LEFT JOIN b ON b.user_id = grid.user_id AND b.hr_ms = grid.hr_ms
+    """,
+)
+def gap_fill_hours(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-series gap filling: per-user hourly event counts with MISSING
+    HOURS materialized as zero rows (training pipelines need dense
+    timelines for windowed features). The dense grid comes from
+    sequence() + explode over each user's [min, max] span — generated
+    distributedly next to the data, never a driver-side calendar; the
+    left join back is one co-partitioned shuffle."""
+    ev = (
+        _t(spark, sf_dir, "events")
+        .filter(F.col("user_id") <= 20)
+        .select("user_id", F.unix_millis(F.date_trunc("hour", F.col("ts"))).alias("hr_ms"))
+    )
+    counts = ev.groupBy("user_id", "hr_ms").agg(F.count("*").alias("n"))
+    spans = counts.groupBy("user_id").agg(
+        F.min("hr_ms").alias("lo"), F.max("hr_ms").alias("hi")
+    )
+    grid = spans.select(
+        "user_id",
+        F.explode(F.sequence(F.col("lo"), F.col("hi"), F.lit(3600000))).alias("hr_ms"),
+    )
+    return grid.join(counts, ["user_id", "hr_ms"], "left").select(
+        "user_id", "hr_ms", F.coalesce(F.col("n"), F.lit(0)).alias("n_events")
+    )
+
+
+@register(
     "q4_order_priority",
     oracle="""
     SELECT o.o_orderpriority, count(*) AS order_count
