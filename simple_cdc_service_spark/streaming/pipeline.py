@@ -202,10 +202,16 @@ def _batch_last_per_key(parsed: DataFrame, cfg: ChangeTableConfig):
     changelog = envelope_changelog(
         parsed.withColumn("__ord", _order_coordinate()), cfg, passthrough_cols=("__ord",)
     ).persist()
-    if changelog.isEmpty():
+    # One probe job for emptiness AND truncate presence (each separate
+    # action costs fixed scheduling latency per micro-batch).
+    probe = changelog.agg(
+        F.count("*").alias("n"),
+        F.sum((F.col(cfg.op_column) == "t").cast("int")).alias("nt"),
+    ).collect()[0]
+    if probe.n == 0:
         changelog.unpersist(blocking=False)
         return None, False, None
-    had_truncate = changelog.filter(F.col(cfg.op_column) == "t").limit(1).count() > 0
+    had_truncate = (probe.nt or 0) > 0
     live = truncate_epoch_filter(changelog, cfg.op_column, "__ord")
     payload = F.struct(
         F.col(cfg.op_column).alias("__op"),
