@@ -1117,6 +1117,43 @@ def media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "media_frames",
+    # payload = unhex(repeat(md5(doc_id), 4)) = 64 bytes; video docs
+    # (doc_id % 3 == 2) split into 16-byte frames, every 2nd kept → frames
+    # 0 and 2. Frame i's bytes are hex chars [32i+1, 32i+32] of the
+    # repeated digest = the md5 hex itself (frame size == digest size).
+    oracle="""
+    SELECT doc_id,
+           CAST(f AS INT) AS frame_idx,
+           upper(md5(CAST(doc_id AS VARCHAR))) AS frame_hex
+    FROM documents
+    CROSS JOIN (SELECT unnest([0, 2]) AS f) frames
+    WHERE doc_id % 3 = 2
+    """,
+)
+def media_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E7 frame sampling under the oracle gate: video payloads split into
+    fixed-size frames, every 2nd kept, one row per frame (the explode
+    shape a per-frame model consumes). Frames are emitted hex-encoded —
+    binary columns can't cross the driver's pandas canonicalization.
+    The 4× md5 payload makes every 16-byte frame equal the digest, which
+    is what lets DuckDB reproduce the bytes exactly."""
+    from .operators.multimodal import sample_frames, synthesize_media
+
+    from .sources.tables import spread
+
+    media = synthesize_media(spread(_t(spark, sf_dir, "documents"))).filter(
+        F.col("meta.mime") == "video/mp4"
+    )
+    frames = sample_frames(media, frame_bytes=16, every=2)
+    return frames.select(
+        "doc_id",
+        "frame_idx",
+        F.hex(F.col("frame")).alias("frame_hex"),
+    )
+
+
 # ===========================================================================
 # TF-IDF [EXT E6], CUBE, and pyspark.ml LSH variants.
 # ===========================================================================
