@@ -1185,19 +1185,27 @@ def media_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
 def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     """E6 TF-IDF, fully declarative: explode → tf groupBy → df groupBy →
     smooth-idf join → per-doc top-3. The df side is tiny (vocabulary) and
-    broadcast; the only big shuffles are the two aggregations on
-    (doc, word) / (word) — both with map-side partial aggregation."""
+    broadcast; the corpus size rides along as a broadcast 1-row aggregate
+    (no separate .count() driver job — one plan, one submission); the
+    only big shuffles are the two aggregations on (doc, word) / (word) —
+    both with map-side partial aggregation."""
     d = _t(spark, sf_dir, "documents")
     tok = d.select("doc_id", F.explode(F.split(F.lower("text"), " ")).alias("word"))
     tf = tok.groupBy("doc_id", "word").agg(F.count("*").alias("tf"))
     df = tok.groupBy("word").agg(F.countDistinct("doc_id").alias("df"))
-    n_docs = d.count()  # scalar: one number, fine on the driver
-    scored = tf.join(F.broadcast(df), "word").select(
-        "doc_id",
-        "word",
-        F.round(
-            F.col("tf") * (F.log((n_docs + 1.0) / (F.col("df") + 1.0)) + 1.0), 4
-        ).alias("tfidf"),
+    n_docs = d.agg(F.count("*").alias("__n_docs"))
+    scored = (
+        tf.join(F.broadcast(df), "word")
+        .crossJoin(F.broadcast(n_docs))
+        .select(
+            "doc_id",
+            "word",
+            F.round(
+                F.col("tf")
+                * (F.log((F.col("__n_docs") + 1.0) / (F.col("df") + 1.0)) + 1.0),
+                4,
+            ).alias("tfidf"),
+        )
     )
     w = Window.partitionBy("doc_id").orderBy(F.col("tfidf").desc(), F.col("word"))
     return (
