@@ -163,12 +163,16 @@ def minhash_dedup_pairs(
     4.4s sf0.1 run for only ~750 pairs). With staged arrays the join
     condition is a plain array intersect/union over attribute refs.
 
-    Join shape: candidate pairs are broadcast onto the a-side shingles;
-    that (|pairs|-sized) result is broadcast onto the b-side — both joins
-    map-side, the corpus is never shuffled. Contract: |candidate pairs| ≪
-    |corpus| (the point of LSH banding). For an adversarial corpus where
-    candidates explode, drop the hints and let AQE pick shuffle joins —
-    correctness is unchanged."""
+    Join shape: candidate pairs (two longs per row — small even when
+    banding over-generates) are broadcast onto the a-side shingles. The
+    second join is deliberately UNHINTED: its left side carries shingle
+    ARRAYS per candidate row, so its size is candidate-count × document
+    breadth — fine to broadcast for 3-gram shingles (few candidates), but
+    unigram banding on a shared-vocabulary corpus can produce 100k+
+    candidates whose arrays exceed the driver's broadcast budget
+    (observed at sf0.1). AQE converts it to a broadcast join at runtime
+    exactly when the actual size fits, and falls back to a shuffle join
+    when it doesn't — correctness unchanged either way."""
     sh = shingle_docs(df, n, text_col, id_col)
     if stage_shingles:
         sh = sh.localCheckpoint(eager=False)
@@ -176,7 +180,7 @@ def minhash_dedup_pairs(
     a = sh.select(F.col(id_col).alias("doc_id_a"), F.col("shingles").alias("__sh_a"))
     b = sh.select(F.col(id_col).alias("doc_id_b"), F.col("shingles").alias("__sh_b"))
     out = (
-        F.broadcast(a.join(F.broadcast(cand), "doc_id_a"))
+        a.join(F.broadcast(cand), "doc_id_a")
         .join(b, "doc_id_b")
         .select(
             "doc_id_a",
