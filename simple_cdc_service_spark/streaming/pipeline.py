@@ -710,4 +710,8 @@ def vacuum_state(state_dir: str, keep: int = 3) -> list[int]:
     doomed = versions[:-keep] if keep > 0 else versions
     for v in doomed:
         shutil.rmtree(os.path.join(state_dir, f"v{v}"))
+    # incremental-agg versions (state_dir/agg/v*) age out on the same policy
+    agg_dir = os.path.join(state_dir, "agg")
+    for v in _state_versions(agg_dir)[:-keep] if keep > 0 else _state_versions(agg_dir):
+        shutil.rmtree(os.path.join(agg_dir, f"v{v}"))
     return doomed

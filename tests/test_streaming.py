@@ -262,6 +262,31 @@ class TestIncrementalAggMaintenance:
         got = {r.order_id: r.invoice_number for r in read_replica(spark, state).collect()}
         assert got == expected
 
+    def test_vacuum_covers_agg_versions(self, spark, tmp_path):
+        from simple_cdc_service_spark.streaming.pipeline import read_agg, vacuum_state
+
+        msgs, _ = generate_envelopes(n=300, seed=4, truncate_every=None, key_space=100)
+        src = str(tmp_path / "src")
+        state = str(tmp_path / "state")
+        ckpt = str(tmp_path / "ckpt")
+        for i, (a, b) in enumerate([(0, 100), (100, 200), (200, 300)]):
+            _write_batch(src, f"c{i}.json", msgs[a:b], a)
+            _run(
+                start_replica_merge(
+                    read_changelog_stream(spark, src), INVOICE, state, ckpt,
+                    agg_col="invoice_number",
+                )
+            )
+        agg_before = read_agg(spark, state)
+        assert len(os.listdir(os.path.join(state, "agg"))) >= 3
+        vacuum_state(state, keep=1)
+        kept = [d for d in os.listdir(os.path.join(state, "agg")) if d.startswith("v")]
+        assert len(kept) == 1
+        agg_after = read_agg(spark, state)
+        assert (agg_after.sum_value, agg_after.n_keys) == (
+            agg_before.sum_value, agg_before.n_keys,
+        )
+
     def test_agg_replay_of_committed_batch_is_stable(self, spark, tmp_path):
         """Re-delivering a fully committed batch must change neither the
         state nor the aggregate (commit marker short-circuit)."""
