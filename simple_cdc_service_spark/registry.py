@@ -2913,3 +2913,259 @@ def udf_scalar_pandas(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     ev = _t(spark, sf_dir, "events")
     return ev.select("event_id", sigmoid(F.col("value")).alias("sigmoid_score"))
+
+
+# ===========================================================================
+# TPC-H completion: the five join shapes the q-series still lacked
+# (Q11/Q12/Q16/Q20/Q21 analogues, adapted: the driver dataset has no
+# partsupp and lineitem carries no shipmode/commit/receipt dates).
+# ===========================================================================
+
+
+@register(
+    "q11_part_value_share",
+    oracle="""
+    WITH val AS (
+        SELECT s.s_nationkey, l.l_partkey,
+               sum(CAST(l.l_extendedprice * (1 - l.l_discount) AS DECIMAL(18,4)))
+                   AS value
+        FROM lineitem l JOIN supplier s ON s.s_suppkey = l.l_suppkey
+        GROUP BY 1, 2
+    ),
+    tot AS (SELECT s_nationkey, sum(value) AS total FROM val GROUP BY 1)
+    SELECT n.n_name AS nation, v.l_partkey AS partkey,
+           CAST(round(v.value, 2) AS DOUBLE) AS value
+    FROM val v
+    JOIN tot t ON t.s_nationkey = v.s_nationkey
+    JOIN nation n ON n.n_nationkey = v.s_nationkey
+    WHERE v.value > 0.002 * t.total
+    """,
+)
+def q11_part_value_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q11-style: parts holding an outsized share of a nation's
+    line-item value (Q11's HAVING sum > fraction * scalar-subquery total,
+    adapted to lineitem value since there is no partsupp). One shuffle on
+    (nationkey, partkey); the nation totals re-aggregate FROM the first
+    aggregate (25 rows) and broadcast back, so the fact table is scanned
+    and shuffled exactly once. The 0.002 threshold is a fraction, not an
+    absolute — the query is scale-invariant by construction. The value is
+    summed as DECIMAL(18,4): decimal addition is associative, so the sum
+    (and its round-to-cents) is identical across engines and shuffle
+    orders — the double-sum last-ulp wobble that plagues round(sum) at
+    half-cent boundaries cannot occur."""
+    l = _t(spark, sf_dir, "lineitem")
+    s = _t(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    n = _t(spark, sf_dir, "nation").select(
+        "n_nationkey", F.col("n_name").alias("nation")
+    )
+    val = (
+        l.join(F.broadcast(s), F.col("s_suppkey") == F.col("l_suppkey"))
+        .groupBy("s_nationkey", "l_partkey")
+        .agg(
+            F.sum(
+                (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast("decimal(18,4)")
+            ).alias("value")
+        )
+    )
+    tot = val.groupBy("s_nationkey").agg(F.sum("value").alias("total")).withColumnRenamed(
+        "s_nationkey", "t_nationkey"
+    )
+    return (
+        val.join(F.broadcast(tot), F.col("t_nationkey") == F.col("s_nationkey"))
+        .filter(F.col("value") > 0.002 * F.col("total"))
+        .join(F.broadcast(n), F.col("n_nationkey") == F.col("s_nationkey"))
+        .select(
+            "nation",
+            F.col("l_partkey").alias("partkey"),
+            F.round("value", 2).cast("double").alias("value"),
+        )
+    )
+
+
+@register(
+    "q12_late_priority",
+    oracle="""
+    SELECT l.l_linestatus AS linestatus,
+           CAST(sum(CASE WHEN o.o_orderpriority IN ('1-URGENT', '2-HIGH')
+                         THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+           CAST(sum(CASE WHEN o.o_orderpriority IN ('1-URGENT', '2-HIGH')
+                         THEN 0 ELSE 1 END) AS BIGINT) AS low_line_count
+    FROM lineitem l JOIN orders o ON o.o_orderkey = l.l_orderkey
+    WHERE l.l_shipdate > o.o_orderdate + INTERVAL 60 DAY
+    GROUP BY 1
+    """,
+)
+def q12_late_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q12-style: late shipments (shipped > 60 days after order)
+    split into high/low-priority counts per linestatus (linestatus stands
+    in for the absent shipmode). The priority CASE is a conditional
+    aggregate — one pass, no second join; the late predicate compares two
+    NTZ timestamps so it is session-timezone-free on both engines."""
+    l = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders").select("o_orderkey", "o_orderpriority", "o_orderdate")
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        l.join(o, F.col("o_orderkey") == F.col("l_orderkey"))
+        .filter(F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 60 DAYS"))
+        .groupBy(F.col("l_linestatus").alias("linestatus"))
+        .agg(
+            F.sum(F.when(high, 1).otherwise(0)).cast("long").alias("high_line_count"),
+            F.sum(F.when(high, 0).otherwise(1)).cast("long").alias("low_line_count"),
+        )
+    )
+
+
+@register(
+    "q16_supplier_cnt",
+    oracle="""
+    SELECT p.p_brand AS brand, p.p_type AS type, p.p_size AS size,
+           CAST(count(DISTINCT l.l_suppkey) AS BIGINT) AS supplier_cnt
+    FROM part p JOIN lineitem l ON l.l_partkey = p.p_partkey
+    WHERE p.p_brand <> 'Brand#1' AND p.p_size < 25
+      AND l.l_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+    GROUP BY 1, 2, 3
+    """,
+)
+def q16_supplier_cnt(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q16-style: distinct suppliers per (brand, type, size) for
+    qualifying parts, excluding 'complaint' suppliers (negative acctbal
+    stands in for the comment-string filter). The NOT IN subquery is a
+    broadcast LEFT ANTI join — the exclusion list is tiny and never
+    shuffles the fact side; count(DISTINCT) expands to the standard
+    two-phase aggregate."""
+    p = (
+        _t(spark, sf_dir, "part")
+        .filter((F.col("p_brand") != "Brand#1") & (F.col("p_size") < 25))
+        .select("p_partkey", "p_brand", "p_type", "p_size")
+    )
+    l = _t(spark, sf_dir, "lineitem").select("l_partkey", "l_suppkey")
+    bad = _t(spark, sf_dir, "supplier").filter(F.col("s_acctbal") < 0).select("s_suppkey")
+    return (
+        l.join(F.broadcast(bad), F.col("s_suppkey") == F.col("l_suppkey"), "left_anti")
+        .join(p, F.col("p_partkey") == F.col("l_partkey"))
+        .groupBy(
+            F.col("p_brand").alias("brand"),
+            F.col("p_type").alias("type"),
+            F.col("p_size").alias("size"),
+        )
+        .agg(F.countDistinct("l_suppkey").cast("long").alias("supplier_cnt"))
+    )
+
+
+@register(
+    "q20_excess_quantity",
+    oracle="""
+    WITH pq AS (
+        SELECT l.l_suppkey, l.l_partkey, sum(l.l_quantity) AS qty
+        FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+        WHERE p.p_name LIKE 'r%'
+        GROUP BY 1, 2
+    ),
+    pavg AS (SELECT l_partkey, avg(qty) AS avg_qty FROM pq GROUP BY 1)
+    SELECT s.s_suppkey, s.s_name
+    FROM supplier s
+    JOIN nation n ON n.n_nationkey = s.s_nationkey
+    WHERE n.n_name IN ('NATION_1', 'NATION_2', 'NATION_3')
+      AND s.s_suppkey IN (
+          SELECT pq.l_suppkey FROM pq
+          JOIN pavg ON pavg.l_partkey = pq.l_partkey
+          WHERE pq.qty > 1.5 * pavg.avg_qty)
+    """,
+)
+def q20_excess_quantity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q20-style: suppliers in given nations who shipped an excess
+    share of an 'r'-part (pair quantity > 1.5x that part's average pair
+    quantity — availqty has no analogue here). The nested IN subqueries
+    become a broadcast-joined aggregate + LEFT SEMI chain; l_quantity is
+    integral, so the sums and the average are exact doubles and the
+    threshold compare is engine-order-independent."""
+    part_r = _t(spark, sf_dir, "part").filter(F.col("p_name").startswith("r")).select("p_partkey")
+    l = _t(spark, sf_dir, "lineitem").select("l_partkey", "l_suppkey", "l_quantity")
+    pq = (
+        l.join(F.broadcast(part_r), F.col("p_partkey") == F.col("l_partkey"))
+        .groupBy("l_suppkey", "l_partkey")
+        .agg(F.sum("l_quantity").alias("qty"))
+    )
+    pavg = pq.groupBy("l_partkey").agg(F.avg("qty").alias("avg_qty")).withColumnRenamed(
+        "l_partkey", "a_partkey"
+    )
+    excess = (
+        pq.join(pavg, F.col("a_partkey") == F.col("l_partkey"))
+        .filter(F.col("qty") > 1.5 * F.col("avg_qty"))
+        .select("l_suppkey")
+    )
+    n = (
+        _t(spark, sf_dir, "nation")
+        .filter(F.col("n_name").isin("NATION_1", "NATION_2", "NATION_3"))
+        .select("n_nationkey")
+    )
+    s = _t(spark, sf_dir, "supplier")
+    return (
+        s.join(F.broadcast(n), F.col("n_nationkey") == F.col("s_nationkey"), "left_semi")
+        .join(excess, F.col("l_suppkey") == F.col("s_suppkey"), "left_semi")
+        .select("s_suppkey", "s_name")
+    )
+
+
+@register(
+    "q21_waiting_suppliers",
+    oracle="""
+    WITH lo AS (
+        SELECT l.l_orderkey, l.l_suppkey,
+               max(CASE WHEN l.l_shipdate > o.o_orderdate + INTERVAL 90 DAY
+                        THEN 1 ELSE 0 END) AS late
+        FROM lineitem l
+        JOIN orders o ON o.o_orderkey = l.l_orderkey AND o.o_orderstatus = 'F'
+        GROUP BY 1, 2
+    ),
+    stats AS (
+        SELECT l_orderkey, count(*) AS n_supp, sum(late) AS n_late
+        FROM lo GROUP BY 1
+    )
+    SELECT s.s_name AS s_name, CAST(count(*) AS BIGINT) AS numwait
+    FROM lo
+    JOIN stats ON stats.l_orderkey = lo.l_orderkey
+    JOIN supplier s ON s.s_suppkey = lo.l_suppkey
+    WHERE lo.late = 1 AND stats.n_supp > 1 AND stats.n_late = 1
+    GROUP BY 1
+    """,
+)
+def q21_waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q21-style: suppliers who were the SOLE late shipper on a
+    multi-supplier finalized order (late = shipped > 90 days after order
+    date). The textbook EXISTS / NOT EXISTS pair of correlated lineitem
+    self-joins is decorrelated into one per-(order, supplier) aggregate
+    plus a per-order supplier/late count — the fact table is shuffled once
+    on l_orderkey and both 'exists another supplier' and 'no other late
+    supplier' read the same 2-row-per-order aggregate, which is the plan
+    that survives a 100x fact scale-up (self-joins would shuffle it three
+    times)."""
+    l = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey", "l_shipdate")
+    o = (
+        _t(spark, sf_dir, "orders")
+        .filter(F.col("o_orderstatus") == "F")
+        .select("o_orderkey", "o_orderdate")
+    )
+    lo = (
+        l.join(o, F.col("o_orderkey") == F.col("l_orderkey"))
+        .groupBy("l_orderkey", "l_suppkey")
+        .agg(
+            F.max(
+                F.when(
+                    F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 90 DAYS"), 1
+                ).otherwise(0)
+            ).alias("late")
+        )
+    )
+    stats = lo.groupBy(F.col("l_orderkey").alias("st_orderkey")).agg(
+        F.count("*").alias("n_supp"), F.sum("late").alias("n_late")
+    )
+    s = _t(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
+    return (
+        lo.filter(F.col("late") == 1)
+        .join(stats, F.col("st_orderkey") == F.col("l_orderkey"))
+        .filter((F.col("n_supp") > 1) & (F.col("n_late") == 1))
+        .join(F.broadcast(s), F.col("s_suppkey") == F.col("l_suppkey"))
+        .groupBy("s_name")
+        .agg(F.count("*").cast("long").alias("numwait"))
+    )
