@@ -3169,3 +3169,207 @@ def q21_waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("s_name")
         .agg(F.count("*").cast("long").alias("numwait"))
     )
+
+
+# ===========================================================================
+# Training-data pipeline, part 2: contamination, repetition, mixture
+# sampling, sequence packing, PII scrubbing — the curation stages a
+# 100 TB pretraining pipeline runs after dedup.
+# ===========================================================================
+
+
+@register(
+    "contamination_check",
+    oracle="""
+    WITH w AS (SELECT doc_id, string_split(lower(text), ' ') AS ws FROM documents),
+    g AS (SELECT doc_id,
+                 list_distinct(list_transform(range(0, len(ws) - 2),
+                     i -> ws[i+1] || ' ' || ws[i+2] || ' ' || ws[i+3])) AS shingles
+          FROM w WHERE len(ws) >= 3),
+    bench AS (SELECT DISTINCT unnest(shingles) AS sh FROM g WHERE doc_id % 97 = 0),
+    corpus AS (SELECT doc_id, unnest(shingles) AS sh FROM g WHERE doc_id % 97 <> 0)
+    SELECT c.doc_id, CAST(count(*) AS BIGINT) AS n_shared
+    FROM corpus c JOIN bench b ON b.sh = c.sh
+    GROUP BY 1
+    """,
+    headline=True,
+)
+def contamination_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark-contamination scan: for every corpus document, the number
+    of distinct word 3-grams it shares with a held-out benchmark set
+    (here: doc_id % 97 == 0 stands in for the eval suite). The benchmark
+    shingle set is distinct-ed and BROADCAST — at 100 TB the corpus side
+    is a map-side hash-join probe followed by one aggregation on doc_id
+    (map-side partial counts), so the only shuffle is proportional to the
+    contaminated rows, never to the corpus. Real-text decontamination
+    uses 8-13-grams (Pile / GPT-3 appendix); this corpus's vocabulary is
+    ~40 words, so 3-grams give the equivalent selectivity — the n is a
+    parameter of shingle_docs, not of the plan."""
+    from .operators.dedup import shingle_docs
+
+    sh = shingle_docs(_t(spark, sf_dir, "documents"), n=3)
+    bench = (
+        sh.filter(F.col("doc_id") % 97 == 0)
+        .select(F.explode("shingles").alias("sh"))
+        .distinct()
+    )
+    corpus = sh.filter(F.col("doc_id") % 97 != 0).select(
+        "doc_id", F.explode("shingles").alias("sh")
+    )
+    return (
+        corpus.join(F.broadcast(bench), "sh")
+        .groupBy("doc_id")
+        .agg(F.count("*").cast("long").alias("n_shared"))
+    )
+
+
+@register(
+    "repetition_score",
+    oracle="""
+    WITH w AS (SELECT doc_id, string_split(lower(text), ' ') AS ws FROM documents),
+    g AS (SELECT doc_id,
+                 len(ws) - 2 AS total,
+                 len(list_distinct(list_transform(range(0, len(ws) - 2),
+                     i -> ws[i+1] || ' ' || ws[i+2] || ' ' || ws[i+3]))) AS uniq
+          FROM w WHERE len(ws) >= 3)
+    SELECT doc_id, CAST(total AS BIGINT) AS n_ngrams,
+           round(1.0 - uniq * 1.0 / total, 4) AS rep_ratio
+    FROM g
+    """,
+)
+def repetition_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Intra-document repetition: 1 - (distinct word 3-grams / total word
+    3-grams) — the boilerplate/spam signal used by quality filters
+    (Gopher rules). Pure JVM higher-order functions over the scan: no
+    shuffle, no Python, embarrassingly parallel at any scale."""
+    from .functions import word_ngrams, words
+
+    d = _t(spark, sf_dir, "documents")
+    ws = words(F.col("text"))
+    total = (F.size(ws) - F.lit(2)).cast("long")
+    uniq = F.size(word_ngrams(ws, 3))
+    return (
+        d.filter(F.size(ws) >= 3)
+        .select(
+            "doc_id",
+            total.alias("n_ngrams"),
+            F.round(1.0 - uniq * 1.0 / total, 4).alias("rep_ratio"),
+        )
+    )
+
+
+@register(
+    "domain_mix_sample",
+    oracle="""
+    SELECT doc_id, source
+    FROM documents
+    WHERE (doc_id * 9973 + 13) % 100 <
+          CASE WHEN CAST(substr(source, 4) AS INT) < 5 THEN 80
+               WHEN CAST(substr(source, 4) AS INT) < 10 THEN 50
+               ELSE 20 END
+    """,
+)
+def domain_mix_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic domain-mixture sampling: keep each document with a
+    per-source quota (80% / 50% / 20% here) decided by a pure function of
+    its id — so the sample is reproducible across engines, retries, and
+    cluster sizes, unlike rand()-based sampling. Map-only (a filter over
+    the scan, no shuffle); at 100 TB the same expression runs unchanged.
+    The linear-congruential mix keeps the oracle exact; production would
+    swap in xxhash64(doc_id) with the same mod-quota contract."""
+    d = _t(spark, sf_dir, "documents")
+    src_n = F.substring("source", 4, 10).cast("int")
+    quota = F.when(src_n < 5, 80).when(src_n < 10, 50).otherwise(20)
+    return d.filter((F.col("doc_id") * 9973 + 13) % 100 < quota).select("doc_id", "source")
+
+
+@register(
+    "pack_sequences",
+    oracle="""
+    WITH t AS (SELECT doc_id, source,
+                      len(string_split(lower(text), ' ')) AS n_tokens
+               FROM documents),
+    c AS (SELECT doc_id, source, n_tokens,
+                 sum(n_tokens) OVER (PARTITION BY source ORDER BY doc_id
+                                     ROWS UNBOUNDED PRECEDING) AS cum
+          FROM t)
+    SELECT doc_id, source, CAST(n_tokens AS BIGINT) AS n_tokens,
+           CAST((cum - n_tokens) // 512 AS BIGINT) AS bin_id
+    FROM c
+    """,
+)
+def pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence packing for training: assign documents to fixed-capacity
+    context bins (512 tokens) by cumulative token count within each
+    source, in doc_id order — contiguous-fill packing. One shuffle (the
+    window on source); deterministic bin ids mean a restart repacks
+    identically. At 100 TB: sub-partition the window key by (source, day)
+    to bound per-partition state; first-fit-decreasing packs ~tighter but
+    is inherently sequential — contiguous fill is the parallelizable
+    compromise, and each bin is a contiguous doc_id run so a trainer
+    reads a bin as a range scan."""
+    from .functions import words
+
+    d = _t(spark, sf_dir, "documents")
+    n_tok = F.size(words(F.col("text"))).cast("long")
+    w = (
+        Window.partitionBy("source")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    t = d.select("doc_id", "source", n_tok.alias("n_tokens"))
+    cum = F.sum("n_tokens").over(w)
+    return t.select(
+        "doc_id",
+        "source",
+        "n_tokens",
+        F.floor((cum - F.col("n_tokens")) / 512).cast("long").alias("bin_id"),
+    )
+
+
+@register(
+    "pii_scrub",
+    oracle=r"""
+    WITH t AS (
+        SELECT doc_id,
+               text || ' contact user' || CAST(doc_id AS VARCHAR)
+                    || '@mail.example.com or +1555' || CAST(doc_id AS VARCHAR)
+                   AS raw
+        FROM documents
+    )
+    SELECT doc_id,
+           CAST(len(regexp_extract_all(raw, '[a-z0-9._]+@[a-z0-9.]+')) AS BIGINT)
+               AS n_emails,
+           CAST(len(regexp_extract_all(raw, '\+[0-9]{4,}')) AS BIGINT) AS n_phones,
+           regexp_replace(regexp_replace(raw, '[a-z0-9._]+@[a-z0-9.]+', '<EMAIL>', 'g'),
+                          '\+[0-9]{4,}', '<PHONE>', 'g') AS clean_text
+    FROM t
+    """,
+)
+def pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII redaction: count and replace email addresses and phone-number
+    shapes with typed placeholder tokens. The corpus is synthetic word
+    salad, so deterministic PII is injected first (both engines derive
+    the identical raw text) and then scrubbed — exercising the real
+    production path: regexp_count + regexp_replace, pure JVM, map-only,
+    no shuffle. Patterns are kept in the regex subset where Java
+    (Spark) and RE2 (DuckDB) agree; at 100 TB this runs at scan speed
+    and is the template for any rule-based redaction pass."""
+    d = _t(spark, sf_dir, "documents")
+    raw = F.concat(
+        F.col("text"),
+        F.lit(" contact user"),
+        F.col("doc_id").cast("string"),
+        F.lit("@mail.example.com or +1555"),
+        F.col("doc_id").cast("string"),
+    )
+    email = r"[a-z0-9._]+@[a-z0-9.]+"
+    phone = r"\+[0-9]{4,}"
+    return d.select(
+        "doc_id",
+        F.regexp_count(raw, F.lit(email)).cast("long").alias("n_emails"),
+        F.regexp_count(raw, F.lit(phone)).cast("long").alias("n_phones"),
+        F.regexp_replace(F.regexp_replace(raw, email, "<EMAIL>"), phone, "<PHONE>").alias(
+            "clean_text"
+        ),
+    )
