@@ -3134,12 +3134,13 @@ def q21_waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q21-style: suppliers who were the SOLE late shipper on a
     multi-supplier finalized order (late = shipped > 90 days after order
     date). The textbook EXISTS / NOT EXISTS pair of correlated lineitem
-    self-joins is decorrelated into one per-(order, supplier) aggregate
-    plus a per-order supplier/late count — the fact table is shuffled once
-    on l_orderkey and both 'exists another supplier' and 'no other late
-    supplier' read the same 2-row-per-order aggregate, which is the plan
-    that survives a 100x fact scale-up (self-joins would shuffle it three
-    times)."""
+    self-joins is decorrelated into one per-(order, supplier) aggregate;
+    the per-order supplier/late counts are WINDOW aggregates over that
+    same frame rather than a groupBy + self-join — a DataFrame self-join
+    on a derived aggregate would make Catalyst compute (and scan) it
+    twice, since the API has no CTE reuse. As written, lineitem is
+    scanned once and shuffled twice ((orderkey, suppkey) aggregate, then
+    orderkey window) — the plan that survives a 100x fact scale-up."""
     l = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey", "l_shipdate")
     o = (
         _t(spark, sf_dir, "orders")
@@ -3157,14 +3158,17 @@ def q21_waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("late")
         )
     )
-    stats = lo.groupBy(F.col("l_orderkey").alias("st_orderkey")).agg(
-        F.count("*").alias("n_supp"), F.sum("late").alias("n_late")
+    w = Window.partitionBy("l_orderkey")
+    cand = lo.select(
+        "l_orderkey",
+        "l_suppkey",
+        "late",
+        F.count("*").over(w).alias("n_supp"),
+        F.sum("late").over(w).alias("n_late"),
     )
     s = _t(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
     return (
-        lo.filter(F.col("late") == 1)
-        .join(stats, F.col("st_orderkey") == F.col("l_orderkey"))
-        .filter((F.col("n_supp") > 1) & (F.col("n_late") == 1))
+        cand.filter((F.col("late") == 1) & (F.col("n_supp") > 1) & (F.col("n_late") == 1))
         .join(F.broadcast(s), F.col("s_suppkey") == F.col("l_suppkey"))
         .groupBy("s_name")
         .agg(F.count("*").cast("long").alias("numwait"))
@@ -3207,14 +3211,21 @@ def contamination_check(spark: SparkSession, sf_dir: str) -> DataFrame:
     parameter of shingle_docs, not of the plan."""
     from .operators.dedup import shingle_docs
 
+    # explode_outer, NOT explode: InferFiltersFromGenerate adds a
+    # size(shingles) > 0 guard to a plain explode, and predicate pushdown
+    # substitutes the whole shingle HOF expression into it and sinks it
+    # below the spread() exchange — the entire shingling then runs twice,
+    # interpreted, in the single pre-shuffle scan task (trap NOTES.md #8).
+    # The outer variant infers no filter; empty-doc null rows simply
+    # don't match the inner equi-join.
     sh = shingle_docs(_t(spark, sf_dir, "documents"), n=3)
     bench = (
         sh.filter(F.col("doc_id") % 97 == 0)
-        .select(F.explode("shingles").alias("sh"))
+        .select(F.explode_outer("shingles").alias("sh"))
         .distinct()
     )
     corpus = sh.filter(F.col("doc_id") % 97 != 0).select(
-        "doc_id", F.explode("shingles").alias("sh")
+        "doc_id", F.explode_outer("shingles").alias("sh")
     )
     return (
         corpus.join(F.broadcast(bench), "sh")
