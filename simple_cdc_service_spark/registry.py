@@ -3384,3 +3384,45 @@ def pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
             "clean_text"
         ),
     )
+
+
+@register(
+    "cdc_snapshot_asof",
+    oracle=f"""
+    {_CH},
+    cut AS (SELECT CAST(floor(max(ev_offset) / 2) AS BIGINT) AS cutoff FROM ch),
+    past AS (SELECT ch.* FROM ch CROSS JOIN cut WHERE ch.ev_offset <= cut.cutoff),
+    live AS (
+        SELECT past.* FROM past
+        CROSS JOIN (SELECT coalesce(max(ev_offset), -1) AS t_off
+                    FROM past WHERE op = 't') ep
+        WHERE past.ev_offset > ep.t_off AND past.op <> 't'
+    ),
+    last AS (
+        SELECT user_id,
+               max_by(op, ev_offset) AS last_op,
+               max_by(val, ev_offset) AS last_value
+        FROM live GROUP BY user_id
+    )
+    SELECT user_id, last_value FROM last WHERE last_op <> 'd'
+    """,
+)
+def cdc_snapshot_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-in-time snapshot (time travel): the replica state as of a
+    changelog position — here the stream's midpoint offset — by
+    collapsing only events at-or-before the cutoff. The cutoff is a
+    broadcast 1-row aggregate cross-joined onto the stream (no driver
+    scalar, no collect), and the truncate epoch is recomputed WITHIN the
+    restricted prefix, so a truncate after the cutoff correctly does not
+    erase the as-of state. This is the audit/recovery primitive a CDC
+    replica needs ('what did the table look like at offset X') without
+    storing per-offset snapshots — same plan shape as cdc_snapshot plus
+    one broadcast."""
+    ch = _changelog(spark, sf_dir)
+    cut = ch.agg(F.floor(F.max("ev_offset") / 2).cast("long").alias("__cutoff"))
+    past = (
+        ch.crossJoin(F.broadcast(cut))
+        .filter(F.col("ev_offset") <= F.col("__cutoff"))
+        .drop("__cutoff")
+    )
+    return cdc.collapse_changelog(past, USER_VALUE)
