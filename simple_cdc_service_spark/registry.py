@@ -2944,10 +2944,12 @@ def udf_scalar_pandas(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q11_part_value_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q11-style: parts holding an outsized share of a nation's
     line-item value (Q11's HAVING sum > fraction * scalar-subquery total,
-    adapted to lineitem value since there is no partsupp). One shuffle on
-    (nationkey, partkey); the nation totals re-aggregate FROM the first
-    aggregate (25 rows) and broadcast back, so the fact table is scanned
-    and shuffled exactly once. The 0.002 threshold is a fraction, not an
+    adapted to lineitem value since there is no partsupp). The nation
+    totals are a WINDOW sum over the (nationkey, partkey) aggregate — a
+    groupBy + join-back would make Catalyst compute that aggregate (and
+    scan the fact table) twice, since the DataFrame API has no CTE reuse.
+    As planned: one fact scan, one aggregate shuffle, one narrow window
+    repartition on nationkey. The 0.002 threshold is a fraction, not an
     absolute — the query is scale-invariant by construction. The value is
     summed as DECIMAL(18,4): decimal addition is associative, so the sum
     (and its round-to-cents) is identical across engines and shuffle
@@ -2967,11 +2969,9 @@ def q11_part_value_share(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("value")
         )
     )
-    tot = val.groupBy("s_nationkey").agg(F.sum("value").alias("total")).withColumnRenamed(
-        "s_nationkey", "t_nationkey"
-    )
+    total = F.sum("value").over(Window.partitionBy("s_nationkey"))
     return (
-        val.join(F.broadcast(tot), F.col("t_nationkey") == F.col("s_nationkey"))
+        val.withColumn("total", total)
         .filter(F.col("value") > 0.002 * F.col("total"))
         .join(F.broadcast(n), F.col("n_nationkey") == F.col("s_nationkey"))
         .select(

@@ -132,3 +132,38 @@ class TestCodegen:
         df = q(spark, name)
         df.collect()
         assert_in_plan(df, "[codegen id :")
+
+
+class TestRound2LateAdditions:
+    def test_q21_scans_lineitem_once(self, spark):
+        # The EXISTS/NOT-EXISTS decorrelation must use window aggregates
+        # over ONE derived frame; a groupBy + self-join formulation makes
+        # Catalyst compute (and scan) the fact aggregate twice.
+        plan = plan_string(q(spark, "q21_waiting_suppliers"))
+        assert plan.count("lineitem.parquet") == 1
+
+    def test_contamination_no_hof_in_filter(self, spark):
+        # explode_outer keeps InferFiltersFromGenerate from substituting
+        # the shingle HOF expression into a pre-shuffle filter (NOTES.md
+        # trap #12): no Filter condition may contain the ngram pipeline.
+        plan = plan_string(q(spark, "contamination_check"))
+        for line in plan.splitlines():
+            if line.strip().startswith("Condition"):
+                assert "array_distinct" not in line
+                assert "transform(" not in line
+
+    def test_q16_exclusion_is_broadcast_anti(self, spark):
+        plan = plan_string(q(spark, "q16_supplier_cnt"))
+        assert "LeftAnti" in plan and "BroadcastHashJoin" in plan
+
+    def test_q11_single_fact_shuffle(self, spark):
+        # The nation totals must re-aggregate from the first aggregate,
+        # not re-scan lineitem.
+        plan = plan_string(q(spark, "q11_part_value_share"))
+        assert plan.count("lineitem.parquet") == 1
+
+    def test_pipeline_maponly_ops_have_no_exchange(self, spark):
+        # repetition/mix-sample/PII are map-only curation passes — an
+        # Exchange anywhere means a shuffle snuck into a scan-speed op.
+        for name in ("repetition_score", "domain_mix_sample", "pii_scrub"):
+            assert_not_in_plan(q(spark, name), "Exchange")
