@@ -3426,3 +3426,102 @@ def cdc_snapshot_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
         .drop("__cutoff")
     )
     return cdc.collapse_changelog(past, USER_VALUE)
+
+
+@register(
+    "curation_pipeline",
+    oracle="""
+    WITH w AS (SELECT doc_id, text, string_split(lower(text), ' ') AS ws
+               FROM documents),
+    g AS (SELECT doc_id, len(ws) AS n_tok, len(ws) - 2 AS total3,
+                 CASE WHEN len(ws) >= 3
+                      THEN len(list_distinct(list_transform(range(0, len(ws) - 2),
+                           i -> ws[i+1] || ' ' || ws[i+2] || ' ' || ws[i+3])))
+                      ELSE 0 END AS uniq3
+          FROM w),
+    shing AS (SELECT doc_id,
+                     list_distinct(list_transform(range(0, len(ws) - 2),
+                         i -> ws[i+1] || ' ' || ws[i+2] || ' ' || ws[i+3])) AS shingles
+              FROM w WHERE len(ws) >= 3),
+    bench AS (SELECT DISTINCT unnest(shingles) AS sh FROM shing WHERE doc_id % 97 = 0),
+    cont AS (SELECT s.doc_id, count(*) AS n_shared
+             FROM (SELECT doc_id, unnest(shingles) AS sh
+                   FROM shing WHERE doc_id % 97 <> 0) s
+             JOIN bench b ON b.sh = s.sh GROUP BY 1),
+    dup AS (SELECT doc_id, min(doc_id) OVER (PARTITION BY text) AS canon
+            FROM documents),
+    j AS (SELECT d.doc_id, g.n_tok, g.total3, g.uniq3, dup.canon,
+                 coalesce(cont.n_shared, 0) AS n_shared
+          FROM documents d
+          JOIN g USING (doc_id)
+          JOIN dup USING (doc_id)
+          LEFT JOIN cont USING (doc_id))
+    SELECT doc_id,
+           CASE WHEN doc_id % 97 = 0 THEN 'benchmark'
+                WHEN doc_id <> canon THEN 'duplicate'
+                WHEN n_shared >= 3 THEN 'contaminated'
+                WHEN n_tok < 15 THEN 'too_short'
+                WHEN total3 > 0 AND (1.0 - uniq3 * 1.0 / total3) > 0.05
+                     THEN 'repetitive'
+                ELSE 'keep' END AS reason
+    FROM j
+    """,
+)
+def curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end curation decision table: one row per document with the
+    keep/drop verdict and the FIRST failing rule (benchmark holdout >
+    exact-duplicate > benchmark contamination > too-short > repetitive) —
+    the composition a real pretraining pipeline runs, as ONE declarative
+    plan instead of N passes. Plan shape: map-only signal columns
+    (tokens, repetition), one window on text for the canonical-duplicate
+    id, and the broadcast contamination probe — the corpus is scanned
+    once per physical input branch and never collected. Rule precedence
+    is explicit so the output is deterministic regardless of evaluation
+    order. Thresholds are calibrated to this synthetic corpus so every
+    rule actually discriminates (real corpora would use e.g. Gopher's
+    length/repetition bounds); the duplicate rule fires only when exact
+    dups exist — this corpus has none, so its path is exercised by the
+    window, not the data."""
+    from .functions import word_ngrams, words
+    from .operators.dedup import shingle_docs
+
+    d = _t(spark, sf_dir, "documents")
+    ws = words(F.col("text"))
+    sh = shingle_docs(d, n=3)
+    bench = (
+        sh.filter(F.col("doc_id") % 97 == 0)
+        .select(F.explode_outer("shingles").alias("sh"))
+        .distinct()
+    )
+    cont = (
+        sh.filter(F.col("doc_id") % 97 != 0)
+        .select("doc_id", F.explode_outer("shingles").alias("sh"))
+        .join(F.broadcast(bench), "sh")
+        .groupBy("doc_id")
+        .agg(F.count("*").alias("n_shared"))
+        .withColumnRenamed("doc_id", "c_doc_id")
+    )
+    sig = d.select(
+        "doc_id",
+        "text",
+        F.size(ws).alias("n_tok"),
+        (F.size(ws) - 2).alias("total3"),
+        F.when(F.size(ws) >= 3, F.size(word_ngrams(ws, 3))).otherwise(0).alias("uniq3"),
+    ).withColumn("canon", F.min("doc_id").over(Window.partitionBy("text")))
+    reason = (
+        F.when(F.col("doc_id") % 97 == 0, "benchmark")
+        .when(F.col("doc_id") != F.col("canon"), "duplicate")
+        .when(F.col("n_shared") >= 3, "contaminated")
+        .when(F.col("n_tok") < 15, "too_short")
+        .when(
+            (F.col("total3") > 0)
+            & (1.0 - F.col("uniq3") * 1.0 / F.col("total3") > 0.05),
+            "repetitive",
+        )
+        .otherwise("keep")
+    )
+    return (
+        sig.join(cont, F.col("c_doc_id") == F.col("doc_id"), "left")
+        .withColumn("n_shared", F.coalesce("n_shared", F.lit(0)))
+        .select("doc_id", reason.alias("reason"))
+    )
