@@ -3525,3 +3525,54 @@ def curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("n_shared", F.coalesce("n_shared", F.lit(0)))
         .select("doc_id", reason.alias("reason"))
     )
+
+
+@register(
+    "bpe_merge_candidates",
+    oracle="""
+    WITH w AS (SELECT doc_id, string_split(lower(text), ' ') AS ws FROM documents),
+    pairs AS (
+        SELECT unnest(list_transform(range(0, len(ws) - 1),
+                      i -> ws[i+1] || '+' || ws[i+2])) AS pair
+        FROM w WHERE len(ws) >= 2
+    )
+    SELECT pair, CAST(count(*) AS BIGINT) AS freq
+    FROM pairs GROUP BY pair
+    ORDER BY freq DESC, pair ASC LIMIT 20
+    """,
+)
+def bpe_merge_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vocabulary induction, iteration one: the 20 most frequent adjacent
+    token pairs across the corpus — exactly the statistic each BPE merge
+    step maximizes (here at word level; byte level is the same plan over
+    a different split). One explode + one count aggregate with map-side
+    partials, then TakeOrderedAndProject (per-partition heap, never a
+    global sort); the (freq DESC, pair ASC) order is total, so the top-20
+    set is deterministic across engines. The full BPE loop re-runs this
+    job K times with the winning pair merged into the token stream — a
+    driver-side loop of K Spark jobs, which is how distributed tokenizer
+    training actually iterates. explode_outer, not explode: see
+    NOTES.md trap #12."""
+    from .functions import words
+
+    d = _t(spark, sf_dir, "documents")
+    ws = words(F.col("text"))
+    pairs = F.when(
+        F.size(ws) >= 2,
+        F.transform(
+            F.sequence(F.lit(0), F.size(ws) - 2),
+            lambda i: F.concat_ws(
+                "+",
+                F.element_at(ws, (i + 1).cast("int")),
+                F.element_at(ws, (i + 2).cast("int")),
+            ),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    return (
+        d.select(F.explode_outer(pairs).alias("pair"))
+        .filter(F.col("pair").isNotNull())
+        .groupBy("pair")
+        .agg(F.count("*").cast("long").alias("freq"))
+        .orderBy(F.col("freq").desc(), F.col("pair").asc())
+        .limit(20)
+    )
