@@ -3576,3 +3576,34 @@ def bpe_merge_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("freq").desc(), F.col("pair").asc())
         .limit(20)
     )
+
+
+@register(
+    "unpivot_metrics",
+    oracle="""
+    WITH a AS (
+        SELECT source,
+               CAST(count(*) AS BIGINT) AS n_docs,
+               CAST(sum(len(string_split(lower(text), ' '))) AS BIGINT) AS n_tokens,
+               CAST(sum(n_chars) AS BIGINT) AS n_chars
+        FROM documents GROUP BY source
+    )
+    SELECT source, metric, value
+    FROM a UNPIVOT (value FOR metric IN (n_docs, n_tokens, n_chars))
+    """,
+)
+def unpivot_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UNPIVOT (melt): the per-source corpus report in long form — the
+    inverse of pivot_event_counts, completing the reshape pair. One
+    aggregate then an Expand node (each input row emits one row per
+    metric, no shuffle beyond the groupBy); the long form is what
+    metric stores and dashboards ingest."""
+    from .functions import words
+
+    d = _t(spark, sf_dir, "documents")
+    a = d.groupBy("source").agg(
+        F.count("*").cast("long").alias("n_docs"),
+        F.sum(F.size(words(F.col("text")))).cast("long").alias("n_tokens"),
+        F.sum("n_chars").cast("long").alias("n_chars"),
+    )
+    return a.unpivot("source", ["n_docs", "n_tokens", "n_chars"], "metric", "value")
