@@ -5,6 +5,7 @@ from .pipeline import (  # noqa: F401
     read_changelog_stream,
     read_replica,
     read_replica_bucketed,
+    start_enriched_log,
     start_event_log_sink,
     start_multi_table_merge,
     start_replica_merge,

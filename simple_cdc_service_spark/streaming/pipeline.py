@@ -715,3 +715,45 @@ def vacuum_state(state_dir: str, keep: int = 3) -> list[int]:
     for v in _state_versions(agg_dir)[:-keep] if keep > 0 else _state_versions(agg_dir):
         shutil.rmtree(os.path.join(agg_dir, f"v{v}"))
     return doomed
+
+
+def start_enriched_log(
+    stream: DataFrame,
+    dim: DataFrame,
+    key_col: str,
+    out_dir: str,
+    checkpoint: str,
+    row_schema=INVOICE_ROW,
+    trigger_available_now: bool = True,
+):
+    """Stream-static enrichment sink: each change event left-joined to a
+    static dimension table on its (after-image, falling back to
+    before-image for deletes) key, then appended as parquet — the
+    standard 'decorate the CDC feed with reference data' pattern.
+
+    Scale notes: the static side is explicitly broadcast — Structured
+    Streaming re-plans the join every micro-batch, so a shuffle join here
+    would re-shuffle the dimension per batch; a broadcast pins it to one
+    exchange per batch and keeps the stream side map-only. The static
+    frame is re-resolved each batch, so updating the dimension's backing
+    files between batches is picked up without restarting the query (the
+    supported Spark contract for stream-static joins). For dimensions too
+    big to broadcast, pre-bucket both sides on the key instead.
+    """
+    parsed = _parse(stream, row_schema)
+    ev = parsed.select(
+        "offset",
+        "timestamp",
+        classify_op(F.col("before"), F.col("after")).alias("op_class"),
+        F.coalesce(F.col(f"after.{key_col}"), F.col(f"before.{key_col}")).alias(key_col),
+    )
+    enriched = ev.join(F.broadcast(dim), key_col, "left")
+    writer = (
+        enriched.writeStream.format("parquet")
+        .option("path", out_dir)
+        .option("checkpointLocation", checkpoint)
+        .outputMode("append")
+    )
+    if trigger_available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

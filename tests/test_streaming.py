@@ -666,3 +666,34 @@ class TestPartitionedEventLog:
         one_day = spark.read.parquet(out).filter(F.col("log_date") == days[0][9:])
         assert "PartitionFilters: [isnotnull(log_date" in plan_string(one_day)
         assert one_day.count() == 25
+
+
+class TestEnrichedLog:
+    def test_stream_static_join_decorates_events(self, spark, tmp_path):
+        """Stream-static broadcast join: every non-tombstone change event
+        lands in the sink decorated with its dimension row (left join —
+        keys missing from the dimension must still flow, with nulls)."""
+        from simple_cdc_service_spark.streaming import start_enriched_log
+
+        msgs, _ = generate_envelopes(n=120, seed=11, truncate_every=None, key_space=40)
+        src = str(tmp_path / "src")
+        out = str(tmp_path / "out")
+        ckpt = str(tmp_path / "ckpt")
+        _write_batch(src, "part1.json", msgs, 0)
+
+        # dimension covers only even keys — odd keys must survive with null
+        dim = spark.createDataFrame(
+            [(k, f"seg{k % 3}") for k in range(0, 40, 2)], "order_id int, segment string"
+        )
+        s = read_changelog_stream(spark, src)
+        _run(start_enriched_log(s, dim, "order_id", out, ckpt))
+
+        got = spark.read.parquet(out)
+        assert got.count() == len(msgs)  # every envelope parsed and kept
+        assert set(got.columns) == {"order_id", "offset", "timestamp", "op_class", "segment"}
+        segs = {r.order_id: r.segment for r in got.collect()}
+        for k, seg in segs.items():
+            if k % 2 == 0:
+                assert seg == f"seg{k % 3}"
+            else:
+                assert seg is None
