@@ -3607,3 +3607,79 @@ def unpivot_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("n_chars").cast("long").alias("n_chars"),
     )
     return a.unpivot("source", ["n_docs", "n_tokens", "n_chars"], "metric", "value")
+
+
+@register(
+    "heavy_hitters",
+    oracle="""
+    WITH tok AS (SELECT unnest(string_split(lower(text), ' ')) AS token
+                 FROM documents),
+    cnt AS (SELECT token, CAST(count(*) AS BIGINT) AS freq FROM tok GROUP BY token),
+    tot AS (SELECT sum(freq) AS total FROM cnt)
+    SELECT c.token, c.freq
+    FROM cnt c CROSS JOIN tot t
+    WHERE c.freq * 200 >= t.total
+    """,
+)
+def heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact heavy hitters: tokens with global frequency >= 0.5% of all
+    tokens. One count aggregate with map-side partials; the counts frame
+    is localCheckpoint-ed (it is O(vocabulary), tiny next to the corpus)
+    so the 1-row total and the threshold filter both read the
+    materialized counts instead of re-scanning the corpus — the same
+    shared-subplan materialization dup_clusters uses. The threshold
+    compare is pure integer arithmetic (freq * 200 >= total) — no float
+    boundary to disagree on. The approximate companion is
+    heavy_hitters_sketch (count-min)."""
+    from .functions import words
+
+    d = _t(spark, sf_dir, "documents")
+    cnt = (
+        d.select(F.explode_outer(words(F.col("text"))).alias("token"))
+        .filter(F.col("token").isNotNull())
+        .groupBy("token")
+        .agg(F.count("*").cast("long").alias("freq"))
+        .localCheckpoint(eager=False)
+    )
+    tot = cnt.agg(F.sum("freq").alias("total"))
+    return (
+        cnt.crossJoin(F.broadcast(tot))
+        .filter(F.col("freq") * 200 >= F.col("total"))
+        .select("token", "freq")
+    )
+
+
+@register(
+    "heavy_hitters_sketch",
+    oracle=None,  # sketch estimates are implementation-defined; accuracy
+    # vs the exact counts is pinned in tests/test_registry_oracle.py
+)
+def heavy_hitters_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-min-sketch heavy hitters: build ONE mergeable CMS over the
+    token stream (eps=0.1%, conf=99%), then probe it for the candidate
+    set. At 100 TB the sketch is the point: per-partition sketches merge
+    associatively into a few-KB summary (one tiny shuffle), instead of
+    shuffling |distinct tokens| count rows; probing is driver-side over
+    the already-tiny candidate list. CMS overestimates (never under), so
+    candidates come from the exact pass here and the estimate is checked
+    >= truth in tests."""
+    from .functions import words
+
+    d = _t(spark, sf_dir, "documents")
+    toks = d.select(F.explode_outer(words(F.col("text"))).alias("token")).filter(
+        F.col("token").isNotNull()
+    )
+    # count_min_sketch is a SQL aggregate (binary output); probe via the
+    # paired JVM-side CountMinSketch reader on the driver.
+    sk = toks.agg(
+        F.expr("hex(count_min_sketch(token, 0.001d, 0.99d, 42))").alias("sketch_hex")
+    ).collect()[0].sketch_hex
+    import io
+
+    jvm = spark.sparkContext._jvm
+    ba = bytes.fromhex(sk)
+    jis = jvm.java.io.ByteArrayInputStream(ba)
+    cms = jvm.org.apache.spark.util.sketch.CountMinSketch.readFrom(jis)
+    cand = [r.token for r in REGISTRY["heavy_hitters"].fn(spark, sf_dir).collect()]
+    rows = [(t, int(cms.estimateCount(t))) for t in sorted(cand)]
+    return spark.createDataFrame(rows, "token string, est_freq long")

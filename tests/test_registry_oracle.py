@@ -179,3 +179,19 @@ class TestApproxVariants:
         }
         assert a["error"] == totals["error"]  # fraction 1.0 keeps all
         assert 0 < a["click"] < totals["click"]
+
+
+class TestSketchHeavyHitters:
+    def test_cms_estimates_bound_exact_counts(self, spark):
+        """Count-min never underestimates; with eps=0.1% the overestimate
+        on this corpus must stay within eps * total_tokens."""
+        ex = {r.token: r.freq for r in REGISTRY["heavy_hitters"].fn(spark, SF_DIR).collect()}
+        sk = {
+            r.token: r.est_freq
+            for r in REGISTRY["heavy_hitters_sketch"].fn(spark, SF_DIR).collect()
+        }
+        assert set(sk) == set(ex) and len(ex) > 0
+        total = sum(ex.values())
+        for t, freq in ex.items():
+            assert sk[t] >= freq
+            assert sk[t] <= freq + max(2, 0.001 * total)
