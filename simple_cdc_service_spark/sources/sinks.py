@@ -86,3 +86,40 @@ def compact_parquet_dir(
     os.rename(tmp, path)
     shutil.rmtree(old)
     return n_out
+
+
+FORMATS = ("parquet", "orc", "json", "csv")
+
+
+def write_format(df: DataFrame, path: str, fmt: str) -> None:
+    """Write a table in any supported interchange format.
+
+    Format guidance at scale: parquet/ORC are the only sane 100 TB rest
+    formats (columnar, compressed, predicate-pushdown-able, typed). JSON
+    and CSV exist for interchange with systems that need them — both are
+    row-oriented text with no pushdown and (CSV especially) lossy types,
+    so they are EXPORT formats, never the lake layout.
+    """
+    if fmt not in FORMATS:
+        raise ValueError(f"unsupported format {fmt!r}; one of {FORMATS}")
+    w = df.write.mode("overwrite")
+    if fmt == "csv":
+        w = w.option("header", True)
+    w.format(fmt).save(path)
+
+
+def read_format(spark: SparkSession, path: str, fmt: str, schema=None) -> DataFrame:
+    """Read any supported format back. For the text formats a declared
+    schema is required to round-trip types (CSV stores everything as
+    strings; JSON would re-infer by scanning — never infer on production
+    paths, and inference is impossible on streams anyway)."""
+    if fmt not in FORMATS:
+        raise ValueError(f"unsupported format {fmt!r}; one of {FORMATS}")
+    r = spark.read
+    if fmt in ("json", "csv"):
+        if schema is None:
+            raise ValueError(f"{fmt} read requires an explicit schema")
+        r = r.schema(schema)
+    if fmt == "csv":
+        r = r.option("header", True)
+    return r.format(fmt).load(path)

@@ -84,3 +84,31 @@ class TestCompaction:
         path = str(tmp_path / "one")
         spark.range(10).coalesce(1).write.parquet(path)
         assert compact_parquet_dir(spark, path) == 1
+
+
+class TestFormatRoundTrip:
+    def test_all_formats_round_trip_typed_rows(self, spark, tmp_path):
+        """parquet/ORC self-describe; JSON/CSV need the declared schema —
+        every format must reproduce the exact typed rows."""
+        from simple_cdc_service_spark.sources.sinks import FORMATS, read_format, write_format
+
+        df = spark.createDataFrame(
+            [(1, "a,b", 1.5, True), (2, None, -0.25, False), (3, "żółć", 0.0, None)],
+            "id long, s string, x double, flag boolean",
+        )
+        want = sorted(map(tuple, df.collect()))
+        for fmt in FORMATS:
+            path = str(tmp_path / fmt)
+            write_format(df, path, fmt)
+            schema = df.schema if fmt in ("json", "csv") else None
+            got = read_format(spark, path, fmt, schema=schema)
+            assert got.schema == df.schema, fmt
+            assert sorted(map(tuple, got.collect())) == want, fmt
+
+    def test_text_formats_demand_schema(self, spark, tmp_path):
+        import pytest as _pytest
+
+        from simple_cdc_service_spark.sources.sinks import read_format
+
+        with _pytest.raises(ValueError):
+            read_format(spark, str(tmp_path), "csv")
