@@ -2932,13 +2932,14 @@ def udf_scalar_pandas(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM lineitem l JOIN supplier s ON s.s_suppkey = l.l_suppkey
         GROUP BY 1, 2
     ),
-    tot AS (SELECT s_nationkey, sum(value) AS total FROM val GROUP BY 1)
+    tot AS (SELECT s_nationkey, sum(value) AS total,
+                   CAST(count(*) AS BIGINT) AS n_parts FROM val GROUP BY 1)
     SELECT n.n_name AS nation, v.l_partkey AS partkey,
            CAST(round(v.value, 2) AS DOUBLE) AS value
     FROM val v
     JOIN tot t ON t.s_nationkey = v.s_nationkey
     JOIN nation n ON n.n_nationkey = v.s_nationkey
-    WHERE v.value > 0.002 * t.total
+    WHERE v.value * t.n_parts > 3 * t.total
     """,
 )
 def q11_part_value_share(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2949,8 +2950,12 @@ def q11_part_value_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     groupBy + join-back would make Catalyst compute that aggregate (and
     scan the fact table) twice, since the DataFrame API has no CTE reuse.
     As planned: one fact scan, one aggregate shuffle, one narrow window
-    repartition on nationkey. The 0.002 threshold is a fraction, not an
-    absolute — the query is scale-invariant by construction. The value is
+    repartition on nationkey. The threshold is RELATIVE — a part
+    qualifies when its value exceeds 3x the nation's average part value
+    (value * n_parts > 3 * total, all-integer/decimal arithmetic) — so
+    the qualifying fraction is stable at any scale factor, unlike a
+    fixed share-of-total cutoff whose output empties as the part count
+    grows. The value is
     summed as DECIMAL(18,4): decimal addition is associative, so the sum
     (and its round-to-cents) is identical across engines and shuffle
     orders — the double-sum last-ulp wobble that plagues round(sum) at
@@ -2969,10 +2974,11 @@ def q11_part_value_share(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("value")
         )
     )
-    total = F.sum("value").over(Window.partitionBy("s_nationkey"))
+    w = Window.partitionBy("s_nationkey")
     return (
-        val.withColumn("total", total)
-        .filter(F.col("value") > 0.002 * F.col("total"))
+        val.withColumn("total", F.sum("value").over(w))
+        .withColumn("n_parts", F.count("*").over(w))
+        .filter(F.col("value") * F.col("n_parts") > 3 * F.col("total"))
         .join(F.broadcast(n), F.col("n_nationkey") == F.col("s_nationkey"))
         .select(
             "nation",
