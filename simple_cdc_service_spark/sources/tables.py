@@ -94,3 +94,14 @@ def spread(df: DataFrame) -> DataFrame:
 
 def load_tables(spark: SparkSession, sf_dir: str | None = None) -> dict[str, DataFrame]:
     return {t: load_table(spark, t, sf_dir) for t in TABLES}
+
+
+def create_views(spark: SparkSession, sf_dir: str | None = None) -> tuple[str, ...]:
+    """Register every driver table as a temp view, so the whole dataset is
+    queryable with raw ``spark.sql(...)`` — the SQL-first entry point a
+    reference user migrating from plain SQL expects (the DataFrame
+    registry and spark.sql compile to the same Catalyst plans). Returns
+    the registered view names."""
+    for name, df in load_tables(spark, sf_dir).items():
+        df.createOrReplaceTempView(name)
+    return TABLES

@@ -112,3 +112,19 @@ class TestFormatRoundTrip:
 
         with _pytest.raises(ValueError):
             read_format(spark, str(tmp_path), "csv")
+
+
+class TestSqlViews:
+    def test_raw_sql_over_registered_views(self, spark):
+        """create_views makes the full dataset raw-SQL queryable; a join
+        over two views must agree with the DataFrame formulation."""
+        from simple_cdc_service_spark.sources.tables import create_views, load_table
+
+        sf = "/root/testdata/sf0.001"
+        assert "lineitem" in create_views(spark, sf)
+        got = spark.sql(
+            "SELECT count(*) AS n FROM orders o JOIN customer c ON c.c_custkey = o.o_custkey"
+        ).collect()[0].n
+        o = load_table(spark, "orders", sf)
+        c = load_table(spark, "customer", sf)
+        assert got == o.join(c, o.o_custkey == c.c_custkey).count()
