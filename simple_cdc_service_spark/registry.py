@@ -3689,3 +3689,63 @@ def heavy_hitters_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
     cand = [r.token for r in REGISTRY["heavy_hitters"].fn(spark, sf_dir).collect()]
     rows = [(t, int(cms.estimateCount(t))) for t in sorted(cand)]
     return spark.createDataFrame(rows, "token string, est_freq long")
+
+
+def _jl_sign_sql(i: str, j: int) -> str:
+    return (
+        f"(CASE WHEN (({i} * 1103515245 + {j} * 12345) % 97) % 2 = 0 "
+        f"THEN 1.0 ELSE -1.0 END)"
+    )
+
+
+def _jl_oracle(d: int = 64, k: int = 8) -> str:
+    cols = ",\n           ".join(
+        f"round(list_sum(list_transform(range(0, {d}), "
+        f"i -> v[i+1] * {_jl_sign_sql('i', j)})) / sqrt({k}.0), 4) AS p{j}"
+        for j in range(k)
+    )
+    return f"""
+    WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+               FROM embeddings)
+    SELECT vec_id,
+           {cols}
+    FROM e
+    """
+
+
+@register("embedding_project", oracle=_jl_oracle())
+def embedding_project(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Johnson-Lindenstrauss dimensionality reduction: project 64-dim
+    embeddings to 8 dims with a SEEDED Rademacher (+/-1) sign matrix
+    derived from a pure (i, j) hash — no stored matrix, no randomness at
+    run time, so any executor (or engine) regenerates the identical
+    projection. This is the standard pre-LSH shrink for ANN at scale:
+    map-only, no shuffle, and the sign arithmetic is exact integer math
+    so both engines agree bit-for-bit before the final rounding. The
+    fold order of the dot product is the array order on both sides,
+    making the float sums identical, not merely close. k=8 here is the
+    demo size; production picks k ~ O(log n / eps^2)."""
+    import math
+
+    from .functions import as_double_array
+
+    e = _t(spark, sf_dir, "embeddings").select(
+        "vec_id", as_double_array(F.col("embedding")).alias("v")
+    )
+
+    def sign(i, j: int):
+        # i arrives as a 32-bit sequence element; widen before the big
+        # multiplier or ANSI mode raises ARITHMETIC_OVERFLOW.
+        return F.when(
+            ((i.cast("long") * 1103515245 + j * 12345) % 97) % 2 == 0, 1.0
+        ).otherwise(-1.0)
+
+    def proj(j: int):
+        acc = F.aggregate(
+            F.sequence(F.lit(0), F.lit(63)),
+            F.lit(0.0),
+            lambda acc, i: acc + F.element_at(F.col("v"), (i + 1).cast("int")) * sign(i, j),
+        )
+        return F.round(acc / math.sqrt(8.0), 4).alias(f"p{j}")
+
+    return e.select("vec_id", *[proj(j) for j in range(8)])
