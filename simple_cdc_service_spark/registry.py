@@ -3701,7 +3701,7 @@ def _jl_sign_sql(i: str, j: int) -> str:
 def _jl_oracle(d: int = 64, k: int = 8) -> str:
     cols = ",\n           ".join(
         f"round(list_sum(list_transform(range(0, {d}), "
-        f"i -> v[i+1] * {_jl_sign_sql('i', j)})) / sqrt({k}.0), 4) AS p{j}"
+        f"i -> v[i+1] * {_jl_sign_sql('i', j)})) / sqrt({k}.0), 4) + 0.0 AS p{j}"
         for j in range(k)
     )
     return f"""
@@ -3746,6 +3746,8 @@ def embedding_project(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.lit(0.0),
             lambda acc, i: acc + F.element_at(F.col("v"), (i + 1).cast("int")) * sign(i, j),
         )
-        return F.round(acc / math.sqrt(8.0), 4).alias(f"p{j}")
+        # + 0.0 canonicalizes IEEE -0.0 to 0.0 (string-compared by the
+        # driver; the engines may round to differently-signed zeros)
+        return (F.round(acc / math.sqrt(8.0), 4) + 0.0).alias(f"p{j}")
 
     return e.select("vec_id", *[proj(j) for j in range(8)])
