@@ -3751,3 +3751,161 @@ def embedding_project(spark: SparkSession, sf_dir: str) -> DataFrame:
         return (F.round(acc / math.sqrt(8.0), 4) + 0.0).alias(f"p{j}")
 
     return e.select("vec_id", *[proj(j) for j in range(8)])
+
+
+@register(
+    "global_shuffle",
+    oracle="""
+    WITH h AS (SELECT doc_id, md5(doc_id || ':42') AS skey FROM documents)
+    SELECT doc_id, skey,
+           CAST(row_number() OVER (ORDER BY skey, doc_id) AS BIGINT) AS shuffle_pos
+    FROM h
+    """,
+)
+def global_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Seeded deterministic global shuffle — the standard pre-training
+    corpus randomization (break source/time locality before sequence
+    packing). The shuffle key is md5(doc_id || ':' || seed): content-
+    independent, uniform, reproducible on any engine with no stored
+    permutation.
+
+    The global position is assigned WITHOUT a single-partition window
+    (the naive row_number() OVER (ORDER BY skey) would funnel 100 TB
+    through one task): rows are bucketed by the first key byte (256
+    uniform buckets), ranked within their bucket in parallel, and offset
+    by the exclusive running total of bucket sizes — a 256-row broadcast.
+    Because the bucket id is the skey prefix, bucket-major + in-bucket
+    rank equals the global skey order exactly; the oracle states the
+    plain global window and must match row-for-row."""
+    d = _t(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.md5(F.concat(F.col("doc_id").cast("string"), F.lit(":42"))).alias("skey"),
+    )
+    d = d.withColumn("bucket", F.conv(F.substring("skey", 1, 2), 16, 10).cast("int"))
+    sizes = d.groupBy("bucket").agg(F.count("*").alias("n"))
+    woff = Window.orderBy("bucket").rowsBetween(Window.unboundedPreceding, -1)
+    offsets = sizes.select(
+        "bucket", F.coalesce(F.sum("n").over(woff), F.lit(0)).alias("off")
+    )
+    wloc = Window.partitionBy("bucket").orderBy("skey", "doc_id")
+    return (
+        d.withColumn("local_rank", F.row_number().over(wloc))
+        .join(F.broadcast(offsets), "bucket")
+        .select(
+            "doc_id",
+            "skey",
+            (F.col("off") + F.col("local_rank")).cast("long").alias("shuffle_pos"),
+        )
+    )
+
+
+@register(
+    "char_entropy",
+    oracle="""
+    WITH ch AS (SELECT doc_id, unnest(string_split(text, '')) AS c FROM documents),
+    cnt AS (SELECT doc_id, c, CAST(count(*) AS DOUBLE) AS k FROM ch GROUP BY doc_id, c),
+    agg AS (SELECT doc_id, sum(k) AS n, sum(k * log2(k)) AS s FROM cnt GROUP BY doc_id)
+    SELECT doc_id, round(log2(n) - s / n, 4) + 0.0 AS char_entropy
+    FROM agg
+    """,
+)
+def char_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shannon entropy of the per-document character distribution — the
+    classic cheap gibberish/boilerplate detector (natural prose sits
+    ~4.0-4.5 bits; repeated padding or single-char runs collapse toward
+    0). Entropy is computed as log2(n) - (sum k*log2 k)/n over INTEGER
+    character counts, so both engines derive the float terms from exact
+    ints; two hash aggregates, both with map-side partials, and the
+    (doc, char) grid is bounded by |alphabet| per doc — no row blowup
+    beyond the character explode itself, which is map-local."""
+    d = _t(spark, sf_dir, "documents")
+    cnt = (
+        d.select("doc_id", F.explode(F.split(F.col("text"), "")).alias("c"))
+        .groupBy("doc_id", "c")
+        .agg(F.count("*").cast("double").alias("k"))
+    )
+    agg = cnt.groupBy("doc_id").agg(
+        F.sum("k").alias("n"), F.sum(F.col("k") * F.log2("k")).alias("s")
+    )
+    return agg.select(
+        "doc_id",
+        (F.round(F.log2("n") - F.col("s") / F.col("n"), 4) + 0.0).alias("char_entropy"),
+    )
+
+
+@register(
+    "sample_deterministic",
+    oracle="""
+    WITH r AS (SELECT doc_id, lang, md5(doc_id || '#7') AS skey FROM documents),
+    rk AS (SELECT doc_id, lang,
+                  CAST(row_number() OVER (PARTITION BY lang ORDER BY skey, doc_id)
+                       AS BIGINT) AS sample_rank
+           FROM r)
+    SELECT lang, doc_id, sample_rank FROM rk WHERE sample_rank <= 20
+    """,
+)
+def sample_deterministic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-k-per-group deterministic sample: rank each group by a
+    seeded hash of the id and keep the first k — reservoir-sampling
+    semantics (uniform within group, exactly k) but reproducible across
+    engines, runs, and partitionings, unlike rand()-based sampling.
+    One shuffle on the group key; the per-group window never sees more
+    than its group. Companion to sample_stratified (rows-only,
+    fraction-based): this one is the audit-grade path a training-data
+    pipeline uses for fixed-size eval/holdout splits."""
+    d = _t(spark, sf_dir, "documents").select(
+        "doc_id",
+        "lang",
+        F.md5(F.concat(F.col("doc_id").cast("string"), F.lit("#7"))).alias("skey"),
+    )
+    w = Window.partitionBy("lang").orderBy("skey", "doc_id")
+    return (
+        d.withColumn("sample_rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("sample_rank") <= 20)
+        .select("lang", "doc_id", "sample_rank")
+    )
+
+
+@register(
+    "fuzzy_pair_edit",
+    oracle="""
+    WITH p AS (
+        SELECT a.doc_id AS doc_id_a, b.doc_id AS doc_id_b,
+               CAST(levenshtein(substr(lower(a.text), 1, 80),
+                                substr(lower(b.text), 1, 80)) AS BIGINT) AS edit_dist
+        FROM documents a JOIN documents b
+          ON a.source = b.source AND a.doc_id < b.doc_id
+         AND abs(a.n_chars - b.n_chars) <= 40
+    )
+    SELECT doc_id_a, doc_id_b, edit_dist
+    FROM p ORDER BY edit_dist, doc_id_a, doc_id_b LIMIT 20
+    """,
+)
+def fuzzy_pair_edit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Edit-distance fuzzy matching: the 20 closest document pairs by
+    Levenshtein distance over the normalized 80-char prefix, within
+    (source, length-band) blocks. Levenshtein is O(len^2) per pair, so
+    the block join (same source, |len diff| <= 40) bounds the quadratic
+    work exactly like the jaccard/cosine dedup paths — never all-pairs;
+    the prefix cap bounds the per-pair cost independently of document
+    length. Global result is TakeOrderedAndProject (per-partition heaps)
+    with a total (dist, id, id) order — deterministic across engines.
+    Production near-dup at 100 TB swaps the metadata block for LSH
+    bucketing (dedup_ngram_lsh) and uses this metric only on candidate
+    pairs."""
+    d = _t(spark, sf_dir, "documents").select(
+        "doc_id", "source", "n_chars", F.substring(F.lower("text"), 1, 80).alias("pfx")
+    )
+    a = d.alias("a")
+    b = d.alias("b")
+    pairs = a.join(
+        b,
+        (F.col("a.source") == F.col("b.source"))
+        & (F.col("a.doc_id") < F.col("b.doc_id"))
+        & (F.abs(F.col("a.n_chars") - F.col("b.n_chars")) <= 40),
+    ).select(
+        F.col("a.doc_id").alias("doc_id_a"),
+        F.col("b.doc_id").alias("doc_id_b"),
+        F.levenshtein(F.col("a.pfx"), F.col("b.pfx")).cast("long").alias("edit_dist"),
+    )
+    return pairs.orderBy("edit_dist", "doc_id_a", "doc_id_b").limit(20)
