@@ -3909,3 +3909,24 @@ def fuzzy_pair_edit(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.levenshtein(F.col("a.pfx"), F.col("b.pfx")).cast("long").alias("edit_dist"),
     )
     return pairs.orderBy("edit_dist", "doc_id_a", "doc_id_b").limit(20)
+
+
+@register("knn_pq", oracle=None)
+def knn_pq_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E4 memory-bound scale path: product-quantization ANN (asymmetric
+    distance over seeded per-subspace codebooks) with the standard exact
+    rerank second stage over the ADC shortlist. Rows-only check:
+    quantized shortlists have no SQL oracle; recall vs knn_bruteforce is
+    pinned in tests. At 100 TB PQ is the variant that fits in memory —
+    m bytes per vector instead of 4·d — and the rerank touches only
+    O(queries × shortlist) full vectors."""
+    from .operators.similarity import knn_pq
+
+    emb = _t(spark, sf_dir, "embeddings")
+    return knn_pq(
+        emb.filter(F.col("vec_id") >= 5),
+        emb.filter(F.col("vec_id") < 5),
+        k=10,
+        ksub=64,
+        rerank=100,
+    )

@@ -121,6 +121,30 @@ class TestApproxVariants:
         # bucket mismatch), not metric agreement.
         assert len(bf & lsh) / len(bf) >= 0.2
 
+    def test_knn_pq_rerank_recall_bar(self, spark):
+        """PQ ADC shortlist + exact rerank must clear a real recall bar.
+        Uniform random vectors are PQ's worst case (no cluster structure:
+        pure ADC tops out ~0.34 here); the rerank stage recovers to ~0.88
+        at shortlist=100. Bar at 0.7 so codebook/LUT regressions show."""
+        from simple_cdc_service_spark.registry import REGISTRY
+
+        bf = {
+            (r.query_id, r.neighbor_id)
+            for r in REGISTRY["knn_bruteforce"].fn(spark, SF_DIR).collect()
+        }
+        pq = {
+            (r.query_id, r.neighbor_id)
+            for r in REGISTRY["knn_pq"].fn(spark, SF_DIR).collect()
+        }
+        assert len(bf & pq) / len(bf) >= 0.7
+
+    def test_knn_pq_deterministic(self, spark):
+        from simple_cdc_service_spark.registry import REGISTRY
+
+        a = [tuple(r) for r in REGISTRY["knn_pq"].fn(spark, SF_DIR).collect()]
+        b = [tuple(r) for r in REGISTRY["knn_pq"].fn(spark, SF_DIR).collect()]
+        assert sorted(a) == sorted(b)
+
     def test_pandas_knn_agrees_with_expression_knn(self, spark):
         from simple_cdc_service_spark.registry import REGISTRY
 
