@@ -167,3 +167,48 @@ class TestRound2LateAdditions:
         # Exchange anywhere means a shuffle snuck into a scan-speed op.
         for name in ("repetition_score", "domain_mix_sample", "pii_scrub"):
             assert_not_in_plan(q(spark, name), "Exchange")
+
+
+class TestRuntimeFilters:
+    def test_bloom_filter_prunes_fact_side(self, spark):
+        """Runtime bloom-filter pushdown: a selective dim-side filter
+        must produce a might_contain() guard on the fact scan, so at
+        100 TB the shuffle carries only rows that can possibly join.
+        Spark gates injection on estimated sizes (application side
+        > 10 GB by default) — the thresholds here express 'always
+        profitable at target scale'; the session defaults keep them
+        stock. Pinned so a conf or plan regression that silently drops
+        the runtime filter fails loudly."""
+        old = {
+            k: spark.conf.get(k, None)
+            for k in (
+                "spark.sql.autoBroadcastJoinThreshold",
+                "spark.sql.adaptive.autoBroadcastJoinThreshold",
+                "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold",
+            )
+        }
+        try:
+            spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+            spark.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", "-1")
+            spark.conf.set(
+                "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold",
+                "0",
+            )
+            li = spark.read.parquet(f"{SF}/lineitem.parquet")
+            orders = spark.read.parquet(f"{SF}/orders.parquet").filter(
+                F.col("o_orderpriority") == "1-URGENT"
+            )
+            j = (
+                li.join(orders, li.l_orderkey == orders.o_orderkey)
+                .groupBy("o_orderpriority")
+                .count()
+            )
+            plan = plan_string(j)
+            assert "might_contain" in plan
+            assert "bloom_filter_agg" in plan
+        finally:
+            for k, v in old.items():
+                if v is None:
+                    spark.conf.unset(k)
+                else:
+                    spark.conf.set(k, v)
