@@ -12,6 +12,7 @@ from .pipeline import (  # noqa: F401
     start_replica_merge_bucketed,
     start_session_windows,
     start_stateful_replica,
+    start_stream_stream_join,
     start_streaming_dedup,
     start_windowed_counts,
     vacuum_state,

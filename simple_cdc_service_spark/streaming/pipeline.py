@@ -757,3 +757,52 @@ def start_enriched_log(
     if trigger_available_now:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+def start_stream_stream_join(
+    left: DataFrame,
+    right: DataFrame,
+    out_dir: str,
+    checkpoint: str,
+    key_col: str = "user_id",
+    left_ts: str = "event_time",
+    right_ts: str = "event_time",
+    watermark: str = "1 hour",
+    max_lag_seconds: int = 1800,
+    trigger_available_now: bool = True,
+):
+    """Stream-stream interval join (the attribution shape: a right-side
+    event joins a left-side event with the same key that happened at most
+    ``max_lag_seconds`` earlier). The reference cannot express this at
+    all — it applies one stream to a table; joining two live CDC/event
+    feeds is the canonical Structured Streaming upgrade.
+
+    Scale/state contract: BOTH sides are watermarked and the join
+    condition carries an explicit event-time range, so Spark can expire
+    buffered rows once they fall behind watermark + lag — state is
+    O(events per horizon per key-partition), not O(stream). Without the
+    time bound the state grows forever and Spark (correctly) refuses
+    append mode. Right columns are prefixed ``r_`` so both sides keep
+    their payloads without ambiguity; the join itself is one key shuffle
+    per micro-batch, identical in shape to the batch equi-join."""
+    l = left.withWatermark(left_ts, watermark)
+    r = right.withWatermark(right_ts, watermark)
+    r = r.select([F.col(c).alias(f"r_{c}") for c in r.columns])
+    cond = (
+        (F.col(key_col) == F.col(f"r_{key_col}"))
+        & (F.col(f"r_{right_ts}") >= F.col(left_ts))
+        & (
+            F.col(f"r_{right_ts}")
+            <= F.col(left_ts) + F.expr(f"INTERVAL {max_lag_seconds} SECONDS")
+        )
+    )
+    joined = l.join(r, cond, "inner").drop(f"r_{key_col}")
+    writer = (
+        joined.writeStream.format("parquet")
+        .option("path", out_dir)
+        .option("checkpointLocation", checkpoint)
+        .outputMode("append")
+    )
+    if trigger_available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

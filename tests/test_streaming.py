@@ -697,3 +697,81 @@ class TestEnrichedLog:
                 assert seg == f"seg{k % 3}"
             else:
                 assert seg is None
+
+
+class TestStreamStreamJoin:
+    def test_interval_join_matches_batch_equivalent(self, spark, tmp_path):
+        """Impressions joined to clicks within 30 minutes, both as
+        watermarked streams: the availableNow result must equal the plain
+        batch interval join on the same data (including a click OUTSIDE
+        the lag window contributing nothing)."""
+        from simple_cdc_service_spark.streaming import start_stream_stream_join
+
+        imp_dir, clk_dir = str(tmp_path / "imp"), str(tmp_path / "clk")
+        os.makedirs(imp_dir), os.makedirs(clk_dir)
+        imps = [
+            {"user_id": 1, "event_time": "2024-01-01 10:00:00", "ad": "a1"},
+            {"user_id": 1, "event_time": "2024-01-01 12:00:00", "ad": "a2"},
+            {"user_id": 2, "event_time": "2024-01-01 10:05:00", "ad": "a3"},
+            {"user_id": 3, "event_time": "2024-01-01 10:00:00", "ad": "a4"},
+        ]
+        clks = [
+            {"user_id": 1, "event_time": "2024-01-01 10:10:00", "page": "p1"},
+            {"user_id": 1, "event_time": "2024-01-01 12:40:00", "page": "p2"},  # >30m after a2
+            {"user_id": 2, "event_time": "2024-01-01 10:20:00", "page": "p3"},
+            {"user_id": 4, "event_time": "2024-01-01 10:00:00", "page": "p4"},  # no imp
+        ]
+        with open(os.path.join(imp_dir, "a.json"), "w") as f:
+            for r in imps:
+                f.write(json.dumps(r) + "\n")
+        with open(os.path.join(clk_dir, "a.json"), "w") as f:
+            for r in clks:
+                f.write(json.dumps(r) + "\n")
+
+        def stream(path, schema):
+            return (
+                spark.readStream.schema(schema)
+                .json(path)
+                .withColumn("event_time", F.col("event_time").cast("timestamp"))
+            )
+
+        out, ckpt = str(tmp_path / "out"), str(tmp_path / "ckpt")
+        h = start_stream_stream_join(
+            stream(imp_dir, "user_id long, event_time string, ad string"),
+            stream(clk_dir, "user_id long, event_time string, page string"),
+            out,
+            ckpt,
+            max_lag_seconds=1800,
+        )
+        h.awaitTermination()
+
+        got = {
+            (r.user_id, r.ad, r.r_page)
+            for r in spark.read.parquet(out).collect()
+        }
+        # batch equivalent
+        imp_df = spark.read.json(imp_dir).withColumn(
+            "event_time", F.col("event_time").cast("timestamp")
+        )
+        clk_df = (
+            spark.read.json(clk_dir)
+            .withColumn("r_event_time", F.col("event_time").cast("timestamp"))
+            .select("user_id", "r_event_time", "page")
+            .withColumnRenamed("user_id", "r_user_id")
+        )
+        want = {
+            (r.user_id, r.ad, r.page)
+            for r in imp_df.join(
+                clk_df,
+                (F.col("user_id") == F.col("r_user_id"))
+                & (F.col("r_event_time") >= F.col("event_time"))
+                & (
+                    F.col("r_event_time")
+                    <= F.col("event_time") + F.expr("INTERVAL 1800 SECONDS")
+                ),
+            ).collect()
+        }
+        assert got == want
+        assert ("1", "a1", "p1") not in got  # types: long, not str
+        assert (1, "a2", "p2") not in got  # outside the lag window
+        assert got == {(1, "a1", "p1"), (2, "a3", "p3")}
