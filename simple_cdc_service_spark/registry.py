@@ -3930,3 +3930,111 @@ def knn_pq_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         ksub=64,
         rerank=100,
     )
+
+
+@register(
+    "variant_extract",
+    oracle="""
+    SELECT event_type,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT)
+               AS sum_k,
+           CAST(max(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT)
+               AS max_k
+    FROM events GROUP BY event_type
+    """,
+)
+def variant_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-structured VARIANT path (Spark 4): parse_json once into the
+    binary VARIANT encoding, then typed variant_get extraction — the
+    engine-native path for schemaless event payloads, replacing repeated
+    string re-parsing (get_json_object runs Jackson per call; a VARIANT
+    column parses once and every subsequent get is a binary traversal,
+    shredding-ready at the storage layer). The aggregate after the
+    extract is an ordinary hash agg with map-side partials."""
+    ev = _t(spark, sf_dir, "events")
+    k = F.try_variant_get(F.parse_json(F.col("props")), "$.k", "long")
+    return (
+        ev.select("event_type", k.alias("k"))
+        .groupBy("event_type")
+        .agg(
+            F.count("*").cast("long").alias("n"),
+            F.sum("k").cast("long").alias("sum_k"),
+            F.max("k").cast("long").alias("max_k"),
+        )
+    )
+
+
+_ORDER_CHAIN = """
+    SELECT o_custkey, CAST(round(o_totalprice * 100) AS BIGINT) AS val_cents,
+           CAST(row_number() OVER (PARTITION BY o_custkey
+                                   ORDER BY o_orderdate, o_orderkey) AS BIGINT) AS i
+    FROM orders
+"""
+
+_RECURSIVE_DECAY = f"""
+    WITH RECURSIVE acc AS (
+        SELECT o_custkey, i, val_cents AS balance_cents
+        FROM ({_ORDER_CHAIN}) ord WHERE i = 1
+        UNION ALL
+        SELECT o.o_custkey, o.i,
+               (acc.balance_cents * 9) // 10 + o.val_cents AS balance_cents
+        FROM acc JOIN ({_ORDER_CHAIN}) o
+          ON o.o_custkey = acc.o_custkey AND o.i = acc.i + 1
+    )
+    SELECT o_custkey, i, balance_cents FROM acc
+"""
+
+
+@register("recursive_cte", oracle=_RECURSIVE_DECAY)
+def recursive_cte(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recursive CTE (Spark 4 WITH RECURSIVE): per-customer exponentially
+    decayed spend over each customer's order sequence — a multiplicative
+    recurrence (balance = 0.9*prev + value) no window SUM expresses.
+
+    Shaped for Spark's iterative execution: the recursion is FRONTIER-
+    PARALLEL — iteration i advances EVERY customer's chain at once, so
+    the iteration count is max orders-per-customer (~25 in TPC-H at ANY
+    scale factor, since order count and customer count scale together),
+    not O(rows). A month-spine variant measured 31 s at sf0.01 because
+    80 single-row iterations each re-ran the corpus aggregate; here the
+    chain table is staged + localCheckpoint-ed ONCE (Spark re-evaluates
+    the recursive join subtree every iteration otherwise) and every
+    iteration is one tiny hash join on the materialized 15 k-row spine.
+
+    The recurrence runs in integer CENTS with floor division (Spark DIV,
+    DuckDB //) — per-step float round() accumulated half-cent rounding
+    disagreements between engines (296/15000 rows off by 0.01); integer
+    arithmetic is bit-identical by construction."""
+    ord_chain = (
+        _t(spark, sf_dir, "orders")
+        .select(
+            "o_custkey",
+            F.round(F.col("o_totalprice") * 100).cast("long").alias("val_cents"),
+            F.row_number()
+            .over(
+                Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+            )
+            .cast("long")
+            .alias("i"),
+        )
+        # few-partition layout: every iteration's join handles ~|customers|
+        # rows, so task-count, not data, is the cost driver
+        .coalesce(2)
+        .localCheckpoint(eager=True)
+    )
+    ord_chain.createOrReplaceTempView("order_chain_mat")
+    return spark.sql(
+        """
+        WITH RECURSIVE acc AS (
+            SELECT o_custkey, i, val_cents AS balance_cents
+            FROM order_chain_mat WHERE i = 1
+            UNION ALL
+            SELECT /*+ BROADCAST(o) */ o.o_custkey, o.i,
+                   (acc.balance_cents * 9) DIV 10 + o.val_cents AS balance_cents
+            FROM acc JOIN order_chain_mat o
+              ON o.o_custkey = acc.o_custkey AND o.i = acc.i + 1
+        )
+        SELECT o_custkey, i, balance_cents FROM acc
+        """
+    )
