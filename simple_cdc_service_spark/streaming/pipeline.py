@@ -624,8 +624,13 @@ def start_replica_merge_bucketed(
                 *cfg.key_columns, *cfg.value_columns, "bucket"
             )
             if had_truncate:
-                # state reset: full overwrite with only the post-truncate rows
-                upserts.write.mode("overwrite").partitionBy("bucket").parquet(state_dir)
+                # State reset: must be a STATIC overwrite (every bucket dies,
+                # not just buckets present in the post-truncate upserts).
+                # Forced per-write because the merge path's dynamic mode would
+                # otherwise leak in via session conf across micro-batches.
+                upserts.write.mode("overwrite").option(
+                    "partitionOverwriteMode", "static"
+                ).partitionBy("bucket").parquet(state_dir)
                 return
             current = read_replica_bucketed(spark, state_dir)
             if current is None:
@@ -641,8 +646,12 @@ def start_replica_merge_bucketed(
                 merged = survivors.select(
                     *cfg.key_columns, *cfg.value_columns, "bucket"
                 ).unionByName(upserts)
-            spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
-            merged.write.mode("overwrite").partitionBy("bucket").parquet(state_dir)
+            # Per-write option, NOT session conf: mutating the session conf
+            # here would persist into later micro-batches and silently turn
+            # the truncate branch's full overwrite into a partial one.
+            merged.write.mode("overwrite").option(
+                "partitionOverwriteMode", "dynamic"
+            ).partitionBy("bucket").parquet(state_dir)
         finally:
             cached.unpersist(blocking=False)
 
