@@ -47,21 +47,36 @@ _EVENTS_SCHEMA = (
 )
 
 
+def _events_ts_to_ns_factor(path: str) -> int:
+    """Sniff the parquet footer for the `ts` column's time unit (one
+    driver-side metadata read, no data pages). The driver has shipped this
+    column as INT64 TIMESTAMP(NANOS) in some rounds and timestamp[us] in
+    others; both are physical int64, so we always read it as `long` and
+    scale to nanos by the footer-declared unit."""
+    import pyarrow.parquet as pq
+
+    t = pq.ParquetFile(path).schema_arrow.field("ts").type
+    unit = getattr(t, "unit", "ns")  # plain int64 → assume nanos
+    return {"s": 1_000_000_000, "ms": 1_000_000, "us": 1_000, "ns": 1}[unit]
+
+
 def load_events(spark: SparkSession, sf_dir: str | None = None) -> DataFrame:
     """`events` with ts exposed three ways:
-    ts_ns (raw nanos), ts_ms (epoch millis), ts (TimestampType, built from
-    epoch micros — tz-free construction, comparable across engines)."""
+    ts_ns (epoch nanos), ts_ms (epoch millis), ts (TimestampType, built
+    from epoch micros — tz-free construction, comparable across engines)."""
     sf_dir = sf_dir or default_sf_dir()
-    df = spark.read.schema(_EVENTS_SCHEMA).parquet(f"{sf_dir}/events.parquet")
+    path = f"{sf_dir}/events.parquet"
+    to_ns = _events_ts_to_ns_factor(path)
+    df = spark.read.schema(_EVENTS_SCHEMA).parquet(path)
     return df.select(
         "event_id",
         "user_id",
         "event_type",
         "value",
         "props",
-        F.col("ts").alias("ts_ns"),
-        F.expr("ts div 1000000").alias("ts_ms"),
-        F.timestamp_micros(F.expr("ts div 1000")).alias("ts"),
+        F.expr(f"ts * {to_ns}").alias("ts_ns"),
+        F.expr(f"(ts * {to_ns}) div 1000000").alias("ts_ms"),
+        F.timestamp_micros(F.expr(f"(ts * {to_ns}) div 1000")).alias("ts"),
     )
 
 
