@@ -313,16 +313,29 @@ def _merge_parsed_batch(
         # ---- incremental aggregate: old per-key values for TOUCHED keys only
         keys = list(cfg.key_columns)
         if current is not None:
-            old_vals = current.select(*keys, F.col(agg_col).alias("__old"))
+            # __present is an explicit key-existence marker from the state
+            # join. It must NOT be inferred from __old's nullness: schema
+            # evolution (allowMissingColumns above) backfills NULL for the
+            # new column on pre-evolution rows, so a present key can carry a
+            # NULL agg value — inferring absence from that double-counts the
+            # key on upsert (+1) and drops its delete (0), drifting n_keys.
+            old_vals = current.select(
+                *keys,
+                F.col(agg_col).alias("__old"),
+                F.lit(True).alias("__present"),
+            )
             j = batch_last.join(old_vals, keys, "left")
         else:
-            j = batch_last.withColumn("__old", F.lit(None).cast("double"))
+            j = batch_last.withColumn(
+                "__old", F.lit(None).cast("double")
+            ).withColumn("__present", F.lit(None).cast("boolean"))
         is_del = F.col("__op") == "d"
+        present = F.col("__present").isNotNull()
         old = F.coalesce(F.col("__old").cast("double"), F.lit(0.0))
         d_sum = F.when(is_del, -old).otherwise(F.col(agg_col).cast("double") - old)
-        d_n = F.when(
-            is_del, F.when(F.col("__old").isNotNull(), -1).otherwise(0)
-        ).otherwise(F.when(F.col("__old").isNull(), 1).otherwise(0))
+        d_n = F.when(is_del, F.when(present, -1).otherwise(0)).otherwise(
+            F.when(present, 0).otherwise(1)
+        )
         deltas = j.agg(
             F.coalesce(F.sum(d_sum), F.lit(0.0)).alias("d_sum"),
             F.coalesce(F.sum(d_n), F.lit(0)).cast("long").alias("d_n"),

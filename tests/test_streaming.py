@@ -231,6 +231,41 @@ class TestBinlogCoordinateOrdering:
                for r in read_replica(spark, str(tmp_path / "state")).collect()}
         assert got == {1: 99}  # pos 300 is final, despite smaller offset
 
+    def test_truncate_epoch_across_partitions_binlog_order(self, spark, tmp_path):
+        """A truncate interleaved across two stand-in topic partitions with
+        OUT-OF-ORDER kafka offsets: partition A carries a post-truncate
+        insert at a LOWER offset than the truncate itself (which sits in
+        partition B). The truncate epoch must be cut on binlog coordinates
+        (file, pos, row) — offset order would wrongly wipe the survivor."""
+        from simple_cdc_service_spark.sources.changelog import _envelope
+
+        src = str(tmp_path / "src")
+        # partition A: pre-truncate insert (pos 100) + POST-truncate insert
+        # (pos 700) at offsets 0-1 — both offsets BELOW the truncate's.
+        part_a = [
+            json.dumps(_envelope("c", None, {"order_id": 1, "invoice_number": 10}, 100, 1)),
+            json.dumps(_envelope("c", None, {"order_id": 7, "invoice_number": 70}, 700, 4)),
+        ]
+        # partition B: the truncate (pos 500) and another post-truncate
+        # insert (pos 600), at offsets 500-501.
+        part_b = [
+            json.dumps(_envelope("t", None, None, 500, 2)),
+            json.dumps(_envelope("c", None, {"order_id": 9, "invoice_number": 90}, 600, 3)),
+        ]
+        _write_batch(src, "partA.json", part_a, 0)
+        _write_batch(src, "partB.json", part_b, 500)
+        _run(
+            start_replica_merge(
+                read_changelog_stream(spark, src), INVOICE,
+                str(tmp_path / "state"), str(tmp_path / "ckpt"),
+            )
+        )
+        got = {r.order_id: r.invoice_number
+               for r in read_replica(spark, str(tmp_path / "state")).collect()}
+        # k1 (pos 100) dies in the truncate; k7 (pos 700) and k9 (pos 600)
+        # survive despite k7's kafka offset preceding the truncate's.
+        assert got == {7: 70, 9: 90}
+
 
 class TestIncrementalAggMaintenance:
     def test_agg_tracks_replica_across_batches(self, spark, tmp_path):
@@ -306,6 +341,52 @@ class TestIncrementalAggMaintenance:
         _merge_parsed_batch(parsed, INVOICE, state, 0, agg_col="invoice_number")
         again = read_agg(spark, state)
         assert (first.sum_value, first.n_keys) == (again.sum_value, again.n_keys)
+
+    def test_null_agg_value_key_not_double_counted(self, spark, tmp_path):
+        """A key whose agg column is NULL (nullable insert, or a schema-
+        evolution backfill) is still a PRESENT key: upserting it must not
+        add +1 to n_keys again, and deleting it must subtract 1. Presence
+        comes from an explicit state-join marker, never from the agg
+        value's nullness."""
+        from simple_cdc_service_spark.schemas import INVOICE_ROW
+        from simple_cdc_service_spark.sources.changelog import _envelope, envelopes_df
+        from simple_cdc_service_spark.streaming.pipeline import (
+            _merge_parsed_batch,
+            _parse,
+            read_agg,
+        )
+
+        state = str(tmp_path / "state")
+
+        def merge(batch_id, events):
+            msgs = [json.dumps(e) for e in events]
+            parsed = _parse(envelopes_df(spark, msgs), INVOICE_ROW)
+            _merge_parsed_batch(
+                parsed, INVOICE, state, batch_id, agg_col="invoice_number"
+            )
+            return read_agg(spark, state)
+
+        # b0: k1 arrives with NULL agg value, k2 with 7 → 2 keys, sum 7
+        agg = merge(0, [
+            _envelope("c", None, {"order_id": 1, "invoice_number": None}, 1, 1),
+            _envelope("c", None, {"order_id": 2, "invoice_number": 7}, 2, 2),
+        ])
+        assert (agg.sum_value, agg.n_keys) == (7.0, 2)
+
+        # b1: upsert the NULL-valued k1 (existing key → n_keys unchanged),
+        # plus a fresh NULL-valued k3
+        agg = merge(1, [
+            _envelope("u", {"order_id": 1, "invoice_number": None},
+                      {"order_id": 1, "invoice_number": 5}, 3, 3),
+            _envelope("c", None, {"order_id": 3, "invoice_number": None}, 4, 4),
+        ])
+        assert (agg.sum_value, agg.n_keys) == (12.0, 3)
+
+        # b2: delete the NULL-valued k3 — present key, must subtract 1
+        agg = merge(2, [
+            _envelope("d", {"order_id": 3, "invoice_number": None}, None, 5, 5),
+        ])
+        assert (agg.sum_value, agg.n_keys) == (12.0, 2)
 
 
 class TestEventLogSink:
@@ -534,6 +615,57 @@ class TestBucketedReplicaMerge:
             for r in read_replica_bucketed(spark, state).collect()
         }
         assert got == st
+
+    def test_truncate_after_merge_batches_leaves_no_stale_buckets(
+        self, spark, tmp_path
+    ):
+        """Truncate arriving AFTER ordinary merge batches must wipe every
+        bucket, not only the buckets the post-truncate upserts touch. The
+        merge path's dynamic partition-overwrite mode must stay per-write:
+        leaked into the session conf it turns the truncate branch's full
+        overwrite into a partial one, stranding pre-truncate rows in
+        untouched buckets (observed: 16 stale rows of 20)."""
+        from simple_cdc_service_spark.sources.changelog import _envelope
+        from simple_cdc_service_spark.streaming.pipeline import (
+            read_replica_bucketed,
+            start_replica_merge_bucketed,
+        )
+
+        src = str(tmp_path / "src")
+        state = str(tmp_path / "state")
+        ckpt = str(tmp_path / "ckpt")
+
+        def run():
+            start_replica_merge_bucketed(
+                read_changelog_stream(spark, src), INVOICE, state, ckpt,
+                n_buckets=8,
+            ).awaitTermination()
+
+        # batch 1: 20 inserts spread across all 8 buckets (merge path)
+        b1 = [
+            json.dumps(_envelope("c", None, {"order_id": k, "invoice_number": k * 10}, k, k))
+            for k in range(1, 21)
+        ]
+        _write_batch(src, "b1.json", b1, 0)
+        run()
+        # batch 2: one update — the DYNAMIC overwrite merge path
+        b2 = [json.dumps(_envelope(
+            "u", {"order_id": 1, "invoice_number": 10},
+            {"order_id": 1, "invoice_number": 11}, 30, 30))]
+        _write_batch(src, "b2.json", b2, 20)
+        run()
+        # batch 3: truncate + a single insert touching ONE bucket
+        b3 = [
+            json.dumps(_envelope("t", None, None, 40, 40)),
+            json.dumps(_envelope("c", None, {"order_id": 9, "invoice_number": 90}, 41, 41)),
+        ]
+        _write_batch(src, "b3.json", b3, 21)
+        run()
+        got = {
+            r.order_id: r.invoice_number
+            for r in read_replica_bucketed(spark, state).collect()
+        }
+        assert got == {9: 90}
 
 
 class TestMultiTableRouting:
