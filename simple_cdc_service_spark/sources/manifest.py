@@ -53,6 +53,8 @@ def build_manifest(
     files = sorted(
         os.path.join(path, f) for f in os.listdir(path) if f.endswith(".parquet")
     )
+    if not files:
+        return spark.createDataFrame([], _MANIFEST_SCHEMA)
     fdf = spark.createDataFrame([(f,) for f in files], "file string").repartition(
         min(len(files), spark.sparkContext.defaultParallelism)
     )
@@ -114,15 +116,25 @@ def read_pruned(
     column: str,
     lo: float,
     hi: float,
+    schema: T.StructType | None = None,
 ) -> DataFrame:
     """Read only the files surviving manifest pruning, then re-apply the
     exact predicate (stats admit false positives, never false negatives).
-    Returns an empty-but-typed frame when nothing survives."""
+    Returns an empty-but-typed frame when nothing survives; pass
+    ``schema`` to type that frame when the manifest itself may be empty
+    (no files at all → no footer to borrow a schema from)."""
     files = prune_files(manifest, column, lo, hi)
     if not files:
-        any_file = manifest.select("file").limit(1).collect()[0].file
+        any_file = manifest.select("file").limit(1).collect()
+        if not any_file:
+            if schema is None:
+                raise ValueError(
+                    "read_pruned on an empty manifest needs an explicit "
+                    "schema for the empty result frame"
+                )
+            return spark.createDataFrame([], schema)
         return (
-            spark.read.parquet(any_file).filter(F.lit(False))
+            spark.read.parquet(any_file[0].file).filter(F.lit(False))
         )
     return spark.read.parquet(*files).filter(
         (F.col(column) >= lo) & (F.col(column) <= hi)

@@ -6,6 +6,8 @@ on BOTH clustering columns while a linear sort prunes only its own.
 
 from __future__ import annotations
 
+import os
+
 import pytest
 from pyspark.sql import functions as F
 
@@ -105,3 +107,20 @@ class TestManifestPruning:
         df = read_pruned(spark, man, "user_id", hi + 10_000, hi + 20_000)
         assert df.count() == 0
         assert "user_id" in df.columns
+
+    def test_empty_directory_and_empty_manifest(self, spark, tmp_path):
+        """Zero parquet files → an empty (typed) manifest, and read_pruned
+        over it returns an empty frame from the caller-supplied schema
+        instead of raising."""
+        from pyspark.sql import types as T
+
+        empty_dir = str(tmp_path / "nothing")
+        os.makedirs(empty_dir)
+        man = build_manifest(spark, empty_dir, ["user_id"])
+        assert man.count() == 0
+        assert set(man.columns) == {"file", "column", "min_val", "max_val", "n_rows"}
+        schema = T.StructType([T.StructField("user_id", T.LongType())])
+        df = read_pruned(spark, man, "user_id", 0, 10, schema=schema)
+        assert df.count() == 0 and df.columns == ["user_id"]
+        with pytest.raises(ValueError):
+            read_pruned(spark, man, "user_id", 0, 10)
