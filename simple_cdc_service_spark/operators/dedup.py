@@ -46,15 +46,17 @@ def shingle_docs(df: DataFrame, n: int = 3, text_col: str = "text", id_col: str 
     )
 
 
-def minhash_candidates(
+def minhash_banded(
     shingled: DataFrame,
     k: int = 8,
     bands: int = 4,
     id_col: str = "doc_id",
 ) -> DataFrame:
-    """LSH candidate pairs: docs sharing at least one band of the MinHash
-    signature. rows_per_band = k // bands. Returns (doc_id_a, doc_id_b),
-    a < b, distinct."""
+    """(id, band, band-value) rows of the banded MinHash signature —
+    the unit the LSH bucket join runs on, and the thing a production
+    pipeline PERSISTS per corpus (bucketed by (band, bv)) so later
+    incremental batches can probe it without re-signaturing the corpus.
+    rows_per_band = k // bands."""
     r = k // bands
     # Stage the per-group md5 arrays as real columns so each md5 pass runs
     # ONCE per row; the four 32-bit chunk minima per group are then cheap
@@ -72,7 +74,7 @@ def minhash_candidates(
             *[_chunk_min(F.col(f"__h{i // 4}"), i % 4) for i in range(k)]
         ).alias("sig"),
     )
-    banded = sig.select(
+    return sig.select(
         id_col,
         F.explode(
             F.array(
@@ -88,7 +90,17 @@ def minhash_candidates(
             )
         ).alias("bb"),
     ).select(id_col, "bb.band", "bb.bv")
-    return bucket_pairs(banded, id_col=id_col)
+
+
+def minhash_candidates(
+    shingled: DataFrame,
+    k: int = 8,
+    bands: int = 4,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """LSH candidate pairs: docs sharing at least one band of the MinHash
+    signature. Returns (doc_id_a, doc_id_b), a < b, distinct."""
+    return bucket_pairs(minhash_banded(shingled, k, bands, id_col), id_col=id_col)
 
 
 def bucket_pairs(
@@ -195,6 +207,62 @@ def minhash_dedup_pairs(
     return out.filter(F.col("jaccard") >= threshold) if threshold > 0 else out
 
 
+def incremental_dedup_pairs(
+    corpus: DataFrame,
+    incoming: DataFrame,
+    n: int = 3,
+    k: int = 8,
+    bands: int = 4,
+    threshold: float = 0.6,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """ASYMMETRIC near-dup check: which INCOMING docs duplicate something
+    already in the CORPUS — the nightly-crawl shape of dedup. Returns
+    (doc_id, dup_of, jaccard): incoming doc, the corpus doc it collides
+    with, true Jaccard ≥ threshold.
+
+    Scale shape (why this is not just minhash_dedup_pairs on the union):
+    the quadratic LSH term and the signature compute are bounded by the
+    BATCH, not the corpus. Only the incoming slice is shingled and
+    signed fresh; the corpus side is the banded signature table
+    (minhash_banded) a production pipeline persists once, bucketed by
+    (band, bv) — so the candidate join is new-batch bands probing an
+    existing bucketed store (no corpus-side shuffle), and the verify
+    join touches corpus shingles only for matched candidates. At 100 TB
+    corpus + 1 TB/day crawl, per-day cost is O(batch + collisions),
+    never O(corpus). Corpus-internal duplicates are deliberately NOT
+    re-derived — they were handled when those docs were themselves the
+    incoming batch."""
+    sh_in = shingle_docs(incoming, n, text_col, id_col).localCheckpoint(eager=False)
+    sh_corp = shingle_docs(corpus, n, text_col, id_col).localCheckpoint(eager=False)
+    banded_in = minhash_banded(sh_in, k, bands, id_col).select(
+        F.col(id_col).alias("doc_id_new"), "band", "bv"
+    )
+    banded_corp = minhash_banded(sh_corp, k, bands, id_col).select(
+        F.col(id_col).alias("dup_of"), "band", "bv"
+    )
+    cand = (
+        banded_in.join(banded_corp, ["band", "bv"])
+        .select("doc_id_new", "dup_of")
+        .distinct()
+    )
+    a = sh_in.select(F.col(id_col).alias("doc_id_new"), F.col("shingles").alias("__sh_a"))
+    b = sh_corp.select(F.col(id_col).alias("dup_of"), F.col("shingles").alias("__sh_b"))
+    # unhinted verify join (AQE picks broadcast vs shuffle from actual
+    # candidate volume) — same rationale as minhash_dedup_pairs
+    return (
+        a.join(cand, "doc_id_new")
+        .join(b, "dup_of")
+        .select(
+            F.col("doc_id_new").alias(id_col),
+            "dup_of",
+            F.round(jaccard(F.col("__sh_a"), F.col("__sh_b")), 4).alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= threshold)
+    )
+
+
 def ngram_jaccard_pairs(
     df: DataFrame,
     threshold: float = 0.95,
@@ -243,6 +311,7 @@ def embedding_dup_pairs_lsh(
     seed: int = 42,
     vec_col: str = "embedding",
     id_col: str = "vec_id",
+    dim: int | None = None,
 ) -> DataFrame:
     """Embedding-cosine near-dup with RANDOM-HYPERPLANE LSH blocking — the
     production path with no metadata-column dependence.
@@ -263,7 +332,16 @@ def embedding_dup_pairs_lsh(
     (metadata blocking, oracle-replicable)."""
     import numpy as np
 
-    dim = len(df.select(vec_col).first()[0])  # scalar, one row
+    if dim is None:
+        # Probe one row only when the caller didn't supply the dimension.
+        # An empty corpus has no row to probe — and no pairs to emit.
+        probe = df.select(vec_col).first()
+        if probe is None:
+            return df.sparkSession.createDataFrame(
+                [],
+                "vec_id_a long, vec_id_b long, cos_sim double",
+            )
+        dim = len(probe[0])
     rng = np.random.RandomState(seed)
     planes = rng.standard_normal((bands * rbits, dim))
     from ..functions import dot
@@ -288,8 +366,12 @@ def embedding_dup_pairs_lsh(
     e = df.select(F.col(id_col), as_double_array(F.col(vec_col)).alias("v"))
     a = e.select(F.col(id_col).alias("vec_id_a"), F.col("v").alias("va"))
     b = e.select(F.col(id_col).alias("vec_id_b"), F.col("v").alias("vb"))
+    # No broadcast hints on the verify join: the joined rows carry full
+    # embedding arrays, so a forced broadcast is exactly the budget
+    # overflow the minhash verify-join pattern avoids — let AQE pick
+    # broadcast vs shuffle from the actual candidate-set size.
     return (
-        F.broadcast(a.join(F.broadcast(cand), "vec_id_a"))
+        a.join(cand, "vec_id_a")
         .join(b, "vec_id_b")
         .select(
             "vec_id_a",

@@ -70,6 +70,13 @@ class TestEmbeddingLSHBlocking:
         # precision: the filter guarantees every returned pair ≥ threshold
         assert all(r.cos_sim >= 0.98 for r in pairs.collect())
 
+    def test_empty_corpus_returns_empty_pairs(self, spark):
+        """An empty corpus must yield an empty pair frame, not a crash on
+        the dimension probe; an explicit dim skips the probe entirely."""
+        df = spark.createDataFrame([], "vec_id long, embedding array<double>")
+        assert embedding_dup_pairs_lsh(df).count() == 0
+        assert embedding_dup_pairs_lsh(df, dim=16).count() == 0
+
     def test_candidates_bounded_not_all_pairs(self, spark):
         """Random (dissimilar) vectors must produce near-zero candidate
         pairs — the blocker's job is to keep the quadratic term at the
