@@ -235,7 +235,7 @@ def pq_train_codebooks(
     m: int = 8,
     ksub: int = 16,
     seed: int = 42,
-    sample_every: int = 5,
+    max_train_rows: int = 4096,
     iters: int = 15,
     vec_col: str = "embedding",
     id_col: str = "vec_id",
@@ -244,15 +244,23 @@ def pq_train_codebooks(
     vector into ``m`` subvectors and run seeded Lloyd k-means with
     ``ksub`` centroids independently per subspace.
 
-    Training runs driver-side over a BOUNDED deterministic sample (every
-    Nth id) — the codebook is m*ksub*dsub floats (a few KB), and PQ
-    training classically uses a sample, not the corpus; at 100 TB the
-    sample collect stays O(sample), never O(corpus). Returns a numpy
-    array of shape (m, ksub, dsub)."""
+    Training runs driver-side over an ABSOLUTELY bounded deterministic
+    sample: rows ranked by a seeded hash of the id, capped at
+    ``max_train_rows`` (a few × m × ksub is ample for Lloyd). The rank +
+    cap compiles to TakeOrderedAndProject — each task keeps at most
+    ``max_train_rows`` rows, so the driver transfer is O(max_train_rows)
+    regardless of corpus size (a fixed *fraction* would be O(corpus) —
+    20 TB at 100 TB scale). The seeded hash makes the sample both
+    deterministic and spread uniformly over the id space, not biased to
+    the lowest ids. Returns a numpy array of shape (m, ksub, dsub)."""
     import numpy as np
 
     rows = (
-        corpus.filter(F.col(id_col) % sample_every == 0)
+        corpus.select(
+            vec_col, F.xxhash64(F.col(id_col), F.lit(seed)).alias("__h")
+        )
+        .orderBy("__h")
+        .limit(max_train_rows)
         .select(vec_col)
         .collect()
     )
