@@ -31,15 +31,19 @@ def main(n_events: int = 50_000, chunks: int = 5) -> None:
     msgs, expected = generate_envelopes(n=n_events, seed=42, truncate_every=None,
                                         key_space=n_events // 3)
     per = len(msgs) // chunks
+    load_start = os.getloadavg()[0]
+    batch_secs = []
     t0 = time.perf_counter()
     for c in range(chunks):
         lo, hi = c * per, (c + 1) * per if c < chunks - 1 else len(msgs)
         with open(f"{src}/c{c}.json", "w") as f:
             for i in range(lo, hi):
                 f.write(json.dumps({"offset": i, "timestamp": i, "value": msgs[i]}) + "\n")
+        tb = time.perf_counter()
         start_replica_merge(
             read_changelog_stream(spark, src), INVOICE, state, ckpt
         ).awaitTermination()
+        batch_secs.append(round(time.perf_counter() - tb, 2))
     wall = time.perf_counter() - t0
     got = {r.order_id: r.invoice_number for r in read_replica(spark, state).collect()}
     ok = got == expected
@@ -50,6 +54,14 @@ def main(n_events: int = 50_000, chunks: int = 5) -> None:
         "events": len(msgs),
         "micro_batches": chunks,
         "wall_sec": round(wall, 2),
+        # per micro-batch-cycle latency (incl. stream start/stop overhead
+        # of the availableNow restart harness — a long-lived query would
+        # only pay the merge part)
+        "batch_sec": batch_secs,
+        # host-load caveat: co-tenant load inflates wall times 2-3x on
+        # this shared box; loadavg contextualizes any one measurement
+        "loadavg_start": round(load_start, 1),
+        "loadavg_end": round(os.getloadavg()[0], 1),
         "replica_exact": ok,
     }))
     spark.stop()
