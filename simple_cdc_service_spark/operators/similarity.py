@@ -164,6 +164,54 @@ def knn_ivf(
     )
 
 
+def kmeans_cluster_summary(
+    corpus: DataFrame,
+    n_clusters: int = 8,
+    seed: int = 42,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Corpus clustering summary (domain discovery for curation): seeded
+    MLlib KMeans centroids, then per-cluster size and mean cosine to the
+    centroid — the table a data-mixing stage reads to rebalance domains.
+
+    Scale shape: the centroids are a k × dim driver-side list shipped as
+    expression LITERALS, and the nearest-centroid assignment is a pure
+    array_max over per-centroid cosine structs — map-only, no per-vector
+    window shuffle (contrast ivf_assign, which pays a row_number window
+    because it must EMIT per-vector rows; here only the per-cluster
+    aggregate leaves the map side, so the single shuffle carries k rows
+    per partition). Ties break to the lowest cluster id via the struct's
+    negated-id second field. At 100 TB: one scan, one k-row aggregate."""
+    cents = kmeans_centroids(corpus, n_clusters, seed, vec_col, id_col)
+    cent_rows = cents.collect()  # k × dim, tiny by construction
+    v = as_double_array(F.col(vec_col))
+    best = F.array_max(
+        F.array(
+            *[
+                F.struct(
+                    cosine(v, F.array(*[F.lit(float(x)) for x in r[1]])).alias("sim"),
+                    F.lit(-int(r[0])).alias("neg_cid"),
+                )
+                for r in cent_rows
+            ]
+        )
+    )
+    # select twice: stage the struct once so sim/neg_cid don't re-derive it
+    assigned = corpus.select(best.alias("b")).select(
+        (-F.col("b.neg_cid")).cast("long").alias("cluster_id"),
+        F.col("b.sim").alias("sim"),
+    )
+    return (
+        assigned.groupBy("cluster_id")
+        .agg(
+            F.count("*").alias("n_vecs"),
+            F.round(F.avg("sim"), 4).alias("avg_cos_to_centroid"),
+        )
+        .orderBy("cluster_id")
+    )
+
+
 def knn_bruteforce_pandas(
     corpus: DataFrame,
     queries: DataFrame,

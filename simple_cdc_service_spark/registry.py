@@ -2753,6 +2753,66 @@ def approx_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "quality_outliers",
+    oracle=r"""
+    WITH tok AS (SELECT doc_id,
+                        CAST(len(regexp_split_to_array(trim(text), '\s+')) AS BIGINT)
+                            AS n_tokens
+                 FROM documents),
+    med AS (SELECT quantile_cont(n_tokens, 0.5) AS med FROM tok),
+    mad AS (SELECT quantile_cont(abs(n_tokens - med), 0.5) AS mad FROM tok, med)
+    SELECT doc_id, n_tokens,
+           abs(n_tokens - med) > 3 * 1.4826 * mad AS is_outlier
+    FROM tok, med, mad
+    """,
+)
+def quality_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust length-outlier flagging for curation: |tokens − median| >
+    3·1.4826·MAD (the MAD-consistent sigma) marks docs whose length is
+    anomalous under a robust scale estimate — unlike mean/std, one batch
+    of pathological docs can't drag the threshold.
+
+    Plan: token counts are map-only; the median and the MAD are two
+    successive 1-row aggregates broadcast back over the corpus — two tiny
+    shuffles and two broadcast joins regardless of corpus size (MAD needs
+    the median first, so two passes is the honest minimum without a
+    sketch; the approximate path would reuse percentile_approx)."""
+    from .operators import text as T
+
+    d = _t(spark, sf_dir, "documents")
+    tok = d.select(
+        "doc_id", T.token_count(F.col("text")).cast("long").alias("n_tokens")
+    )
+    med = tok.agg(F.percentile("n_tokens", F.lit(0.5)).alias("med"))
+    with_med = tok.crossJoin(F.broadcast(med))
+    mad = with_med.agg(
+        F.percentile(F.abs(F.col("n_tokens") - F.col("med")), F.lit(0.5)).alias("mad")
+    )
+    return with_med.crossJoin(F.broadcast(mad)).select(
+        "doc_id",
+        "n_tokens",
+        (
+            F.abs(F.col("n_tokens") - F.col("med"))
+            > F.lit(3) * F.lit(1.4826) * F.col("mad")
+        ).alias("is_outlier"),
+    )
+
+
+@register("embedding_kmeans", oracle=None)
+def embedding_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus clustering summary (domain discovery): seeded KMeans
+    centroids + map-only nearest-centroid assignment, aggregated to one
+    row per cluster. Rows-only: MLlib centroid floats are not
+    reproducible across engines; determinism under a fixed seed and full
+    corpus coverage are pinned in tests."""
+    from .operators.similarity import kmeans_cluster_summary
+
+    return kmeans_cluster_summary(
+        _t(spark, sf_dir, "embeddings"), n_clusters=8, seed=42
+    )
+
+
 @register("sample_stratified", oracle=None)
 def sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sampling operators: seeded uniform sample + stratified sampleBy
@@ -4237,6 +4297,8 @@ _GATE_FIRST = [
     "knn_ivf_kmeans",
     "knn_pq",
     "knn_lsh_ml",
+    "embedding_kmeans",
+    "quality_outliers",
     "approx_distinct",
     "text_tokens",
     "text_quality",

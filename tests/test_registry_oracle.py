@@ -173,6 +173,24 @@ class TestApproxVariants:
             assert r.ok50 and r.ok99, r.event_type
             assert r.p50_exact == exact[r.event_type]
 
+    def test_embedding_kmeans_covers_corpus_deterministically(self, spark):
+        """Cluster summary: every vector lands in exactly one cluster
+        (sizes sum to the corpus), clusters are within k, assignment is
+        genuinely better than noise (mean cosine to own centroid > 0 on
+        L2-normalized-ish data), and a re-run under the same seed is
+        identical."""
+        from simple_cdc_service_spark.registry import REGISTRY
+        from simple_cdc_service_spark.sources.tables import load_table
+
+        fn = REGISTRY["embedding_kmeans"].fn
+        rows = fn(spark, SF_DIR).collect()
+        n_corpus = load_table(spark, "embeddings", SF_DIR).count()
+        assert sum(r.n_vecs for r in rows) == n_corpus
+        assert 0 < len(rows) <= 8
+        assert all(r.avg_cos_to_centroid > 0 for r in rows)
+        again = fn(spark, SF_DIR).collect()
+        assert [tuple(r) for r in rows] == [tuple(r) for r in again]
+
     def test_stratified_sample_bounds_and_determinism(self, spark):
         from simple_cdc_service_spark.registry import REGISTRY
 
