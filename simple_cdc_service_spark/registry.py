@@ -409,6 +409,85 @@ def window_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "window_sliding",
+    oracle="""
+    SELECT CAST((epoch_ms(ts) // 900000 - k) * 900000 AS BIGINT) AS win_start,
+           event_type,
+           count(*) AS n,
+           round(sum(value), 2) AS sum_value
+    FROM events CROSS JOIN (SELECT unnest(range(0, 4)) AS k)
+    GROUP BY 1, 2
+    """,
+)
+def window_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E8 sliding (hopping) event-time window: 1-hour windows every 15
+    minutes, so each event lands in duration/slide = 4 overlapping
+    windows (the streaming form is the same F.window with a watermark).
+
+    Spark expands the 4 window replicas BEFORE the shuffle (Expand node),
+    so the aggregate still gets map-side partials — the shuffle carries
+    4× partial rows, not 4× events; the oracle reproduces exactly that
+    replication with an explicit k ∈ [0,4) cross join on the epoch-ms
+    bucket arithmetic (every one of the 4 slide-aligned starts at or
+    before ts is within 1 hour of it, so no filter is needed)."""
+    return (
+        _t(spark, sf_dir, "events")
+        .groupBy(F.window("ts", "1 hour", "15 minutes").alias("w"), "event_type")
+        .agg(F.count("*").alias("n"), F.round(F.sum("value"), 2).alias("sum_value"))
+        .select(
+            F.unix_millis(F.col("w.start")).alias("win_start"),
+            "event_type",
+            "n",
+            "sum_value",
+        )
+    )
+
+
+@register(
+    "rolling_range_7d",
+    oracle="""
+    WITH e AS (SELECT event_id, user_id, epoch_ms(ts) AS ts_ms,
+                      CAST(round(value * 100) AS BIGINT) AS cents
+               FROM events)
+    SELECT event_id, user_id, ts_ms,
+           CAST(sum(cents) OVER w AS BIGINT) AS roll_sum_cents,
+           CAST(count(*) OVER w AS BIGINT) AS roll_n
+    FROM e
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts_ms
+                 RANGE BETWEEN 604800000 PRECEDING AND CURRENT ROW)
+    """,
+)
+def rolling_range_7d(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RANGE-frame rolling aggregate: per-user 7-day trailing sum/count,
+    frame bounded by the event-time VALUE (ms), not row offsets — the
+    shape ROWS frames can't express when events are irregularly spaced.
+
+    The summed quantity is integer cents: a RANGE frame is a SET of rows,
+    so float accumulation order inside it is engine-dependent — integer
+    sums are order-free and hash-identical by construction. One shuffle
+    on user_id; the frame scan is the standard two-pointer sliding sum
+    within each ordered partition."""
+    ev = _t(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts_ms")
+        .rangeBetween(-604_800_000, 0)
+    )
+    return ev.select(
+        "event_id",
+        "user_id",
+        "ts_ms",
+        F.round(F.col("value") * 100).cast("long").alias("cents"),
+    ).select(
+        "event_id",
+        "user_id",
+        "ts_ms",
+        F.sum("cents").over(w).alias("roll_sum_cents"),
+        F.count(F.lit(1)).over(w).alias("roll_n"),
+    )
+
+
+@register(
     "running_total",
     oracle="""
     SELECT event_id, user_id,
@@ -4311,6 +4390,8 @@ _GATE_FIRST = [
     "media_features",
     "media_frames",
     "window_tumbling",
+    "window_sliding",
+    "rolling_range_7d",
     "sessionize",
     "json_extract_props",
     "variant_extract",

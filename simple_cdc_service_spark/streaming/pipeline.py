@@ -435,14 +435,22 @@ def start_windowed_counts(
     window: str = "1 hour",
     watermark: str = "2 hours",
     trigger_available_now: bool = True,
+    slide: str | None = None,
 ):
     """E8 streaming form: watermarked tumbling-window counts, append mode
     (a window emits once it is below the watermark — late data beyond the
     watermark is dropped, the documented contrast to the reference's
-    undefined late behavior, SURVEY.md §2)."""
+    undefined late behavior, SURVEY.md §2). ``slide`` turns the windows
+    sliding/hopping — each event feeds window/slide overlapping windows;
+    state size grows by the same factor, watermarking unchanged."""
+    win = (
+        F.window(F.col(ts_col), window, slide)
+        if slide
+        else F.window(F.col(ts_col), window)
+    )
     agg = (
         stream.withWatermark(ts_col, watermark)
-        .groupBy(F.window(F.col(ts_col), window))
+        .groupBy(win)
         .agg(F.count("*").alias("n"))
         .select(
             F.unix_millis(F.col("window.start")).alias("win_start"),

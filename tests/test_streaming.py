@@ -459,6 +459,51 @@ class TestWindowedCounts:
         got2 = run()
         assert got2 == {base: 4, base + 3600000: 4, base + 2 * 3600000: 4}
 
+    def test_sliding_windows_match_batch_equivalent(self, spark, tmp_path):
+        """Sliding streaming windows (1h every 30m): every closed window's
+        count must equal the batch F.window aggregate over the same rows —
+        events straddle two overlapping windows each."""
+        src = str(tmp_path / "src")
+        out = str(tmp_path / "out")
+        ckpt = str(tmp_path / "ckpt")
+        os.makedirs(src)
+
+        rows = [f"2024-01-01 00:{m:02d}:00" for m in (5, 20, 40, 50)] + [
+            "2024-01-01 01:10:00",
+            "2024-01-01 01:45:00",
+        ]
+        with open(os.path.join(src, "a.json"), "w") as f:
+            for t in rows:
+                f.write(json.dumps({"event_time": t}) + "\n")
+            # a far-future row to push the watermark past everything above
+            f.write(json.dumps({"event_time": "2024-01-02 00:00:00"}) + "\n")
+
+        stream = (
+            spark.readStream.schema("event_time string")
+            .json(src)
+            .withColumn("event_time", F.col("event_time").cast("timestamp"))
+        )
+        _run(
+            start_windowed_counts(
+                stream, out, ckpt, "event_time", "1 hour", "30 minutes",
+                slide="30 minutes",
+            )
+        )
+        got = {r.win_start: r.n for r in spark.read.parquet(out).collect()}
+
+        batch = (
+            spark.createDataFrame([(t,) for t in rows], "event_time string")
+            .withColumn("event_time", F.col("event_time").cast("timestamp"))
+            .groupBy(F.window("event_time", "1 hour", "30 minutes").alias("w"))
+            .agg(F.count("*").alias("n"))
+            .select(F.unix_millis("w.start").alias("win_start"), "n")
+        )
+        want = {r.win_start: r.n for r in batch.collect()}
+        # every batch window over the original rows is closed by the
+        # far-future watermark row and must appear with the same count
+        for ws, n in want.items():
+            assert got.get(ws) == n, (ws, n, got)
+
 
 class TestSessionWindows:
     def test_sessions_emitted_per_key(self, spark, tmp_path):
