@@ -212,3 +212,47 @@ class TestRuntimeFilters:
                     spark.conf.unset(k)
                 else:
                     spark.conf.set(k, v)
+
+
+class TestRound3Plans:
+    def test_quality_outliers_broadcasts_stats(self, spark):
+        """Median and MAD are 1-row aggregates joined back by broadcast —
+        a shuffled join against a 1-row frame would be the scale mistake."""
+        plan = plan_string(q(spark, "quality_outliers"))
+        assert "BroadcastNestedLoopJoin" in plan
+        assert "SortMergeJoin" not in plan and "ShuffledHashJoin" not in plan
+
+    def test_window_sliding_expands_before_partial_agg(self, spark):
+        """Sliding windows must Expand into the 4 window replicas BEFORE a
+        partial aggregate: the shuffle then carries per-window partials,
+        not raw events."""
+        plan = plan_string(q(spark, "window_sliding"))
+        assert "Expand" in plan
+        assert "partial_count" in plan or "partial_sum" in plan
+
+    def test_rolling_range_single_shuffle(self, spark):
+        """RANGE-frame rolling agg: exactly one Exchange (the user_id
+        hash partitioning); the frame scan itself is partition-local.
+        Formatted plans print each node twice (tree + detail header)."""
+        import re
+
+        plan = plan_string(q(spark, "rolling_range_7d"))
+        headers = re.findall(r"^\(\d+\) Exchange", plan, flags=re.M)
+        assert len(headers) == 1, plan
+
+    def test_kmeans_summary_assignment_is_map_only(self, spark):
+        """Nearest-centroid assignment must not shuffle per-vector rows:
+        no window/sort before the aggregate, and the only exchange is the
+        k-row aggregate's."""
+        plan = plan_string(q(spark, "embedding_kmeans"))
+        assert "Window" not in plan
+
+    def test_recursive_cte_batched_iteration_count(self, spark):
+        """The recursion must advance 8 chain steps per loop iteration
+        (UnionLoop count is dynamic, so pin the batching evidence: the
+        recursive term joins the 8-wide chunk table — v8 present — and
+        the loop node exists). A regression to one-step recursion would
+        drop the vN columns and re-pay ~25 scheduling rounds."""
+        plan = plan_string(q(spark, "recursive_cte"))
+        assert "UnionLoop" in plan
+        assert "v8#" in plan, "8-step batched recursive term expected"
