@@ -786,6 +786,7 @@ def dedup_minhash_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     WHERE round(len(list_intersect(sa.shingles, sb.shingles)) * 1.0
                 / len(list_distinct(list_concat(sa.shingles, sb.shingles))), 4) >= 0.6
     """,
+    headline=True,
 )
 def dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Incremental (new-batch vs existing-corpus) MinHash dedup — the
@@ -2845,6 +2846,7 @@ def approx_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
            abs(n_tokens - med) > 3 * 1.4826 * mad AS is_outlier
     FROM tok, med, mad
     """,
+    headline=True,
 )
 def quality_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Robust length-outlier flagging for curation: |tokens − median| >
