@@ -94,3 +94,40 @@ class TestEmbeddingLSHBlocking:
         n = cand_pairs.count()
         # all-pairs would be 300*299/2 = 44850; buckets must prune hard
         assert n < 4000, f"candidate explosion: {n}"
+
+
+class TestIncrementalDedup:
+    def test_flags_only_incoming_vs_corpus_collisions(self, spark):
+        """Asymmetry contract: incoming docs matching a corpus doc are
+        flagged (doc_id=incoming, dup_of=corpus); corpus-INTERNAL
+        duplicates are not re-reported, and unique incoming docs pass."""
+        from simple_cdc_service_spark.operators.dedup import (
+            incremental_dedup_pairs,
+        )
+
+        mk = lambda i, extra: (  # noqa: E731
+            i,
+            f"the quick brown fox {extra} jumps over the lazy dog near "
+            f"river bend {extra} while birds watch the water flow",
+        )
+        corpus_rows = [
+            mk(1, "one"), mk(2, "two"), mk(3, "three"),
+            # 4 and 5: corpus-internal near-identical pair
+            (4, "shared corpus text about distributed systems and storage engines alpha"),
+            (5, "shared corpus text about distributed systems and storage engines beta"),
+        ]
+        incoming_rows = [
+            # 100: near-copy of corpus doc 3 (one word appended)
+            (100, corpus_rows[2][1] + " tail"),
+            # 101: unique
+            (101, "completely different content on medieval falconry and its traditions today"),
+        ]
+        schema = "doc_id long, text string"
+        corpus = spark.createDataFrame(corpus_rows, schema)
+        incoming = spark.createDataFrame(incoming_rows, schema)
+        got = incremental_dedup_pairs(corpus, incoming, threshold=0.5).collect()
+        flagged = {(r.doc_id, r.dup_of) for r in got}
+        assert (100, 3) in flagged
+        assert all(r.doc_id in (100, 101) for r in got), "only incoming ids flagged"
+        assert all(r.doc_id != 101 for r in got), "unique incoming doc must pass"
+        assert (4, 5) not in flagged and (5, 4) not in flagged
