@@ -263,6 +263,53 @@ def incremental_dedup_pairs(
     )
 
 
+def persist_signature_store(
+    corpus: DataFrame,
+    table: str,
+    n: int = 3,
+    k: int = 8,
+    bands: int = 4,
+    n_buckets: int = 8,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> None:
+    """Materialize the corpus's banded MinHash signatures as a table
+    BUCKETED BY (band, bv) — the pre-paid exchange that makes every later
+    incremental probe shuffle only the incoming batch. Rewritten only
+    when the corpus itself is re-deduplicated; nightly batches append
+    their own signatures after admission."""
+    from ..sources.sinks import write_bucketed
+
+    banded = minhash_banded(shingle_docs(corpus, n, text_col, id_col), k, bands, id_col)
+    write_bucketed(banded, table, ["band", "bv"], n_buckets=n_buckets)
+
+
+def probe_signature_store(
+    spark,
+    table: str,
+    incoming: DataFrame,
+    n: int = 3,
+    k: int = 8,
+    bands: int = 4,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Candidate (incoming, corpus) id pairs from the persisted store:
+    the incoming batch is shingled + signed fresh (O(batch) map work) and
+    joined to the bucketed store on its bucket columns — the store side
+    reads co-located, only the batch side shuffles (pinned by
+    test_sinks.py). Feed the result to the exact-Jaccard verify join."""
+    banded_in = minhash_banded(
+        shingle_docs(incoming, n, text_col, id_col), k, bands, id_col
+    ).withColumnRenamed(id_col, "doc_id_new")
+    store = spark.table(table).withColumnRenamed(id_col, "dup_of")
+    return (
+        banded_in.join(store, ["band", "bv"])
+        .select("doc_id_new", "dup_of")
+        .distinct()
+    )
+
+
 def ngram_jaccard_pairs(
     df: DataFrame,
     threshold: float = 0.95,

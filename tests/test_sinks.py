@@ -128,3 +128,54 @@ class TestSqlViews:
         o = load_table(spark, "orders", sf)
         c = load_table(spark, "customer", sf)
         assert got == o.join(c, o.o_custkey == c.c_custkey).count()
+
+
+class TestSignatureStore:
+    def test_probe_shuffles_only_incoming_side(self, spark, tmp_path):
+        """The incremental-dedup scale claim, verified in the plan: the
+        persisted (band, bv)-bucketed signature store reads co-located;
+        only the fresh incoming batch pays an Exchange. At 100 TB corpus
+        + small nightly batch, the per-day candidate join is O(batch)."""
+        import re
+
+        from simple_cdc_service_spark.operators.dedup import (
+            persist_signature_store,
+            probe_signature_store,
+        )
+        from simple_cdc_service_spark.sources.tables import load_table
+
+        docs = load_table(spark, "documents", SF)
+        corpus = docs.filter(F.col("doc_id") % 5 != 0)
+        incoming = docs.filter(F.col("doc_id") % 5 == 0)
+        persist_signature_store(corpus, "sig_store_t", n_buckets=4)
+        try:
+            spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+            cand = probe_signature_store(spark, "sig_store_t", incoming)
+            # plan shape: bucketed scan on the store side, exactly one
+            # hash exchange below the join (the incoming side); distinct
+            # adds its own exchange ABOVE the join, so inspect the join
+            # input subtree via the pre-distinct frame.
+            plan = plan_string(cand)
+            assert "Bucketed: true" in plan, plan
+            # exactly ONE (band, bv) hash exchange — the incoming side's.
+            # A second would mean the bucketed store side shuffled too.
+            # (The other exchanges in the plan are the incoming batch's
+            # compute-spread round robin and the distinct above the join.)
+            band_exchanges = re.findall(r"hashpartitioning\(band", plan)
+            assert len(band_exchanges) == 1, plan
+            # correctness: candidates superset of the verified incremental
+            # pairs' id pairs (same banding params)
+            from simple_cdc_service_spark.operators.dedup import (
+                incremental_dedup_pairs,
+            )
+            verified = {
+                (r.doc_id, r.dup_of)
+                for r in incremental_dedup_pairs(
+                    corpus, incoming, threshold=0.6
+                ).collect()
+            }
+            got = {(r.doc_id_new, r.dup_of) for r in cand.collect()}
+            assert verified <= got
+        finally:
+            spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+            spark.sql("DROP TABLE IF EXISTS sig_store_t")
