@@ -235,22 +235,36 @@ def incremental_dedup_pairs(
     re-derived — they were handled when those docs were themselves the
     incoming batch."""
     sh_in = shingle_docs(incoming, n, text_col, id_col).localCheckpoint(eager=False)
-    sh_corp = shingle_docs(corpus, n, text_col, id_col).localCheckpoint(eager=False)
     banded_in = minhash_banded(sh_in, k, bands, id_col).select(
         F.col(id_col).alias("doc_id_new"), "band", "bv"
     )
-    banded_corp = minhash_banded(sh_corp, k, bands, id_col).select(
-        F.col(id_col).alias("dup_of"), "band", "bv"
-    )
+    # Corpus signatures: derived here for oracle parity; at scale this is
+    # the persisted (band, bv)-bucketed store (persist_signature_store /
+    # probe_signature_store), not a per-batch recompute.
+    banded_corp = minhash_banded(
+        shingle_docs(corpus, n, text_col, id_col), k, bands, id_col
+    ).select(F.col(id_col).alias("dup_of"), "band", "bv")
+    # checkpointed: cand feeds both the matched-id semi-join and the
+    # verify join — without it the whole candidate pipeline runs twice.
     cand = (
         banded_in.join(banded_corp, ["band", "bv"])
         .select("doc_id_new", "dup_of")
         .distinct()
+        .localCheckpoint(eager=False)
+    )
+    # Verify side is CANDIDATE-BOUNDED: semi-join the corpus down to the
+    # matched ids BEFORE shingling, so the per-batch verify map work is
+    # O(collisions), never an O(corpus) re-shingle. (The incoming side's
+    # shingles are already staged above.) AQE sizes both joins unhinted.
+    matched = corpus.join(
+        cand.select(F.col("dup_of").alias(id_col)).distinct(),
+        id_col,
+        "left_semi",
     )
     a = sh_in.select(F.col(id_col).alias("doc_id_new"), F.col("shingles").alias("__sh_a"))
-    b = sh_corp.select(F.col(id_col).alias("dup_of"), F.col("shingles").alias("__sh_b"))
-    # unhinted verify join (AQE picks broadcast vs shuffle from actual
-    # candidate volume) — same rationale as minhash_dedup_pairs
+    b = shingle_docs(matched, n, text_col, id_col).select(
+        F.col(id_col).alias("dup_of"), F.col("shingles").alias("__sh_b")
+    )
     return (
         a.join(cand, "doc_id_new")
         .join(b, "dup_of")
