@@ -2890,13 +2890,17 @@ def quality_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     successive 1-row aggregates broadcast back over the corpus — two tiny
     shuffles and two broadcast joins regardless of corpus size (MAD needs
     the median first, so two passes is the honest minimum without a
-    sketch; the approximate path would reuse percentile_approx)."""
+    sketch; the approximate path would reuse percentile_approx). The
+    (doc_id, n_tokens) frame is STAGED once: without it each of the three
+    consumers re-reads the text column and re-tokenizes — three scans of
+    the corpus's heaviest column instead of one plus two int-pair
+    passes."""
     from .operators import text as T
 
     d = _t(spark, sf_dir, "documents")
     tok = d.select(
         "doc_id", T.token_count(F.col("text")).cast("long").alias("n_tokens")
-    )
+    ).localCheckpoint(eager=False)
     med = tok.agg(F.percentile("n_tokens", F.lit(0.5)).alias("med"))
     with_med = tok.crossJoin(F.broadcast(med))
     mad = with_med.agg(
