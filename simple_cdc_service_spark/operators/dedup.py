@@ -261,8 +261,30 @@ def incremental_dedup_pairs(
         id_col,
         "left_semi",
     )
-    a = sh_in.select(F.col(id_col).alias("doc_id_new"), F.col("shingles").alias("__sh_a"))
-    b = shingle_docs(matched, n, text_col, id_col).select(
+    return jaccard_verify_pairs(
+        sh_in,
+        shingle_docs(matched, n, text_col, id_col),
+        cand,
+        threshold,
+        id_col=id_col,
+    )
+
+
+def jaccard_verify_pairs(
+    sh_new: DataFrame,
+    sh_corpus: DataFrame,
+    cand: DataFrame,
+    threshold: float,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Exact-Jaccard verify join over asymmetric candidates: ``cand`` is
+    (doc_id_new, dup_of) id pairs, the shingle frames are (id, shingles).
+    Returns (id_col, dup_of, jaccard) rows ≥ threshold. Joins are
+    unhinted — AQE sizes them from actual candidate volume."""
+    a = sh_new.select(
+        F.col(id_col).alias("doc_id_new"), F.col("shingles").alias("__sh_a")
+    )
+    b = sh_corpus.select(
         F.col(id_col).alias("dup_of"), F.col("shingles").alias("__sh_b")
     )
     return (

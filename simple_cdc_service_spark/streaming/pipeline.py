@@ -836,3 +836,135 @@ def start_stream_stream_join(
     if trigger_available_now:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+# ---------------------------------------------------------------------------
+# Streaming corpus admission: per-batch near-dup gate against the
+# accumulated corpus — the LLM-training-data ingestion shape (nightly/
+# continuous crawl drops) running on the same foreachBatch machinery as
+# the CDC merges.
+# ---------------------------------------------------------------------------
+
+
+def read_corpus(spark: SparkSession, corpus_dir: str) -> DataFrame | None:
+    """Union of committed corpus versions (v*/ with the batch's sig
+    _SUCCESS marker — the LAST artifact a batch writes, so a version is
+    visible only when fully committed)."""
+    import glob
+
+    dirs = sorted(
+        d
+        for d in glob.glob(os.path.join(corpus_dir, "docs", "v*"))
+        if os.path.exists(
+            os.path.join(
+                corpus_dir, "sigs", os.path.basename(d), "_SUCCESS"
+            )
+        )
+    )
+    if not dirs:
+        return None
+    return spark.read.parquet(*dirs)
+
+
+def _read_sigs(spark: SparkSession, corpus_dir: str) -> DataFrame | None:
+    import glob
+
+    dirs = sorted(
+        d
+        for d in glob.glob(os.path.join(corpus_dir, "sigs", "v*"))
+        if os.path.exists(os.path.join(d, "_SUCCESS"))
+    )
+    if not dirs:
+        return None
+    return spark.read.parquet(*dirs)
+
+
+def start_corpus_dedup_admission(
+    stream: DataFrame,
+    corpus_dir: str,
+    checkpoint: str,
+    n: int = 3,
+    k: int = 8,
+    bands: int = 4,
+    threshold: float = 0.6,
+    trigger_available_now: bool = True,
+):
+    """Streaming corpus admission with incremental near-dup gating.
+
+    Per micro-batch of (doc_id, text):
+      1. WITHIN-batch near-dups collapse first (MinHash-LSH + exact
+         Jaccard; min doc_id survives) — two copies arriving together
+         must not both pass;
+      2. survivors probe the accumulated signature store (banded MinHash
+         over all previously ADMITTED docs) and verify exact Jaccard
+         against only the candidate-matched corpus docs — per-batch cost
+         O(batch + collisions), never O(corpus) (same asymmetry as
+         operators.dedup.incremental_dedup_pairs);
+      3. admitted docs land in corpus_dir/docs/v{batchId}, their
+         signatures in corpus_dir/sigs/v{batchId} — the sig _SUCCESS is
+         written last and is the batch's commit marker, so crash replay
+         of a committed batch short-circuits (idempotent, same protocol
+         as the CDC merge sinks).
+
+    The version-dir signature layout trades the bucketed store's
+    shuffle-free probe (persist_signature_store — the batch-mode path)
+    for per-batch atomicity + replay idempotence, which streaming needs;
+    AQE still broadcasts the small incoming band frame in the probe."""
+    from ..operators.dedup import (
+        jaccard_verify_pairs,
+        minhash_banded,
+        minhash_dedup_pairs,
+        shingle_docs,
+    )
+
+    def handle(batch_df: DataFrame, batch_id: int):
+        spark = batch_df.sparkSession
+        marker = os.path.join(corpus_dir, "sigs", f"v{batch_id}", "_SUCCESS")
+        if os.path.exists(marker):
+            return
+        docs = batch_df.select("doc_id", "text").localCheckpoint(eager=True)
+        # 1. within-batch collapse (keep min id of each verified pair)
+        pairs = minhash_dedup_pairs(
+            docs, n=n, k=k, bands=bands, threshold=threshold
+        )
+        losers = pairs.select(
+            F.greatest("doc_id_a", "doc_id_b").alias("doc_id")
+        ).distinct()
+        docs = docs.join(losers, "doc_id", "left_anti")
+        # 2. cross-batch probe against the accumulated store
+        sigs = _read_sigs(spark, corpus_dir)
+        corpus = read_corpus(spark, corpus_dir)
+        if sigs is not None and corpus is not None:
+            banded_in = minhash_banded(
+                shingle_docs(docs, n), k, bands
+            ).withColumnRenamed("doc_id", "doc_id_new")
+            cand = (
+                banded_in.join(sigs.withColumnRenamed("doc_id", "dup_of"), ["band", "bv"])
+                .select("doc_id_new", "dup_of")
+                .distinct()
+                .localCheckpoint(eager=False)
+            )
+            matched = corpus.join(
+                cand.select(F.col("dup_of").alias("doc_id")).distinct(),
+                "doc_id",
+                "left_semi",
+            )
+            dupped = jaccard_verify_pairs(
+                shingle_docs(docs, n), shingle_docs(matched, n), cand, threshold
+            ).select(F.col("doc_id")).distinct()
+            docs = docs.join(dupped, "doc_id", "left_anti")
+        docs = docs.localCheckpoint(eager=True)
+        # 3. idempotent versioned append: docs first, sigs (+marker) last
+        docs.write.mode("overwrite").parquet(
+            os.path.join(corpus_dir, "docs", f"v{batch_id}")
+        )
+        minhash_banded(shingle_docs(docs, n), k, bands).write.mode(
+            "overwrite"
+        ).parquet(os.path.join(corpus_dir, "sigs", f"v{batch_id}"))
+
+    writer = stream.writeStream.foreachBatch(handle).option(
+        "checkpointLocation", checkpoint
+    )
+    if trigger_available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

@@ -952,3 +952,64 @@ class TestStreamStreamJoin:
         assert ("1", "a1", "p1") not in got  # types: long, not str
         assert (1, "a2", "p2") not in got  # outside the lag window
         assert got == {(1, "a1", "p1"), (2, "a3", "p3")}
+
+
+class TestCorpusDedupAdmission:
+    def test_cross_batch_and_within_batch_near_dups_rejected(self, spark, tmp_path):
+        """Streaming corpus admission: batch 1 seeds the corpus; batch 2
+        carries a near-copy of an admitted doc (rejected), an in-batch
+        near-dup pair (min id survives), and a unique doc (admitted).
+        Replaying a committed batch must not duplicate the corpus."""
+        from simple_cdc_service_spark.streaming.pipeline import (
+            read_corpus,
+            start_corpus_dedup_admission,
+        )
+
+        src = str(tmp_path / "src")
+        corpus_dir = str(tmp_path / "corpus")
+        ckpt = str(tmp_path / "ckpt")
+        os.makedirs(src)
+
+        t1 = ("the quick brown fox one jumps over the lazy dog near river "
+              "bend while birds watch the water flow past the old mill")
+        t2 = ("completely different content describing distributed storage "
+              "engines compaction strategies and write amplification costs")
+        t3 = ("a third unrelated document about medieval falconry traditions "
+              "and the training of hunting birds across the centuries")
+
+        def feed(name, rows):
+            with open(os.path.join(src, name), "w") as f:
+                for did, text in rows:
+                    f.write(json.dumps({"doc_id": did, "text": text}) + "\n")
+
+        def run():
+            stream = spark.readStream.schema("doc_id long, text string").json(src)
+            start_corpus_dedup_admission(
+                stream, corpus_dir, ckpt, threshold=0.5
+            ).awaitTermination()
+
+        feed("b1.json", [(1, t1), (2, t2)])
+        run()
+        got1 = {r.doc_id for r in read_corpus(spark, corpus_dir).collect()}
+        assert got1 == {1, 2}
+
+        feed("b2.json", [
+            (10, t1 + " tail"),      # near-copy of admitted doc 1 → reject
+            (20, t3), (21, t3 + " extra"),  # in-batch near-dup pair → keep 20
+            (30, "entirely novel text on tidal energy turbines and grid "
+                 "integration challenges in northern estuaries today"),
+        ])
+        run()
+        got2 = {r.doc_id for r in read_corpus(spark, corpus_dir).collect()}
+        assert got2 == {1, 2, 20, 30}, got2
+
+        # replay protection: re-running with a fresh checkpoint re-delivers
+        # everything; committed versions must short-circuit, not duplicate
+        run_again_ckpt = str(tmp_path / "ckpt2")
+        stream = spark.readStream.schema("doc_id long, text string").json(src)
+        from simple_cdc_service_spark.streaming.pipeline import (
+            start_corpus_dedup_admission as sda,
+        )
+        sda(stream, corpus_dir, run_again_ckpt, threshold=0.5).awaitTermination()
+        got3 = [r.doc_id for r in read_corpus(spark, corpus_dir).collect()]
+        assert sorted(got3) == sorted(got2), got3
