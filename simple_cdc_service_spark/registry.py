@@ -4414,7 +4414,6 @@ _GATE_FIRST = [
     "knn_ivf_kmeans",
     "knn_pq",
     "knn_lsh_ml",
-    "embedding_kmeans",
     "quality_outliers",
     "approx_distinct",
     "text_tokens",
@@ -4428,8 +4427,6 @@ _GATE_FIRST = [
     "media_features",
     "media_frames",
     "window_tumbling",
-    "window_sliding",
-    "rolling_range_7d",
     "sessionize",
     "json_extract_props",
     "variant_extract",
@@ -4442,6 +4439,11 @@ _GATE_FIRST = [
     "q10_returned_items",
     "asof_join_signup",
     "contamination_check",
+    # round-3 extras: still early, but past the driver's ~50-entry
+    # correctness window so the VERDICT-mapped + headline core fits it
+    "window_sliding",
+    "rolling_range_7d",
+    "embedding_kmeans",
 ]
 
 
