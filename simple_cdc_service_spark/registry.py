@@ -46,6 +46,9 @@ REGISTRY: dict[str, QuerySpec] = {}
 
 def register(name: str, oracle: str | None, headline: bool = False):
     def deco(fn):
+        # a duplicate name would silently shadow the earlier entry (dict
+        # assignment) while keeping its position — fail loudly instead
+        assert name not in REGISTRY, f"duplicate registry entry: {name}"
         REGISTRY[name] = QuerySpec(name, fn, oracle, headline)
         return fn
 
@@ -1120,38 +1123,6 @@ def rollup_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         _t(spark, sf_dir, "lineitem")
         .rollup("l_returnflag", "l_linestatus")
         .agg(F.round(F.sum("l_extendedprice"), 2).alias("sum_base"), F.count("*").alias("n"))
-    )
-
-
-@register(
-    "grouping_sets_revenue",
-    oracle="""
-    SELECT l_returnflag, l_linestatus,
-           CAST(grouping(l_returnflag) * 2 + grouping(l_linestatus) AS BIGINT)
-               AS gid,
-           round(sum(l_extendedprice), 2) AS sum_base,
-           count(*) AS n
-    FROM lineitem
-    GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_returnflag), ())
-    """,
-)
-def grouping_sets_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Explicit GROUPING SETS (the general form ROLLUP/CUBE sugar over)
-    with grouping_id disambiguating which set produced each row — the
-    NULL-vs-grouped ambiguity a plain rollup output carries. One Expand +
-    one hash aggregate, same single-pass shape as rollup_revenue."""
-    li = _t(spark, sf_dir, "lineitem")
-    li.createOrReplaceTempView("lineitem_gs")
-    return spark.sql(
-        """
-        SELECT l_returnflag, l_linestatus,
-               CAST(grouping(l_returnflag) * 2 + grouping(l_linestatus) AS BIGINT)
-                   AS gid,
-               round(sum(l_extendedprice), 2) AS sum_base,
-               count(*) AS n
-        FROM lineitem_gs
-        GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_returnflag), ())
-        """
     )
 
 
