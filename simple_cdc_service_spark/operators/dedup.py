@@ -238,36 +238,24 @@ def incremental_dedup_pairs(
     banded_in = minhash_banded(sh_in, k, bands, id_col).select(
         F.col(id_col).alias("doc_id_new"), "band", "bv"
     )
-    # Corpus signatures: derived here for oracle parity; at scale this is
-    # the persisted (band, bv)-bucketed store (persist_signature_store /
-    # probe_signature_store), not a per-batch recompute.
-    banded_corp = minhash_banded(
-        shingle_docs(corpus, n, text_col, id_col), k, bands, id_col
-    ).select(F.col(id_col).alias("dup_of"), "band", "bv")
-    # checkpointed: cand feeds both the matched-id semi-join and the
-    # verify join — without it the whole candidate pipeline runs twice.
+    # Corpus signatures derived here (oracle parity): the shingle frame
+    # is STAGED once and reused by both the banding pass and the verify
+    # join — one corpus map pass total. In the true incremental
+    # deployment signatures come from the persisted (band, bv)-bucketed
+    # store instead (persist_signature_store / probe_signature_store) and
+    # the verify side is candidate-bounded via a pre-shingle semi-join —
+    # see streaming.pipeline.start_corpus_dedup_admission, which wires
+    # exactly that: per-batch cost O(batch + collisions), no corpus map.
+    sh_corp = shingle_docs(corpus, n, text_col, id_col).localCheckpoint(eager=False)
+    banded_corp = minhash_banded(sh_corp, k, bands, id_col).select(
+        F.col(id_col).alias("dup_of"), "band", "bv"
+    )
     cand = (
         banded_in.join(banded_corp, ["band", "bv"])
         .select("doc_id_new", "dup_of")
         .distinct()
-        .localCheckpoint(eager=False)
     )
-    # Verify side is CANDIDATE-BOUNDED: semi-join the corpus down to the
-    # matched ids BEFORE shingling, so the per-batch verify map work is
-    # O(collisions), never an O(corpus) re-shingle. (The incoming side's
-    # shingles are already staged above.) AQE sizes both joins unhinted.
-    matched = corpus.join(
-        cand.select(F.col("dup_of").alias(id_col)).distinct(),
-        id_col,
-        "left_semi",
-    )
-    return jaccard_verify_pairs(
-        sh_in,
-        shingle_docs(matched, n, text_col, id_col),
-        cand,
-        threshold,
-        id_col=id_col,
-    )
+    return jaccard_verify_pairs(sh_in, sh_corp, cand, threshold, id_col=id_col)
 
 
 def jaccard_verify_pairs(
