@@ -846,37 +846,39 @@ def start_stream_stream_join(
 # ---------------------------------------------------------------------------
 
 
-def read_corpus(spark: SparkSession, corpus_dir: str) -> DataFrame | None:
-    """Union of committed corpus versions (v*/ with the batch's sig
-    _SUCCESS marker — the LAST artifact a batch writes, so a version is
-    visible only when fully committed)."""
+def _corpus_parts(corpus_dir: str, kind: str) -> list[str]:
+    """Readable parts for a corpus side: the newest committed compaction
+    base (if any) plus committed delta versions ABOVE its _THROUGH id —
+    deltas at or below it are already folded in (and may linger only
+    until the next vacuum), so they are skipped, never double-counted."""
     import glob
 
-    dirs = sorted(
-        d
-        for d in glob.glob(os.path.join(corpus_dir, "docs", "v*"))
-        if os.path.exists(
-            os.path.join(
-                corpus_dir, "sigs", os.path.basename(d), "_SUCCESS"
-            )
-        )
-    )
-    if not dirs:
+    base, through = _latest_base(corpus_dir, kind)
+    parts = [base] if base else []
+    for d in sorted(glob.glob(os.path.join(corpus_dir, kind, "v*"))):
+        i = int(os.path.basename(d)[1:])
+        if i > through and os.path.exists(
+            os.path.join(corpus_dir, "sigs", f"v{i}", "_SUCCESS")
+        ):
+            parts.append(d)
+    return parts
+
+
+def read_corpus(spark: SparkSession, corpus_dir: str) -> DataFrame | None:
+    """Committed corpus: newest compaction base + committed deltas (a
+    batch's sig _SUCCESS marker is written LAST, so a delta is visible
+    only when fully committed)."""
+    parts = _corpus_parts(corpus_dir, "docs")
+    if not parts:
         return None
-    return spark.read.parquet(*dirs)
+    return spark.read.parquet(*parts)
 
 
 def _read_sigs(spark: SparkSession, corpus_dir: str) -> DataFrame | None:
-    import glob
-
-    dirs = sorted(
-        d
-        for d in glob.glob(os.path.join(corpus_dir, "sigs", "v*"))
-        if os.path.exists(os.path.join(d, "_SUCCESS"))
-    )
-    if not dirs:
+    parts = _corpus_parts(corpus_dir, "sigs")
+    if not parts:
         return None
-    return spark.read.parquet(*dirs)
+    return spark.read.parquet(*parts)
 
 
 def start_corpus_dedup_admission(
@@ -968,3 +970,106 @@ def start_corpus_dedup_admission(
     if trigger_available_now:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+def _latest_base(corpus_dir: str, kind: str) -> tuple[str | None, int]:
+    """Newest committed compaction base for ``kind`` ('docs'|'sigs'):
+    (path, through-batch-id), or (None, -1). A base is committed iff its
+    directory rename completed — the _THROUGH file is written inside the
+    temp dir BEFORE the atomic rename, so its presence plus the final
+    name is the whole commit."""
+    import glob
+
+    best, through = None, -1
+    for d in glob.glob(os.path.join(corpus_dir, kind, "base_v*")):
+        name = os.path.basename(d)
+        if name.endswith("_tmp"):
+            continue
+        t = int(name[len("base_v"):])
+        if t > through and os.path.exists(os.path.join(d, "_THROUGH")):
+            best, through = d, t
+    return best, through
+
+
+def _committed_versions(corpus_dir: str, above: int) -> list[tuple[int, str]]:
+    """Delta versions v{i} with i > ``above`` whose batch committed (sig
+    _SUCCESS marker)."""
+    import glob
+
+    out = []
+    for d in glob.glob(os.path.join(corpus_dir, "docs", "v*")):
+        i = int(os.path.basename(d)[1:])
+        if i > above and os.path.exists(
+            os.path.join(corpus_dir, "sigs", f"v{i}", "_SUCCESS")
+        ):
+            out.append((i, d))
+    return sorted(out)
+
+
+def compact_corpus(
+    spark: SparkSession,
+    corpus_dir: str,
+    min_versions: int = 8,
+    vacuum: bool = True,
+) -> int:
+    """Fold committed admission deltas into a single base per side — the
+    LSM/Delta-checkpoint move that keeps read_corpus from unioning an
+    ever-growing list of per-micro-batch directories (the streaming
+    small-files problem; see compact_parquet_dir for the event-log
+    flavor).
+
+    Commit protocol (crash-safe at every step):
+      1. write merged parquet + a _THROUGH marker into base_v{N}_tmp
+         (N = highest merged batch id);
+      2. os.rename to base_v{N} — atomic; this IS the commit;
+      3. vacuum: delete merged delta dirs and older bases.
+    Readers (read_corpus/_read_sigs) take the newest committed base plus
+    only deltas ABOVE its _THROUGH id — so a crash after (2) but before
+    (3) double-counts nothing: the stale deltas are ≤ N and skipped; the
+    next compaction retries the vacuum. Returns the number of deltas
+    folded (0 = below min_versions, nothing done)."""
+    import shutil
+
+    _, through = _latest_base(corpus_dir, "docs")
+    versions = _committed_versions(corpus_dir, through)
+    if len(versions) < min_versions:
+        return 0
+    new_through = versions[-1][0]
+    for kind in ("docs", "sigs"):
+        base, _ = _latest_base(corpus_dir, kind)
+        parts = ([base] if base else []) + [
+            os.path.join(corpus_dir, kind, f"v{i}") for i, _ in versions
+        ]
+        tmp = os.path.join(corpus_dir, kind, f"base_v{new_through}_tmp")
+        final = os.path.join(corpus_dir, kind, f"base_v{new_through}")
+        spark.read.parquet(*parts).write.mode("overwrite").parquet(tmp)
+        with open(os.path.join(tmp, "_THROUGH"), "w") as f:
+            f.write(str(new_through))
+        if os.path.exists(final):
+            shutil.rmtree(final)
+        os.rename(tmp, final)  # the commit point
+    if vacuum:
+        vacuum_corpus(corpus_dir)
+    return len(versions)
+
+
+def vacuum_corpus(corpus_dir: str) -> None:
+    """Delete delta dirs already folded into the newest base, and bases
+    older than the newest — safe to re-run any time (readers never look
+    at either)."""
+    import glob
+    import shutil
+
+    for kind in ("docs", "sigs"):
+        newest, through = _latest_base(corpus_dir, kind)
+        if newest is None:
+            continue
+        for d in glob.glob(os.path.join(corpus_dir, kind, "v*")):
+            if int(os.path.basename(d)[1:]) <= through:
+                shutil.rmtree(d, ignore_errors=True)
+        for d in glob.glob(os.path.join(corpus_dir, kind, "base_v*")):
+            name = os.path.basename(d)
+            if name.endswith("_tmp") or (
+                d != newest and int(name[len("base_v"):]) < through
+            ):
+                shutil.rmtree(d, ignore_errors=True)

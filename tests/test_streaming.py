@@ -1013,3 +1013,64 @@ class TestCorpusDedupAdmission:
         sda(stream, corpus_dir, run_again_ckpt, threshold=0.5).awaitTermination()
         got3 = [r.doc_id for r in read_corpus(spark, corpus_dir).collect()]
         assert sorted(got3) == sorted(got2), got3
+
+    def test_compaction_folds_versions_without_double_count(self, spark, tmp_path):
+        """compact_corpus folds committed deltas into a base; readers see
+        the same corpus before and after, stale deltas left by a crash
+        between commit and vacuum are skipped (not double-counted), and
+        admission keeps working on top of a compacted corpus."""
+        import glob
+
+        from simple_cdc_service_spark.streaming.pipeline import (
+            compact_corpus,
+            read_corpus,
+            start_corpus_dedup_admission,
+            vacuum_corpus,
+        )
+
+        src = str(tmp_path / "src")
+        corpus_dir = str(tmp_path / "corpus")
+        ckpt = str(tmp_path / "ckpt")
+        os.makedirs(src)
+
+        texts = {
+            1: "alpha document about rivers and old mills turning slowly in the current",
+            2: "beta document describing compaction strategies for log structured storage",
+            3: "gamma document on falconry and the patience required to train wild birds",
+        }
+
+        def feed_and_run(name, rows):
+            with open(os.path.join(src, name), "w") as f:
+                for did, text in rows:
+                    f.write(json.dumps({"doc_id": did, "text": text}) + "\n")
+            stream = spark.readStream.schema("doc_id long, text string").json(src)
+            start_corpus_dedup_admission(
+                stream, corpus_dir, ckpt, threshold=0.5
+            ).awaitTermination()
+
+        for i, (did, text) in enumerate(texts.items()):
+            feed_and_run(f"b{i}.json", [(did, text)])
+        before = {r.doc_id for r in read_corpus(spark, corpus_dir).collect()}
+        assert before == {1, 2, 3}
+
+        # crash window: base committed, vacuum skipped — deltas linger
+        folded = compact_corpus(spark, corpus_dir, min_versions=2, vacuum=False)
+        assert folded == 3
+        assert glob.glob(os.path.join(corpus_dir, "docs", "v*")), "deltas linger"
+        again = [r.doc_id for r in read_corpus(spark, corpus_dir).collect()]
+        assert sorted(again) == [1, 2, 3], f"double count: {again}"
+
+        vacuum_corpus(corpus_dir)
+        assert not glob.glob(os.path.join(corpus_dir, "docs", "v*"))
+        assert sorted(
+            r.doc_id for r in read_corpus(spark, corpus_dir).collect()
+        ) == [1, 2, 3]
+
+        # admission continues on the compacted corpus: dup of doc 1
+        # rejected (signatures survived the fold), novel doc admitted
+        feed_and_run("b4.json", [
+            (10, texts[1] + " tail"),
+            (11, "novel text about tidal turbines spinning in northern estuaries"),
+        ])
+        final = {r.doc_id for r in read_corpus(spark, corpus_dir).collect()}
+        assert final == {1, 2, 3, 11}, final
