@@ -895,8 +895,20 @@ def start_corpus_dedup_admission(
 
     Per micro-batch of (doc_id, text):
       1. WITHIN-batch near-dups collapse first (MinHash-LSH + exact
-         Jaccard; min doc_id survives) — two copies arriving together
-         must not both pass;
+         Jaccard; ONE survivor — the min doc_id — per CONNECTED
+         COMPONENT of the verified-pair graph, via dup_clusters). This
+         is deliberate cluster-representative semantics, the standard
+         transitive policy for training-corpus dedup: on a chain a~b,
+         b~c with a !~ c, the whole chain collapses to a (c is dropped
+         even though its direct dup b was also dropped — transitivity
+         treats the chain as one template family). The earlier
+         pairwise-loser rule (drop greatest of each pair) reached the
+         same result on chains but kept docs whose only smaller verified
+         partner was itself dropped in e.g. (1,3),(2,3) — an accidental,
+         undocumented middle ground between pairwise and cluster
+         semantics; it is replaced, not documented, because
+         one-survivor-per-cluster is the semantics the batch operators
+         (dedup_clusters) already expose;
       2. survivors probe the accumulated signature store (banded MinHash
          over all previously ADMITTED docs) and verify exact Jaccard
          against only the candidate-matched corpus docs — per-batch cost
@@ -913,6 +925,7 @@ def start_corpus_dedup_admission(
     for per-batch atomicity + replay idempotence, which streaming needs;
     AQE still broadcasts the small incoming band frame in the probe."""
     from ..operators.dedup import (
+        dup_clusters,
         jaccard_verify_pairs,
         minhash_banded,
         minhash_dedup_pairs,
@@ -925,13 +938,19 @@ def start_corpus_dedup_admission(
         if os.path.exists(marker):
             return
         docs = batch_df.select("doc_id", "text").localCheckpoint(eager=True)
-        # 1. within-batch collapse (keep min id of each verified pair)
+        # 1. within-batch collapse: one survivor (min id) PER CONNECTED
+        # COMPONENT of the verified-pair graph — cluster-representative
+        # semantics (see docstring), replacing the ad-hoc drop-greatest-
+        # of-each-pair rule. dup_clusters is cheap here: in-batch
+        # components are tiny and the edge list is candidate-bounded.
         pairs = minhash_dedup_pairs(
             docs, n=n, k=k, bands=bands, threshold=threshold
         )
-        losers = pairs.select(
-            F.greatest("doc_id_a", "doc_id_b").alias("doc_id")
-        ).distinct()
+        losers = (
+            dup_clusters(pairs)
+            .filter(F.col("doc_id") != F.col("cluster_id"))
+            .select("doc_id")
+        )
         docs = docs.join(losers, "doc_id", "left_anti")
         # 2. cross-batch probe against the accumulated store
         sigs = _read_sigs(spark, corpus_dir)
@@ -991,13 +1010,19 @@ def _latest_base(corpus_dir: str, kind: str) -> tuple[str | None, int]:
     return best, through
 
 
-def _committed_versions(corpus_dir: str, above: int) -> list[tuple[int, str]]:
-    """Delta versions v{i} with i > ``above`` whose batch committed (sig
-    _SUCCESS marker)."""
+def _committed_versions(
+    corpus_dir: str, above: int, kind: str = "docs"
+) -> list[tuple[int, str]]:
+    """Delta versions v{i} of ``kind`` with i > ``above`` whose batch
+    committed (sig _SUCCESS marker). Enumerates the kind's OWN directory:
+    after a crash between the docs and sigs base renames the two sides
+    hold different delta sets (a later vacuum removes docs deltas the
+    docs base absorbed while the sigs copies must survive), so deriving
+    one side's fold list from the other's listing loses deltas."""
     import glob
 
     out = []
-    for d in glob.glob(os.path.join(corpus_dir, "docs", "v*")):
+    for d in glob.glob(os.path.join(corpus_dir, kind, "v*")):
         i = int(os.path.basename(d)[1:])
         if i > above and os.path.exists(
             os.path.join(corpus_dir, "sigs", f"v{i}", "_SUCCESS")
@@ -1030,16 +1055,27 @@ def compact_corpus(
     folded (0 = below min_versions, nothing done)."""
     import shutil
 
-    _, through = _latest_base(corpus_dir, "docs")
-    versions = _committed_versions(corpus_dir, through)
-    if len(versions) < min_versions:
+    # Fold lists are derived PER KIND from that kind's own committed base:
+    # after a crash between the docs rename and the sigs rename the docs
+    # base is ahead of the sigs base, and reusing the docs-derived list for
+    # sigs would exclude the sig deltas in (sigs_through, docs_through] —
+    # once a new sigs base committed past them, readers would skip them and
+    # vacuum would delete them (permanent signature loss). Each kind folds
+    # everything above its OWN through, so the next compaction after a
+    # crash heals the skew instead of baking it in.
+    pending = {
+        kind: _committed_versions(corpus_dir, _latest_base(corpus_dir, kind)[1], kind)
+        for kind in ("docs", "sigs")
+    }
+    if max(len(v) for v in pending.values()) < min_versions:
         return 0
-    new_through = versions[-1][0]
     for kind in ("docs", "sigs"):
+        versions = pending[kind]
+        if not versions:
+            continue
+        new_through = versions[-1][0]
         base, _ = _latest_base(corpus_dir, kind)
-        parts = ([base] if base else []) + [
-            os.path.join(corpus_dir, kind, f"v{i}") for i, _ in versions
-        ]
+        parts = ([base] if base else []) + [p for _, p in versions]
         tmp = os.path.join(corpus_dir, kind, f"base_v{new_through}_tmp")
         final = os.path.join(corpus_dir, kind, f"base_v{new_through}")
         spark.read.parquet(*parts).write.mode("overwrite").parquet(tmp)
@@ -1050,7 +1086,7 @@ def compact_corpus(
         os.rename(tmp, final)  # the commit point
     if vacuum:
         vacuum_corpus(corpus_dir)
-    return len(versions)
+    return max(len(v) for v in pending.values())
 
 
 def vacuum_corpus(corpus_dir: str) -> None:

@@ -1074,3 +1074,100 @@ class TestCorpusDedupAdmission:
         ])
         final = {r.doc_id for r in read_corpus(spark, corpus_dir).collect()}
         assert final == {1, 2, 3, 11}, final
+
+    def test_compaction_crash_between_docs_and_sigs_fold_loses_no_sigs(
+        self, spark, tmp_path
+    ):
+        """Crash window between the docs base rename and the sigs base
+        rename: the docs base is ahead of the sigs base. The next
+        compaction must fold each kind from its OWN through (not reuse the
+        docs-derived delta list for sigs), or the sig deltas in
+        (sigs_through, docs_through] are silently excluded, then vacuumed
+        — permanent signature loss, and future near-dups of those docs
+        would be admitted."""
+        import glob
+        import shutil
+
+        from simple_cdc_service_spark.streaming.pipeline import (
+            compact_corpus,
+            read_corpus,
+            start_corpus_dedup_admission,
+        )
+
+        src = str(tmp_path / "src")
+        corpus_dir = str(tmp_path / "corpus")
+        ckpt = str(tmp_path / "ckpt")
+        os.makedirs(src)
+
+        texts = {
+            1: "alpha document about rivers and old mills turning slowly in the current",
+            2: "beta document describing compaction strategies for log structured storage",
+            3: "gamma document on falconry and the patience required to train wild birds",
+        }
+
+        def feed_and_run(name, rows):
+            with open(os.path.join(src, name), "w") as f:
+                for did, text in rows:
+                    f.write(json.dumps({"doc_id": did, "text": text}) + "\n")
+            stream = spark.readStream.schema("doc_id long, text string").json(src)
+            start_corpus_dedup_admission(
+                stream, corpus_dir, ckpt, threshold=0.5
+            ).awaitTermination()
+
+        for i, (did, text) in enumerate(texts.items()):
+            feed_and_run(f"b{i}.json", [(did, text)])
+
+        # simulate the crash: run a full compaction (vacuum off), then rip
+        # out the sigs base — on-disk state is exactly "crashed after the
+        # docs rename, before the sigs rename": docs base_v2 committed,
+        # sigs side still all-deltas.
+        assert compact_corpus(spark, corpus_dir, min_versions=2, vacuum=False) == 3
+        for d in glob.glob(os.path.join(corpus_dir, "sigs", "base_v*")):
+            shutil.rmtree(d)
+
+        # next admission batch, then the healing compaction (with vacuum —
+        # the step that would have destroyed the skipped sig deltas)
+        feed_and_run("b3.json", [
+            (4, "delta document cataloguing moths drawn to the lighthouse lens at dusk"),
+        ])
+        folded = compact_corpus(spark, corpus_dir, min_versions=1, vacuum=True)
+        assert folded == 4, folded  # sigs side folds all 4, docs side only v3
+
+        # signatures for docs 1-3 must have survived into the new sigs
+        # base: a near-copy of doc 2 is rejected, novel text admitted
+        feed_and_run("b4.json", [
+            (20, texts[2] + " tail"),
+            (21, "novel text about tidal turbines spinning in northern estuaries"),
+        ])
+        final = {r.doc_id for r in read_corpus(spark, corpus_dir).collect()}
+        assert final == {1, 2, 3, 4, 21}, final
+
+    def test_within_batch_collapse_is_cluster_representative(
+        self, spark, tmp_path
+    ):
+        """Star/chain components collapse to ONE survivor (min id), the
+        documented cluster-representative policy. Shape (1,3),(2,3) with
+        1 !~ 2: the old pairwise drop-greatest rule kept {1, 2}; cluster
+        semantics keeps only the component min, {1}."""
+        from simple_cdc_service_spark.streaming.pipeline import (
+            read_corpus,
+            start_corpus_dedup_admission,
+        )
+
+        src = str(tmp_path / "src")
+        corpus_dir = str(tmp_path / "corpus")
+        ckpt = str(tmp_path / "ckpt")
+        os.makedirs(src)
+
+        a = "storms gather over the western ridge while shepherds count their flocks"
+        b = "quiet libraries archive forgotten letters between rival cartographers"
+        rows = [(1, a), (2, b), (3, a + " " + b)]
+        with open(os.path.join(src, "b0.json"), "w") as f:
+            for did, text in rows:
+                f.write(json.dumps({"doc_id": did, "text": text}) + "\n")
+        stream = spark.readStream.schema("doc_id long, text string").json(src)
+        start_corpus_dedup_admission(
+            stream, corpus_dir, ckpt, threshold=0.35, k=16, bands=16
+        ).awaitTermination()
+        got = {r.doc_id for r in read_corpus(spark, corpus_dir).collect()}
+        assert got == {1}, got
