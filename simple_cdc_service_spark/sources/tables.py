@@ -52,12 +52,47 @@ def _events_ts_to_ns_factor(path: str) -> int:
     driver-side metadata read, no data pages). The driver has shipped this
     column as INT64 TIMESTAMP(NANOS) in some rounds and timestamp[us] in
     others; both are physical int64, so we always read it as `long` and
-    scale to nanos by the footer-declared unit."""
+    scale to nanos by the footer-declared unit.
+
+    A plain int64 with NO timestamp annotation carries no unit at all —
+    assuming nanos would silently skew ts/ts_ms/ts_ns by 10^3-10^6 if the
+    driver ever ships unannotated epoch micros/millis. For that case the
+    unit is inferred from the footer's row-group min/max statistics (still
+    metadata-only): epoch values for years ~1973-2100 occupy disjoint
+    magnitude bands per unit (s ≈ 1e8-4.2e9, ms ≈ 1e11-4.2e12, us ≈
+    1e14-4.2e15, ns ≈ 1e17-4.2e18), so the band is unambiguous; anything
+    outside every band, or a footer without stats, raises instead of
+    guessing."""
     import pyarrow.parquet as pq
 
-    t = pq.ParquetFile(path).schema_arrow.field("ts").type
-    unit = getattr(t, "unit", "ns")  # plain int64 → assume nanos
-    return {"s": 1_000_000_000, "ms": 1_000_000, "us": 1_000, "ns": 1}[unit]
+    f = pq.ParquetFile(path)
+    t = f.schema_arrow.field("ts").type
+    unit = getattr(t, "unit", None)
+    factors = {"s": 1_000_000_000, "ms": 1_000_000, "us": 1_000, "ns": 1}
+    if unit is not None:
+        return factors[unit]
+    # unannotated int64: infer from column stats, fail loudly if implausible
+    idx = f.schema_arrow.get_field_index("ts")
+    lo, hi = None, None
+    for rg in range(f.metadata.num_row_groups):
+        st = f.metadata.row_group(rg).column(idx).statistics
+        if st is None or not st.has_min_max:
+            raise ValueError(
+                f"{path}: `ts` is unannotated int64 and the footer has no "
+                "min/max statistics — cannot determine the epoch unit; "
+                "refusing to guess (a wrong guess skews timestamps by 10^3+)"
+            )
+        lo = st.min if lo is None else min(lo, st.min)
+        hi = st.max if hi is None else max(hi, st.max)
+    bands = {"s": 1, "ms": 1_000, "us": 1_000_000, "ns": 1_000_000_000}
+    for u, scale in bands.items():
+        if 1e8 * scale <= lo and hi <= 4.2e9 * scale:
+            return factors[u]
+    raise ValueError(
+        f"{path}: `ts` is unannotated int64 with range [{lo}, {hi}], which "
+        "maps to no plausible epoch unit (s/ms/us/ns for years ~1973-2100) "
+        "— refusing to guess"
+    )
 
 
 def load_events(spark: SparkSession, sf_dir: str | None = None) -> DataFrame:
