@@ -88,17 +88,33 @@ def kmeans_centroids(
     seed: int = 42,
     vec_col: str = "embedding",
     id_col: str = "vec_id",
+    max_train_rows: int | None = None,
 ) -> DataFrame:
     """Seeded pyspark.ml KMeans centroids — the production replacement for
-    the deterministic sample. Training is one MLlib job over the corpus;
-    the model's centers are a tiny driver-side list (n_centroids × dim)
-    re-parallelized for the broadcast assign join. Deterministic for a
-    fixed (seed, data, partitioning)."""
+    the deterministic sample. The model's centers are a tiny driver-side
+    list (n_centroids × dim) re-parallelized for the broadcast assign
+    join. Deterministic for a fixed (seed, data, partitioning).
+
+    Training is bounded, never full-corpus: the fit runs over a
+    deterministic seeded-hash-ranked sample capped at ``max_train_rows``
+    (default ``max(4096, 256 * n_centroids)`` — FAISS's train-size
+    heuristic of ~256 vectors per centroid). The rank + cap compiles to
+    TakeOrderedAndProject (same pattern as ``pq_train_codebooks``), so
+    index build cost is O(cap), not up-to-20 full corpus passes — at
+    100 TB the full-corpus fit this replaced would be the dominant cost
+    of building the IVF index for no recall benefit."""
     from pyspark.ml.clustering import KMeans
     from pyspark.ml.functions import array_to_vector
 
-    feats = corpus.select(
-        array_to_vector(as_double_array(F.col(vec_col))).alias("features")
+    cap = max_train_rows if max_train_rows is not None else max(4096, 256 * n_centroids)
+    feats = (
+        corpus.select(
+            as_double_array(F.col(vec_col)).alias("__v"),
+            F.xxhash64(F.col(id_col), F.lit(seed)).alias("__h"),
+        )
+        .orderBy("__h")
+        .limit(cap)
+        .select(array_to_vector(F.col("__v")).alias("features"))
     )
     model = KMeans(k=n_centroids, seed=seed, maxIter=20).fit(feats)
     rows = [
