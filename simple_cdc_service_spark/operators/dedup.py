@@ -51,13 +51,43 @@ def minhash_banded(
     k: int = 8,
     bands: int = 4,
     id_col: str = "doc_id",
+    family: str = "md5",
 ) -> DataFrame:
     """(id, band, band-value) rows of the banded MinHash signature —
     the unit the LSH bucket join runs on, and the thing a production
     pipeline PERSISTS per corpus (bucketed by (band, bv)) so later
     incremental batches can probe it without re-signaturing the corpus.
-    rows_per_band = k // bands."""
+    rows_per_band = k // bands.
+
+    ``family`` picks the hash family: "md5" (DuckDB-replicable, the
+    oracle-parity default) or "xxhash64" (JVM-native 64-bit hashes,
+    ~2× cheaper signatures — the production-bench path; no SQL oracle).
+    Exact duplicates collide under EITHER family (identical shingle sets
+    → identical signatures); near-dup candidate sets differ only through
+    ordinary per-family banding randomness."""
     r = k // bands
+    if family == "xxhash64":
+        from ..functions import minhash_signature_xx
+
+        sig = shingled.select(
+            F.col(id_col), minhash_signature_xx(F.col("shingles"), k).alias("sig")
+        )
+        return sig.select(
+            id_col,
+            F.explode(
+                F.array(
+                    *[
+                        F.struct(
+                            F.lit(b).alias("band"),
+                            F.concat_ws(
+                                "|", *[F.col("sig")[b * r + j] for j in range(r)]
+                            ).alias("bv"),
+                        )
+                        for b in range(bands)
+                    ]
+                )
+            ).alias("bb"),
+        ).select(id_col, "bb.band", "bb.bv")
     # Stage the per-group md5 arrays as real columns so each md5 pass runs
     # ONCE per row; the four 32-bit chunk minima per group are then cheap
     # substring scans. (CollapseProject keeps the staging: the hashed
@@ -97,10 +127,13 @@ def minhash_candidates(
     k: int = 8,
     bands: int = 4,
     id_col: str = "doc_id",
+    family: str = "md5",
 ) -> DataFrame:
     """LSH candidate pairs: docs sharing at least one band of the MinHash
     signature. Returns (doc_id_a, doc_id_b), a < b, distinct."""
-    return bucket_pairs(minhash_banded(shingled, k, bands, id_col), id_col=id_col)
+    return bucket_pairs(
+        minhash_banded(shingled, k, bands, id_col, family), id_col=id_col
+    )
 
 
 def bucket_pairs(
@@ -154,9 +187,13 @@ def minhash_dedup_pairs(
     text_col: str = "text",
     id_col: str = "doc_id",
     stage_shingles: bool = True,
+    family: str = "md5",
 ) -> DataFrame:
     """Full MinHash-LSH pipeline: shingle → sign → band-join candidates →
     verify with TRUE Jaccard on the shingle sets → threshold.
+
+    ``family``: MinHash hash family — "md5" (oracle-replicable default)
+    or "xxhash64" (~2× cheaper signatures; see minhash_banded).
 
     ``stage_shingles`` materializes the shingled corpus once
     (localCheckpoint) instead of recomputing it for the signature pass and
@@ -188,7 +225,7 @@ def minhash_dedup_pairs(
     sh = shingle_docs(df, n, text_col, id_col)
     if stage_shingles:
         sh = sh.localCheckpoint(eager=False)
-    cand = minhash_candidates(sh, k, bands, id_col)
+    cand = minhash_candidates(sh, k, bands, id_col, family)
     a = sh.select(F.col(id_col).alias("doc_id_a"), F.col("shingles").alias("__sh_a"))
     b = sh.select(F.col(id_col).alias("doc_id_b"), F.col("shingles").alias("__sh_b"))
     out = (

@@ -131,3 +131,42 @@ class TestIncrementalDedup:
         assert all(r.doc_id in (100, 101) for r in got), "only incoming ids flagged"
         assert all(r.doc_id != 101 for r in got), "unique incoming doc must pass"
         assert (4, 5) not in flagged and (5, 4) not in flagged
+
+
+class TestMinhashXxhashFamily:
+    """xxhash64 MinHash family: same pipeline, cheaper signatures. Exact
+    duplicates have identical shingle sets, hence identical signatures
+    under ANY hash family — every planted exact-dup pair must surface in
+    BOTH families' verified outputs, and the verified pair sets over a
+    planted-dup corpus must agree exactly."""
+
+    def _docs_with_exact_dups(self, spark):
+        base = [
+            f"document {i} charts the migration of cranes across the delta "
+            f"with unique token{i} and landmark{i} recorded at dawn"
+            for i in range(30)
+        ]
+        rows = [(i, t) for i, t in enumerate(base)]
+        rows += [(200 + i, base[i]) for i in range(8)]  # exact dups of 0..7
+        return spark.createDataFrame(rows, "doc_id long, text string")
+
+    def test_pair_set_equality_on_planted_duplicates(self, spark):
+        from simple_cdc_service_spark.operators.dedup import minhash_dedup_pairs
+
+        docs = self._docs_with_exact_dups(spark)
+        expected = {(i, 200 + i) for i in range(8)}
+        got = {}
+        for family in ("md5", "xxhash64"):
+            pairs = minhash_dedup_pairs(
+                docs, n=3, k=8, bands=4, threshold=0.99, family=family
+            )
+            got[family] = {(r.doc_id_a, r.doc_id_b) for r in pairs.collect()}
+        assert got["md5"] == expected, got["md5"]
+        assert got["xxhash64"] == expected, got["xxhash64"]
+
+    def test_registry_entry_runs(self, spark):
+        import __spark_entry__ as E
+
+        df = E.queries()["dedup_minhash_fast"](spark, "/root/testdata/sf0.001")
+        assert df.columns == ["doc_id_a", "doc_id_b", "jaccard"]
+        assert df.count() >= 0
