@@ -747,6 +747,26 @@ def dedup_minhash_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return minhash_dedup_pairs(_t(spark, sf_dir, "documents"), n=3, k=8, bands=4)
 
 
+@register("dedup_minhash_fast", oracle=None, headline=True)
+def dedup_minhash_fast_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E3 MinHash-LSH near-dup, xxhash64 family — the production-bench
+    variant of dedup_minhash. Identical pipeline shape (3-gram shingles →
+    8 hash minima → 4 bands of 2 → bucket candidates → true-Jaccard
+    verify) but signatures cost one JVM xxhash64 per (function,
+    shingle) instead of md5 hex + substring minima — md5 is ~half of
+    dedup_minhash's wall time and the whole signature cost at corpus
+    scale (NOTES). Rows-only for the driver (DuckDB has no xxhash64);
+    pair-set equality with the md5 family on planted exact duplicates is
+    pinned in tests (exact dups collide under any hash family), and the
+    threshold-verified output differs from md5 only by banding recall on
+    borderline candidates."""
+    from .operators.dedup import minhash_dedup_pairs
+
+    return minhash_dedup_pairs(
+        _t(spark, sf_dir, "documents"), n=3, k=8, bands=4, family="xxhash64"
+    )
+
+
 @register(
     "dedup_incremental",
     # Same md5-minhash banding as dedup_minhash, but candidates join the
@@ -2614,12 +2634,36 @@ def pivot_event_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("knn_bruteforce_pandas", oracle=None, headline=True)
+@register(
+    "knn_bruteforce_pandas",
+    # Same oracle as knn_bruteforce: both engine paths compute exact cosine
+    # top-k with identical round(...,6) and (cos desc, neighbor_id) tie-break,
+    # so the SQL oracle is shared verbatim.
+    oracle="""
+    WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+               FROM embeddings),
+    q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id < 5),
+    c AS (SELECT vec_id AS neighbor_id, v AS cv FROM e WHERE vec_id >= 5),
+    scored AS (
+        SELECT query_id, neighbor_id,
+               round(list_dot_product(qv, cv)
+                     / (sqrt(list_dot_product(qv, qv)) * sqrt(list_dot_product(cv, cv))),
+                     6) AS cos_sim
+        FROM q CROSS JOIN c
+    ),
+    r AS (SELECT *, CAST(row_number() OVER (
+              PARTITION BY query_id ORDER BY cos_sim DESC, neighbor_id) AS BIGINT) AS nn_rank
+          FROM scored)
+    SELECT query_id, neighbor_id, nn_rank, cos_sim FROM r WHERE nn_rank <= 10
+    """,
+    headline=True,
+)
 def knn_bruteforce_pandas_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """E4 exact top-k via Arrow-batched numpy matmul (the pandas-UDF
     counterpart of knn_bruteforce; same semantics, different engine path).
-    Rows-only for the driver; exact agreement with the expression version
-    is asserted in tests."""
+    Oracle-checked: identical rounding and tie-breaks to knn_bruteforce,
+    so the same DuckDB SQL verifies both engine paths; exact agreement
+    with the expression version is additionally asserted in tests."""
     from .operators.similarity import knn_bruteforce_pandas
     from .sources.tables import spread
 
@@ -4346,86 +4390,14 @@ def recursive_cte(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ===========================================================================
-# Registry ordering: SURVEY §2-mapped + headline queries FIRST.
+# Registry ordering: natural registration order, deliberately UN-curated.
 #
-# The driver's per-round CORRECTNESS gate checks a ~50-entry window of the
-# registry in ITERATION order (dict = insertion order); with 110+ entries
-# the window's membership would otherwise drift round to round. Reordering
-# here pins every SURVEY-critical and headline query into the checked
-# window deterministically — the long tail (all locally oracle-checked via
-# tools/check_oracle.py) follows after.
+# The external correctness gate samples a window of this registry in
+# iteration order (dict = insertion order). An earlier round reordered the
+# dict to pin a hand-picked set inside that window; that curated the
+# audited sample (flagged by review), so the reorder is removed: the gate's
+# window now falls wherever registration order puts it, and EVERY entry —
+# inside the window or not — is verified each round by the full-registry
+# sweep (`tools/check_oracle.py`, committed as CORRECTNESS_FULL_r{N}.json)
+# and by `tools/verify_all.py`'s driver simulation over all entries.
 # ===========================================================================
-
-_GATE_FIRST = [
-    # SURVEY §2 reference surface (R1-R18)
-    "cdc_envelope_roundtrip",
-    "cdc_event_log",
-    "cdc_op_classify",
-    "cdc_snapshot",
-    "cdc_snapshot_asof",
-    "cdc_consistency_diff",
-    "cdc_incremental_agg",
-    "count_star",
-    "project_sort",
-    "topk_orders",
-    "filter_eq",
-    # SURVEY §2 extension surface (E1-E9)
-    "dedup_exact",
-    "dedup_minhash",
-    "dedup_ngram_jaccard",
-    "dedup_simhash",
-    "dedup_ngram_lsh",
-    "dedup_incremental",
-    "dedup_embedding",
-    "dedup_embedding_lsh",
-    "dedup_minhash_ml",
-    "knn_bruteforce",
-    "knn_bruteforce_pandas",
-    "knn_ivf",
-    "knn_ivf_kmeans",
-    "knn_pq",
-    "knn_lsh_ml",
-    "quality_outliers",
-    "approx_distinct",
-    "text_tokens",
-    "text_quality",
-    "lang_id",
-    "doc_fingerprint",
-    "text_tokens_bpe",
-    "text_simhash",
-    "tfidf_top_terms",
-    "media_catalog",
-    "media_features",
-    "media_frames",
-    "window_tumbling",
-    "sessionize",
-    "json_extract_props",
-    "variant_extract",
-    # remaining headline bench set
-    "q1_pricing_summary",
-    "q3_shipping_priority",
-    "q5_region_revenue",
-    "q6_forecast_revenue",
-    "q8_market_share",
-    "q10_returned_items",
-    "asof_join_signup",
-    "contamination_check",
-    # round-3 extras: still early, but past the driver's ~50-entry
-    # correctness window so the VERDICT-mapped + headline core fits it
-    "window_sliding",
-    "rolling_range_7d",
-    "embedding_kmeans",
-]
-
-
-def _reorder_registry() -> None:
-    missing = [n for n in _GATE_FIRST if n not in REGISTRY]
-    assert not missing, f"_GATE_FIRST names drifted from REGISTRY: {missing}"
-    tail = [s for n, s in list(REGISTRY.items()) if n not in set(_GATE_FIRST)]
-    head = [REGISTRY[n] for n in _GATE_FIRST]
-    REGISTRY.clear()
-    for s in head + tail:
-        REGISTRY[s.name] = s
-
-
-_reorder_registry()
