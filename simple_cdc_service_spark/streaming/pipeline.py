@@ -881,6 +881,37 @@ def _read_sigs(spark: SparkSession, corpus_dir: str) -> DataFrame | None:
     return spark.read.parquet(*parts)
 
 
+def probe_corpus_sigs(
+    spark: SparkSession,
+    corpus_dir: str,
+    docs: DataFrame,
+    n: int = 3,
+    k: int = 8,
+    bands: int = 4,
+) -> DataFrame | None:
+    """Candidate (doc_id_new, dup_of) pairs: the incoming batch is
+    shingled + signed fresh (O(batch) map work) and joined on (band, bv)
+    against the accumulated signature store — compaction base plus
+    committed deltas. The batch's band frame is the SMALL side, so AQE
+    broadcasts it onto the store scan: the store side (the 100 TB-scaled
+    side, base included post-compaction) never shuffles — pinned in
+    test_sinks.py against a compacted+vacuumed layout. Returns None when
+    no store exists yet (first batch)."""
+    from ..operators.dedup import minhash_banded, shingle_docs
+
+    sigs = _read_sigs(spark, corpus_dir)
+    if sigs is None:
+        return None
+    banded_in = minhash_banded(
+        shingle_docs(docs, n), k, bands
+    ).withColumnRenamed("doc_id", "doc_id_new")
+    return (
+        banded_in.join(sigs.withColumnRenamed("doc_id", "dup_of"), ["band", "bv"])
+        .select("doc_id_new", "dup_of")
+        .distinct()
+    )
+
+
 def start_corpus_dedup_admission(
     stream: DataFrame,
     corpus_dir: str,
@@ -953,18 +984,10 @@ def start_corpus_dedup_admission(
         )
         docs = docs.join(losers, "doc_id", "left_anti")
         # 2. cross-batch probe against the accumulated store
-        sigs = _read_sigs(spark, corpus_dir)
+        cand0 = probe_corpus_sigs(spark, corpus_dir, docs, n, k, bands)
         corpus = read_corpus(spark, corpus_dir)
-        if sigs is not None and corpus is not None:
-            banded_in = minhash_banded(
-                shingle_docs(docs, n), k, bands
-            ).withColumnRenamed("doc_id", "doc_id_new")
-            cand = (
-                banded_in.join(sigs.withColumnRenamed("doc_id", "dup_of"), ["band", "bv"])
-                .select("doc_id_new", "dup_of")
-                .distinct()
-                .localCheckpoint(eager=False)
-            )
+        if cand0 is not None and corpus is not None:
+            cand = cand0.localCheckpoint(eager=False)
             matched = corpus.join(
                 cand.select(F.col("dup_of").alias("doc_id")).distinct(),
                 "doc_id",

@@ -179,3 +179,59 @@ class TestSignatureStore:
         finally:
             spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
             spark.sql("DROP TABLE IF EXISTS sig_store_t")
+
+
+class TestCompactedSigStoreProbe:
+    def test_post_compaction_probe_leaves_store_unshuffled(self, spark, tmp_path):
+        """After compact_corpus + vacuum, the admission probe against the
+        folded signature base must still cost O(batch): the batch's band
+        frame is broadcast onto the store scan (BroadcastHashJoin), and
+        the store side pays NO (band, bv) exchange. Also pins that the
+        sigs side actually folded: the probe reads base_v* parquet, not
+        the vacuumed v* deltas."""
+        import json as _json
+        import os as _os
+        import re
+
+        from simple_cdc_service_spark.streaming.pipeline import (
+            compact_corpus,
+            probe_corpus_sigs,
+            start_corpus_dedup_admission,
+        )
+
+        src = str(tmp_path / "src")
+        corpus_dir = str(tmp_path / "corpus")
+        ckpt = str(tmp_path / "ckpt")
+        _os.makedirs(src)
+        texts = {
+            1: "alpha document about rivers and old mills turning slowly in the current",
+            2: "beta document describing compaction strategies for log structured storage",
+            3: "gamma document on falconry and the patience required to train wild birds",
+        }
+        for i, (did, text) in enumerate(texts.items()):
+            with open(_os.path.join(src, f"b{i}.json"), "w") as f:
+                f.write(_json.dumps({"doc_id": did, "text": text}) + "\n")
+            stream = spark.readStream.schema("doc_id long, text string").json(src)
+            start_corpus_dedup_admission(
+                stream, corpus_dir, ckpt, threshold=0.5
+            ).awaitTermination()
+
+        assert compact_corpus(spark, corpus_dir, min_versions=2, vacuum=True) == 3
+        assert _os.path.exists(
+            _os.path.join(corpus_dir, "sigs", "base_v2", "_THROUGH")
+        ), "sigs side did not fold"
+
+        batch = spark.createDataFrame(
+            [(99, "delta document cataloguing moths drawn to the lighthouse lens")],
+            "doc_id long, text string",
+        )
+        cand = probe_corpus_sigs(spark, corpus_dir, batch)
+        plan = plan_string(cand)
+        # store side folded: scan reads the compacted base, no delta dirs
+        assert "base_v2" in plan, plan
+        assert not re.search(r"sigs/v\d", plan), plan
+        # no (band, bv) shuffle anywhere: the store never repartitions and
+        # the batch side ships by broadcast, not exchange
+        assert not re.search(r"hashpartitioning\(band", plan), plan
+        assert "BroadcastHashJoin" in plan or "BroadcastExchange" in plan, plan
+        assert cand.count() == 0  # novel doc: no candidates

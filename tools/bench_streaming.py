@@ -67,5 +67,81 @@ def main(n_events: int = 50_000, chunks: int = 5) -> None:
     spark.stop()
 
 
+def bench_admission(n_docs: int = 5_000, chunks: int = 5, dup_fraction: float = 0.1) -> None:
+    """Corpus-admission throughput: feed the sf0.1 documents table through
+    start_corpus_dedup_admission in K micro-batch cycles (within-batch
+    collapse → signature-store probe → bounded verify → versioned commit)
+    and print docs/sec. ``dup_fraction`` of each later chunk re-sends
+    near-copies of earlier docs so the cross-batch probe/verify path does
+    real work instead of short-circuiting on zero candidates."""
+    import duckdb
+
+    from simple_cdc_service_spark.streaming.pipeline import (
+        read_corpus,
+        start_corpus_dedup_admission,
+    )
+
+    spark = get_spark("bench-admission")
+    spark.sparkContext.setLogLevel("ERROR")
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    rows = duckdb.connect().execute(
+        f"SELECT doc_id, text FROM read_parquet('{sf_dir}/documents.parquet') "
+        f"ORDER BY doc_id LIMIT {n_docs}"
+    ).fetchall()
+    d = tempfile.mkdtemp()
+    src, corpus_dir, ckpt = f"{d}/src", f"{d}/corpus", f"{d}/ckpt"
+    os.makedirs(src)
+    per = len(rows) // chunks
+    n_dup = int(per * dup_fraction)
+    load_start = os.getloadavg()[0]
+    batch_secs = []
+    total_fed = 0
+    t0 = time.perf_counter()
+    for c in range(chunks):
+        lo, hi = c * per, (c + 1) * per if c < chunks - 1 else len(rows)
+        with open(f"{src}/c{c}.json", "w") as f:
+            for did, text in rows[lo:hi]:
+                f.write(json.dumps({"doc_id": did, "text": text}) + "\n")
+                total_fed += 1
+            if c > 0:  # near-copies of the previous chunk's head
+                for did, text in rows[(c - 1) * per : (c - 1) * per + n_dup]:
+                    f.write(json.dumps(
+                        {"doc_id": 1_000_000 * c + did, "text": text + " tail"}
+                    ) + "\n")
+                    total_fed += 1
+        tb = time.perf_counter()
+        stream = spark.readStream.schema("doc_id long, text string").json(src)
+        start_corpus_dedup_admission(
+            stream, corpus_dir, ckpt, threshold=0.6
+        ).awaitTermination()
+        batch_secs.append(round(time.perf_counter() - tb, 2))
+    wall = time.perf_counter() - t0
+    corpus = read_corpus(spark, corpus_dir)
+    admitted = corpus.count()
+    # every planted near-copy (doc_id >= 1e6) must have been rejected by
+    # the store probe; the documents table also contains GENUINE near-dups
+    # (the same pairs dedup_minhash reports), which admission rightly
+    # rejects too — so admitted < docs_fed even with perfect planting.
+    planted_admitted = corpus.filter("doc_id >= 1000000").count()
+    print(json.dumps({
+        "metric": "admission_docs_per_sec",
+        "value": round(total_fed / wall, 1),
+        "unit": "docs/sec",
+        "docs_fed": total_fed,
+        "docs_admitted": admitted,
+        "planted_dups_all_rejected": planted_admitted == 0,
+        "planted_dups_admitted": planted_admitted,
+        "micro_batches": chunks,
+        "wall_sec": round(wall, 2),
+        "batch_sec": batch_secs,
+        "loadavg_start": round(load_start, 1),
+        "loadavg_end": round(os.getloadavg()[0], 1),
+    }))
+    spark.stop()
+
+
 if __name__ == "__main__":
-    main()
+    if len(sys.argv) > 1 and sys.argv[1] == "admission":
+        bench_admission()
+    else:
+        main()
