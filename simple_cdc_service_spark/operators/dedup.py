@@ -519,6 +519,57 @@ def embedding_dup_pairs(
     )
 
 
+def semantic_dup_pairs(
+    df: DataFrame,
+    threshold: float = 0.95,
+    n_clusters: int = 16,
+    seed: int = 42,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """SemDeDup-style semantic near-dup: cluster the embedding space with
+    seeded k-means, then compare pairs only WITHIN each cluster (the
+    published semantic-dedup recipe: Abbas et al. 2023, "SemDeDup: Data-
+    efficient learning at web-scale through semantic deduplication" —
+    public arXiv method, re-expressed as DataFrame ops).
+
+    Scale shape: centroid training is O(cap) (bounded seeded sample,
+    kmeans_centroids); assignment is one broadcast-centroids map pass
+    (ivf_assign, nprobe=1); the quadratic term is bounded by the largest
+    CLUSTER, not the corpus — identical cost structure to the
+    LSH-bucketed variant but with semantically meaningful blocks, which
+    is what lets a high cosine threshold inside a block stand in for
+    all-pairs cosine over the corpus. Near-dup pairs that straddle a
+    cluster boundary are missed — the standard SemDeDup trade-off;
+    raise n_clusters for tighter blocks (cost) or lower it for recall.
+    Returns (vec_id_a, vec_id_b, cos_sim) with a < b."""
+    from .similarity import ivf_assign, kmeans_centroids
+
+    cents = kmeans_centroids(df, n_clusters, seed, vec_col, id_col)
+    assigned = ivf_assign(df, cents, vec_col, id_col)  # (id, centroid_id, v)
+    a = assigned.select(
+        F.col(id_col).alias("vec_id_a"), "centroid_id", F.col("v").alias("va")
+    )
+    b = assigned.select(
+        F.col(id_col).alias("vec_id_b"),
+        F.col("centroid_id").alias("cid_b"),
+        F.col("v").alias("vb"),
+    )
+    return (
+        a.join(
+            b,
+            (F.col("centroid_id") == F.col("cid_b"))
+            & (F.col("vec_id_a") < F.col("vec_id_b")),
+        )
+        .select(
+            "vec_id_a",
+            "vec_id_b",
+            F.round(cosine(F.col("va"), F.col("vb")), 6).alias("cos_sim"),
+        )
+        .filter(F.col("cos_sim") >= threshold)
+    )
+
+
 def dup_clusters(pairs: DataFrame, a_col: str = "doc_id_a", b_col: str = "doc_id_b") -> DataFrame:
     """Near-dup pairs → connected components → (doc_id, cluster_id) with
     cluster_id = min doc id in the component (the canonical survivor).

@@ -944,6 +944,41 @@ def dedup_embedding_lsh_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return embedding_dup_pairs_lsh(emb.unionByName(planted), threshold=0.98)
 
 
+@register("knn_ivfpq", oracle=None)
+def knn_ivfpq_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E4 production ANN composition: IVF coarse lists bound which vectors
+    are scored (nprobe=8 of 16), PQ codes bound bytes per scored vector,
+    exact cosine re-rank over the 50-candidate shortlist restores ranking.
+    Rows-only: approximate by construction; recall floor vs brute force is
+    pinned in tests (same protocol as knn_ivf_kmeans / knn_pq)."""
+    from .operators.similarity import knn_ivfpq
+
+    emb = _t(spark, sf_dir, "embeddings")
+    return knn_ivfpq(
+        emb.filter(F.col("vec_id") >= 5),
+        emb.filter(F.col("vec_id") < 5),
+        k=10, n_centroids=16, nprobe=8, rerank=50,
+    )
+
+
+@register("dedup_semantic", oracle=None)
+def dedup_semantic_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup-style semantic dedup: seeded k-means clusters block the
+    pairwise cosine (quadratic term bounded by the largest cluster, not
+    the corpus). Same planted-duplicate protocol as dedup_embedding_lsh:
+    exact copies of vec_id < 50 at +1e6 must all be recovered at
+    cos ≥ 0.98 — asserted in tests (an exact copy always lands in its
+    original's cluster). Rows-only for the driver: seeded k-means
+    blocking is not SQL-replicable."""
+    from .operators.dedup import semantic_dup_pairs
+
+    emb = _t(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    planted = emb.filter(F.col("vec_id") < 50).select(
+        (F.col("vec_id") + 1_000_000).alias("vec_id"), F.col("embedding")
+    )
+    return semantic_dup_pairs(emb.unionByName(planted), threshold=0.98)
+
+
 # ===========================================================================
 # Similarity search [EXT E4].
 # ===========================================================================

@@ -170,3 +170,37 @@ class TestMinhashXxhashFamily:
         df = E.queries()["dedup_minhash_fast"](spark, "/root/testdata/sf0.001")
         assert df.columns == ["doc_id_a", "doc_id_b", "jaccard"]
         assert df.count() >= 0
+
+
+class TestSemanticDedup:
+    """SemDeDup-style cluster-blocked embedding dedup: planted exact
+    copies must all be recovered (identical vectors share a cluster),
+    and the pair generation must stay cluster-bounded (no all-pairs)."""
+
+    def test_planted_duplicates_recovered(self, spark):
+        import __spark_entry__ as E
+
+        df = E.queries()["dedup_semantic"](spark, "/root/testdata/sf0.001")
+        got = {(r.vec_id_a, r.vec_id_b) for r in df.collect()}
+        planted = {(i, 1_000_000 + i) for i in range(50)}
+        assert planted <= got, planted - got
+
+    def test_candidates_bounded_not_all_pairs(self, spark):
+        from simple_cdc_service_spark.operators.dedup import semantic_dup_pairs
+
+        emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+        n = emb.count()
+        # count pre-threshold candidate pairs by running with threshold=-1
+        cand = semantic_dup_pairs(emb, threshold=-1.0, n_clusters=16).count()
+        assert cand < n * (n - 1) / 2 * 0.5, (
+            f"{cand} candidate pairs vs {n*(n-1)//2} all-pairs — clustering "
+            "is not bounding the quadratic term"
+        )
+
+    def test_deterministic(self, spark):
+        from simple_cdc_service_spark.operators.dedup import semantic_dup_pairs
+
+        emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+        a = sorted(map(tuple, semantic_dup_pairs(emb, 0.5).collect()))
+        b = sorted(map(tuple, semantic_dup_pairs(emb, 0.5).collect()))
+        assert a == b

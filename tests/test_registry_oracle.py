@@ -142,6 +142,31 @@ class TestApproxVariants:
         }
         assert len(bf & pq) / len(bf) >= 0.7
 
+    def test_knn_ivfpq_recall_floor(self, spark):
+        """IVF+PQ composition: recall is bounded by the IVF probe (uniform
+        random vectors, IVF's worst case — nprobe=8 of 16 lists caps
+        recall near the probed fraction) times the PQ shortlist. Measured
+        0.5 at this sf, deterministic; floor at 0.45 so a probe-mask or
+        codebook regression shows."""
+        from simple_cdc_service_spark.registry import REGISTRY
+
+        bf = {
+            (r.query_id, r.neighbor_id)
+            for r in REGISTRY["knn_bruteforce"].fn(spark, SF_DIR).collect()
+        }
+        ap = {
+            (r.query_id, r.neighbor_id)
+            for r in REGISTRY["knn_ivfpq"].fn(spark, SF_DIR).collect()
+        }
+        assert len(bf & ap) / len(bf) >= 0.45
+
+    def test_knn_ivfpq_deterministic(self, spark):
+        from simple_cdc_service_spark.registry import REGISTRY
+
+        a = [tuple(r) for r in REGISTRY["knn_ivfpq"].fn(spark, SF_DIR).collect()]
+        b = [tuple(r) for r in REGISTRY["knn_ivfpq"].fn(spark, SF_DIR).collect()]
+        assert sorted(a) == sorted(b)
+
     def test_knn_pq_deterministic(self, spark):
         from simple_cdc_service_spark.registry import REGISTRY
 
