@@ -69,11 +69,17 @@ def compare(name: str, s: pd.DataFrame, o: pd.DataFrame) -> list[str]:
 
 def main() -> int:
     args = sys.argv[1:]
+    json_out = None
+    if "--json" in args:
+        i = args.index("--json")
+        json_out = args[i + 1]
+        del args[i : i + 2]
     sf_dir = args.pop(0) if args and "/" in args[0] else "/root/testdata/sf0.01"
     names = args or list(REGISTRY)
     spark = get_spark("check-oracle")
     con = oracle_con(sf_dir)
     failed = []
+    results: dict[str, dict] = {}
     for name in names:
         spec = REGISTRY[name]
         t0 = time.time()
@@ -82,17 +88,35 @@ def main() -> int:
         except Exception as e:  # noqa: BLE001
             print(f"FAIL {name}: spark error: {e}")
             failed.append(name)
+            results[name] = {"rows_match": None, "schema_match": None,
+                             "hash_match": None, "spark_rows": None,
+                             "oracle_rows": None, "err": f"spark: {e}"[:300]}
             continue
         if spec.oracle is None:
             print(f"ok?  {name}: rows-only check, {len(sdf)} rows ({time.time()-t0:.1f}s)")
+            results[name] = {"rows_match": None, "schema_match": None,
+                             "hash_match": None, "spark_rows": len(sdf),
+                             "oracle_rows": None, "err": None,
+                             "note": "no_oracle (rows-only)"}
             continue
         try:
             odf = con.execute(spec.oracle).df()
         except Exception as e:  # noqa: BLE001
             print(f"FAIL {name}: oracle error: {e}")
             failed.append(name)
+            results[name] = {"rows_match": None, "schema_match": None,
+                             "hash_match": None, "spark_rows": len(sdf),
+                             "oracle_rows": None, "err": f"oracle: {e}"[:300]}
             continue
         probs = compare(name, sdf, odf)
+        results[name] = {
+            "rows_match": len(sdf) == len(odf),
+            "schema_match": sorted(sdf.columns) == sorted(odf.columns),
+            "hash_match": not probs,
+            "spark_rows": len(sdf),
+            "oracle_rows": len(odf),
+            "err": "; ".join(probs)[:300] or None,
+        }
         if probs:
             print(f"FAIL {name} ({len(sdf)} rows):")
             for p in probs:
@@ -101,6 +125,12 @@ def main() -> int:
         else:
             print(f"PASS {name}: {len(sdf)} rows ({time.time()-t0:.1f}s)")
     print(f"\n{len(names)-len(failed)}/{len(names)} passed")
+    if json_out:
+        import json as _json
+
+        with open(json_out, "w") as f:
+            _json.dump(results, f, indent=1)
+        print(f"wrote {json_out}")
     return 1 if failed else 0
 
 
