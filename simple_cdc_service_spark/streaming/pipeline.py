@@ -888,6 +888,7 @@ def probe_corpus_sigs(
     n: int = 3,
     k: int = 8,
     bands: int = 4,
+    family: str = "md5",
 ) -> DataFrame | None:
     """Candidate (doc_id_new, dup_of) pairs: the incoming batch is
     shingled + signed fresh (O(batch) map work) and joined on (band, bv)
@@ -903,7 +904,7 @@ def probe_corpus_sigs(
     if sigs is None:
         return None
     banded_in = minhash_banded(
-        shingle_docs(docs, n), k, bands
+        shingle_docs(docs, n), k, bands, family=family
     ).withColumnRenamed("doc_id", "doc_id_new")
     return (
         banded_in.join(sigs.withColumnRenamed("doc_id", "dup_of"), ["band", "bv"])
@@ -921,6 +922,7 @@ def start_corpus_dedup_admission(
     bands: int = 4,
     threshold: float = 0.6,
     trigger_available_now: bool = True,
+    family: str = "md5",
 ):
     """Streaming corpus admission with incremental near-dup gating.
 
@@ -954,7 +956,13 @@ def start_corpus_dedup_admission(
     The version-dir signature layout trades the bucketed store's
     shuffle-free probe (persist_signature_store — the batch-mode path)
     for per-batch atomicity + replay idempotence, which streaming needs;
-    AQE still broadcasts the small incoming band frame in the probe."""
+    AQE still broadcasts the small incoming band frame in the probe.
+
+    ``family`` picks the MinHash hash family ("md5" default, "xxhash64"
+    production — see minhash_banded) and MUST stay uniform for the
+    lifetime of a corpus_dir: the probe signatures have to match the
+    stored ones, so switching families on an existing store silently
+    disables cross-batch dedup."""
     from ..operators.dedup import (
         dup_clusters,
         jaccard_verify_pairs,
@@ -975,7 +983,7 @@ def start_corpus_dedup_admission(
         # of-each-pair rule. dup_clusters is cheap here: in-batch
         # components are tiny and the edge list is candidate-bounded.
         pairs = minhash_dedup_pairs(
-            docs, n=n, k=k, bands=bands, threshold=threshold
+            docs, n=n, k=k, bands=bands, threshold=threshold, family=family
         )
         losers = (
             dup_clusters(pairs)
@@ -984,7 +992,7 @@ def start_corpus_dedup_admission(
         )
         docs = docs.join(losers, "doc_id", "left_anti")
         # 2. cross-batch probe against the accumulated store
-        cand0 = probe_corpus_sigs(spark, corpus_dir, docs, n, k, bands)
+        cand0 = probe_corpus_sigs(spark, corpus_dir, docs, n, k, bands, family)
         corpus = read_corpus(spark, corpus_dir)
         if cand0 is not None and corpus is not None:
             cand = cand0.localCheckpoint(eager=False)
@@ -1002,7 +1010,7 @@ def start_corpus_dedup_admission(
         docs.write.mode("overwrite").parquet(
             os.path.join(corpus_dir, "docs", f"v{batch_id}")
         )
-        minhash_banded(shingle_docs(docs, n), k, bands).write.mode(
+        minhash_banded(shingle_docs(docs, n), k, bands, family=family).write.mode(
             "overwrite"
         ).parquet(os.path.join(corpus_dir, "sigs", f"v{batch_id}"))
 

@@ -46,3 +46,73 @@ def test_collapse_equals_sequential_replay(spark, events):
     # differs subtly: a delete of key k ONLY erases if no later upsert —
     # both semantics agree because collapse keeps the LATEST event per key.
     assert got == expected
+
+
+# ---------------------------------------------------------------------------
+# As-of join property: for ANY (left, right) event sets, the union+window
+# composition must equal the brute-force python definition — "the right row
+# with the greatest ts strictly below the left ts, per key" — including
+# ties, duplicate right timestamps (latest-wins pre-dedup), and keys with
+# no right rows at all.
+# ---------------------------------------------------------------------------
+
+asof_left = st.lists(
+    st.tuples(
+        st.integers(min_value=0, max_value=4),    # key
+        st.integers(min_value=0, max_value=50),   # ts
+    ),
+    max_size=30,
+)
+asof_right = st.lists(
+    st.tuples(
+        st.integers(min_value=0, max_value=4),    # key
+        st.integers(min_value=0, max_value=50),   # ts
+        st.integers(min_value=0, max_value=999),  # payload
+    ),
+    max_size=30,
+)
+
+
+def asof_reference(left, right):
+    # pre-dedup: one right row per (key, ts), max payload wins — matching
+    # the operator's max_by(ts) contract requires latest-by-ts; for equal
+    # (key, ts) max_by ties are broken arbitrarily in Spark, so make the
+    # payload unique per (key, ts) in the strategy instead (see caller).
+    out = []
+    for i, (k, ts) in enumerate(left):
+        cands = [(rts, p) for (rk, rts, p) in right if rk == k and rts < ts]
+        best = max(cands) if cands else None
+        out.append((i, k, ts, best[1] if best else None))
+    return out
+
+
+@given(asof_left, asof_right)
+@settings(max_examples=10, deadline=None)
+def test_asof_join_equals_bruteforce(spark, left, right):
+    from simple_cdc_service_spark.operators.temporal import asof_join
+
+    # make right payloads unique per (key, ts): keep only the max payload
+    dedup = {}
+    for k, ts, p in right:
+        dedup[(k, ts)] = max(p, dedup.get((k, ts), -1))
+    right = [(k, ts, p) for (k, ts), p in dedup.items()]
+
+    l_rows = [(i, k, ts) for i, (k, ts) in enumerate(left)]
+    ldf = spark.createDataFrame(l_rows or [(0, 0, 0)], "lid long, k long, ts long")
+    if not l_rows:
+        ldf = ldf.limit(0)
+    rdf = spark.createDataFrame(
+        right or [(0, 0, 0)], "k long, ts long, payload long"
+    )
+    if not right:
+        rdf = rdf.limit(0)
+    got = {
+        (r.lid, r.k, r.ts, r.asof_payload)
+        for r in asof_join(
+            ldf, rdf, key="k", ts="ts", right_cols=["payload"], strict=True
+        ).collect()
+    }
+    want = {
+        (i, k, ts, p) for (i, k, ts, p) in asof_reference(left, right)
+    }
+    assert got == want

@@ -1171,3 +1171,35 @@ class TestCorpusDedupAdmission:
         ).awaitTermination()
         got = {r.doc_id for r in read_corpus(spark, corpus_dir).collect()}
         assert got == {1}, got
+
+    def test_admission_xxhash_family_end_to_end(self, spark, tmp_path):
+        """family="xxhash64" flows through collapse, store write, and
+        probe: a near-copy arriving in a later batch must be rejected
+        against the xx-family signature store. (The family must stay
+        uniform per corpus_dir — probe signatures must match the stored
+        ones.)"""
+        from simple_cdc_service_spark.streaming.pipeline import (
+            read_corpus,
+            start_corpus_dedup_admission,
+        )
+
+        src = str(tmp_path / "src")
+        corpus_dir = str(tmp_path / "corpus")
+        ckpt = str(tmp_path / "ckpt")
+        os.makedirs(src)
+        t1 = "alpha document about rivers and old mills turning slowly in the current"
+        batches = [
+            [(1, t1)],
+            [(10, t1 + " tail"),  # near-copy of stored doc 1 → reject
+             (11, "novel text about tidal turbines spinning in northern estuaries")],
+        ]
+        for i, rows in enumerate(batches):
+            with open(os.path.join(src, f"b{i}.json"), "w") as f:
+                for did, text in rows:
+                    f.write(json.dumps({"doc_id": did, "text": text}) + "\n")
+            stream = spark.readStream.schema("doc_id long, text string").json(src)
+            start_corpus_dedup_admission(
+                stream, corpus_dir, ckpt, threshold=0.5, family="xxhash64"
+            ).awaitTermination()
+        got = {r.doc_id for r in read_corpus(spark, corpus_dir).collect()}
+        assert got == {1, 11}, got
