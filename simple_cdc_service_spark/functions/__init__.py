@@ -65,6 +65,18 @@ def word_ngrams(ws: Column, n: int) -> Column:
     )
 
 
+def word_ngrams_all(ws: Column, n: int) -> Column:
+    """ALL word n-gram spans in order, duplicates kept (one per start
+    position) — the position-level variant of ``word_ngrams`` used by
+    exact-substring-style dedup, where the fraction of duplicated
+    positions matters, not just the distinct shingle set."""
+    gram = F.transform(
+        F.sequence(F.lit(0), F.size(ws) - n),
+        lambda i: F.concat_ws(" ", F.slice(ws, i + 1, n)),
+    )
+    return F.when(F.size(ws) >= n, gram).otherwise(F.array().cast("array<string>"))
+
+
 def minhash_signature(shingles: Column, k: int) -> Column:
     """k-element MinHash signature, four hash functions per md5 call.
 

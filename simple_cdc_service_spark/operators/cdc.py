@@ -210,6 +210,59 @@ def snapshot_from_envelopes(parsed: DataFrame, cfg: ChangeTableConfig) -> DataFr
     return collapse_changelog(envelope_changelog(parsed, cfg), cfg)
 
 
+def scd2_history(
+    changelog: DataFrame,
+    key_cols: "tuple[str, ...]",
+    value_cols: "tuple[str, ...]",
+    order_col: str = "offset",
+    ts_col: "str | None" = None,
+    op_col: str = "op",
+) -> DataFrame:
+    """Slowly-Changing-Dimension Type-2 history from a changelog.
+
+    Where ``collapse_changelog`` keeps only each key's LATEST state (the
+    reference replica, main.py:47-93), this materializes every version a
+    key ever held, with its validity interval — the standard warehouse
+    history table a CDC pipeline feeds:
+
+      * every live 'c'/'u' event opens a version at its own position;
+      * the key's NEXT event (of any op — another update or a delete)
+        closes it: ``valid_to = lead(order) over (partition by key)``;
+      * a version with no successor is current (``valid_to IS NULL``);
+      * delete events close the prior version but emit no row themselves;
+      * truncate epochs wipe history (only the live epoch is versioned),
+        matching the snapshot's TRUNCATE semantics (R10).
+
+    Plan shape: the standard truncate-epoch broadcast filter, then ONE
+    shuffle on the key for the lead() window — the same cost class as the
+    window formulation of the collapse. At 100 TB this partitions by key
+    exactly like the snapshot; no extra exchange, no driver state. Sink
+    guidance: partition the history table by a date of ``valid_from`` and
+    cluster by key so "as of" lookups prune.
+    """
+    from pyspark.sql.window import Window
+
+    df = truncate_epoch_filter(changelog, op_col, order_col)
+    w = Window.partitionBy(*key_cols).orderBy(order_col)
+    cols = [
+        *key_cols,
+        *value_cols,
+        F.col(order_col).alias("valid_from"),
+        F.lead(order_col).over(w).alias("valid_to"),
+    ]
+    if ts_col is not None:
+        cols += [
+            F.col(ts_col).alias("valid_from_ts"),
+            F.lead(ts_col).over(w).alias("valid_to_ts"),
+        ]
+    return (
+        df.select(*cols, F.col(op_col).alias("__op"))
+        .filter(F.col("__op") != "d")
+        .drop("__op")
+        .withColumn("is_current", F.col("valid_to").isNull())
+    )
+
+
 def event_log(changelog: DataFrame, ts_col: Column, message: Column) -> DataFrame:
     """Append-only raw event log (R4): every non-tombstone message with its
     broker timestamp, mirroring dev.kafka_message_log

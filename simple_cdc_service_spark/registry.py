@@ -4425,6 +4425,278 @@ def recursive_cte(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ===========================================================================
+# Round-4 additions: SCD2 history (CDC), unigram-LM scoring, exact-substring
+# span dedup, Gopher/C4-style rule filter, per-dimension embedding stats.
+# ===========================================================================
+
+
+@register(
+    "cdc_scd2",
+    oracle=f"""
+    {_CH},
+    live AS (
+        SELECT ch.* FROM ch
+        CROSS JOIN (SELECT coalesce(max(ev_offset), -1) AS t_off
+                    FROM ch WHERE op = 't') ep
+        WHERE ch.ev_offset > ep.t_off AND ch.op <> 't'
+    ),
+    v AS (
+        SELECT user_id, op, val AS last_value,
+               ev_offset AS valid_from,
+               lead(ev_offset) OVER w AS valid_to,
+               ts_ms AS valid_from_ts,
+               lead(ts_ms) OVER w AS valid_to_ts
+        FROM live
+        WINDOW w AS (PARTITION BY user_id ORDER BY ev_offset)
+    )
+    SELECT user_id, last_value, valid_from, valid_to,
+           valid_from_ts, valid_to_ts,
+           valid_to IS NULL AS is_current
+    FROM v WHERE op <> 'd'
+    """,
+    headline=True,
+)
+def cdc_scd2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD Type-2 history: every version each key ever held, with its
+    validity interval — the warehouse history table downstream of the
+    reference's replica (same changelog the apply loop consumes,
+    main.py:47-93, but keeping all states instead of the last). A delete
+    closes the open version without emitting one; truncate epochs wipe
+    history exactly like the snapshot (R10). One shuffle on the key for
+    the lead() window — the same cost class as cdc_snapshot."""
+    from .operators.cdc import scd2_history
+
+    return scd2_history(
+        _changelog(spark, sf_dir),
+        key_cols=("user_id",),
+        value_cols=("last_value",),
+        order_col="ev_offset",
+        ts_col="ts_ms",
+    )
+
+
+@register(
+    "unigram_logprob",
+    oracle="""
+    WITH toks AS (SELECT doc_id, unnest(string_split(lower(text), ' ')) AS tok
+                  FROM documents),
+    v AS (SELECT tok, count(*) AS c FROM toks GROUP BY tok),
+    t AS (SELECT count(*) AS total FROM toks)
+    SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+           round(avg(-ln(tok_c * 1.0 / total)), 4) AS avg_neg_logp
+    FROM (SELECT toks.doc_id AS doc_id, v.c AS tok_c
+          FROM toks JOIN v USING (tok)) j
+    CROSS JOIN t
+    GROUP BY doc_id
+    """,
+    headline=True,
+)
+def unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unigram-LM quality score: train a unigram language model on the
+    corpus itself (token → count / total), then score every document by
+    its mean negative log-probability — the cheap statistical stand-in
+    for the KenLM perplexity filter of CCNet/Gopher-style pipelines
+    (high avg_neg_logp = rare-token-heavy = candidate for filtering).
+
+    Two-pass, scale-shaped: (1) token counts via hash groupBy (map-side
+    partial agg), materialized once with localCheckpoint — the vocab is
+    |token types|, orders of magnitude smaller than the corpus; (2) tokens
+    re-joined to the vocab on the token key and re-aggregated per document.
+    The corpus is scanned exactly twice (the information-theoretic minimum
+    for a corpus-trained model) — the 1-row total re-aggregates the SMALL
+    vocab, not the corpus. The vocab join is left to AQE: at test scale it
+    broadcasts, at web scale (100M+ token vocab) it becomes a shuffle join
+    on the token — both correct, no code change. No Python anywhere."""
+    from .functions import words
+
+    d = _t(spark, sf_dir, "documents")
+    toks = d.select("doc_id", F.explode(words(F.col("text"))).alias("tok"))
+    vocab = (
+        toks.groupBy("tok").agg(F.count("*").alias("c")).localCheckpoint(eager=True)
+    )
+    total = vocab.agg(F.sum("c").alias("total"))
+    return (
+        toks.join(vocab, "tok")
+        .crossJoin(F.broadcast(total))
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").cast("long").alias("n_tokens"),
+            F.round(F.avg(-F.log(F.col("c") / F.col("total"))), 4).alias(
+                "avg_neg_logp"
+            ),
+        )
+    )
+
+
+@register(
+    "dedup_spans",
+    oracle="""
+    WITH w AS (SELECT doc_id, string_split(lower(text), ' ') AS ws FROM documents),
+    s AS (SELECT doc_id,
+                 unnest(list_transform(range(0, len(ws) - 7),
+                     i -> array_to_string(list_slice(ws, i + 1, i + 8), ' '))) AS gram
+          FROM w WHERE len(ws) >= 8),
+    g AS (SELECT gram, count(DISTINCT doc_id) AS nd FROM s GROUP BY gram)
+    SELECT doc_id,
+           CAST(count(*) AS BIGINT) AS n_spans,
+           CAST(coalesce(count(*) FILTER (WHERE nd >= 2), 0) AS BIGINT) AS n_dup_spans,
+           round(count(*) FILTER (WHERE nd >= 2) * 1.0 / count(*), 4) AS dup_fraction
+    FROM s JOIN g USING (gram)
+    GROUP BY doc_id
+    """,
+)
+def dedup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-substring duplication profile (Lee et al. 2022,
+    "Deduplicating Training Data Makes Language Models Better", at word
+    8-gram granularity): for every document, the fraction of its token
+    positions whose 8-word span also occurs in ANOTHER document. The
+    suffix-array of the paper is replaced by the distributed-native
+    equivalent — explode all spans (positions kept, unlike the distinct
+    shingle sets of the MinHash family), count documents per span, join
+    back, re-aggregate per doc. Shuffles on the span key and on doc_id
+    only; span cardinality ~ corpus token count, so both shuffles are
+    linear in corpus size — no all-pairs term anywhere. The join's build
+    side is pre-filtered to DUPLICATED grams only (typically a few percent
+    of all grams) and probed with a left join — unique grams never enter
+    the join state, so the broadcast/shuffle side shrinks by ~the dup rate
+    at any scale. Downstream use: cut documents with dup_fraction above a
+    threshold, or feed the span list to a passage-level cutter."""
+    from .functions import word_ngrams_all, words
+
+    d = _t(spark, sf_dir, "documents")
+    ws = words(F.col("text"))
+    spans = d.filter(F.size(ws) >= 8).select(
+        "doc_id", F.explode(word_ngrams_all(ws, 8)).alias("gram")
+    )
+    g_dup = (
+        spans.groupBy("gram")
+        .agg(F.count_distinct("doc_id").alias("nd"))
+        .filter(F.col("nd") >= 2)
+    )
+    dup = F.when(F.col("nd").isNotNull(), 1).otherwise(0)
+    return (
+        spans.join(g_dup, "gram", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").cast("long").alias("n_spans"),
+            F.sum(dup).cast("long").alias("n_dup_spans"),
+            F.round(F.sum(dup) / F.count("*"), 4).alias("dup_fraction"),
+        )
+    )
+
+
+_STOP_RULES = ("the", "a", "of", "and", "to", "in", "is", "on", "for")
+_STOP_RULES_SQL = "(" + ", ".join(f"'{w}'" for w in _STOP_RULES) + ")"
+
+
+@register(
+    "quality_rules",
+    oracle=f"""
+    WITH toks AS (SELECT doc_id, unnest(string_split(lower(text), ' ')) AS tok
+                  FROM documents),
+    c AS (SELECT doc_id, tok, count(*) AS n FROM toks GROUP BY doc_id, tok),
+    a AS (SELECT doc_id,
+                 CAST(sum(n) AS BIGINT) AS n_words,
+                 round(sum(length(tok) * n) * 1.0 / sum(n), 4) AS mean_word_len,
+                 CAST(coalesce(sum(n) FILTER (WHERE tok IN {_STOP_RULES_SQL}), 0)
+                      AS BIGINT) AS n_stopwords,
+                 round(max(n) * 1.0 / sum(n), 4) AS top_word_fraction
+          FROM c GROUP BY doc_id)
+    SELECT doc_id, n_words, mean_word_len, n_stopwords, top_word_fraction,
+           n_words BETWEEN 20 AND 1000 AS ok_word_count,
+           mean_word_len BETWEEN 3 AND 6 AS ok_mean_word_len,
+           n_stopwords >= 2 AS ok_stopwords,
+           top_word_fraction <= 0.15 AS ok_top_word,
+           (n_words BETWEEN 20 AND 1000 AND mean_word_len BETWEEN 3 AND 6
+            AND n_stopwords >= 2 AND top_word_fraction <= 0.15) AS passes
+    FROM a
+    """,
+)
+def quality_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher/C4-style composite rule filter (Rae et al. 2021 §A1.1): word
+    count bounds, mean word length bounds, minimum stopword evidence, and
+    a top-word-dominance cap, each surfaced as a named boolean plus the
+    conjunctive ``passes`` verdict. Everything derives from ONE token-level
+    pipeline — explode → (doc, token) counts → per-doc aggregate — so the
+    whole filter costs two hash shuffles regardless of how many rules are
+    stacked; thresholds compare against the ROUNDED metrics so the
+    booleans are bit-identical across engines. Per-rule booleans (rather
+    than a pre-filtered corpus) are what a curation pipeline wants: rule
+    hit-rates are monitorable and thresholds tunable without a re-scan."""
+    from .functions import words
+
+    d = _t(spark, sf_dir, "documents")
+    toks = d.select("doc_id", F.explode(words(F.col("text"))).alias("tok"))
+    c = toks.groupBy("doc_id", "tok").agg(F.count("*").alias("n"))
+    a = c.groupBy("doc_id").agg(
+        F.sum("n").cast("long").alias("n_words"),
+        F.round(F.sum(F.length("tok") * F.col("n")) / F.sum("n"), 4).alias(
+            "mean_word_len"
+        ),
+        F.coalesce(
+            F.sum(F.when(F.col("tok").isin(*_STOP_RULES), F.col("n"))), F.lit(0)
+        )
+        .cast("long")
+        .alias("n_stopwords"),
+        F.round(F.max("n") / F.sum("n"), 4).alias("top_word_fraction"),
+    )
+    ok_wc = F.col("n_words").between(20, 1000)
+    ok_mwl = F.col("mean_word_len").between(3, 6)
+    ok_stop = F.col("n_stopwords") >= 2
+    ok_top = F.col("top_word_fraction") <= 0.15
+    return a.select(
+        "doc_id",
+        "n_words",
+        "mean_word_len",
+        "n_stopwords",
+        "top_word_fraction",
+        ok_wc.alias("ok_word_count"),
+        ok_mwl.alias("ok_mean_word_len"),
+        ok_stop.alias("ok_stopwords"),
+        ok_top.alias("ok_top_word"),
+        (ok_wc & ok_mwl & ok_stop & ok_top).alias("passes"),
+    )
+
+
+@register(
+    "embedding_dim_stats",
+    oracle="""
+    SELECT i AS dim,
+           CAST(count(*) AS BIGINT) AS n,
+           round(avg(x), 4) AS mean_x,
+           round(stddev_samp(x), 4) AS std_x,
+           round(min(x), 4) AS min_x,
+           round(max(x), 4) AS max_x
+    FROM (SELECT CAST(unnest(embedding) AS DOUBLE) AS x,
+                 generate_subscripts(embedding, 1) AS i
+          FROM embeddings) u
+    GROUP BY i
+    """,
+)
+def embedding_dim_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-dimension corpus statistics over the embedding column — the
+    normalization / whitening / drift-monitoring pass every embedding
+    pipeline runs before indexing (mean-centering for PQ, variance for
+    dimension pruning). posexplode → hash aggregate on the dimension
+    index: the shuffle carries exactly n_dims × n_partitions partial
+    buffers (map-side combine collapses rows first), so at 100 TB the
+    exchange is tiny regardless of corpus size. 1-indexed to match SQL
+    ``generate_subscripts``."""
+    e = _t(spark, sf_dir, "embeddings")
+    u = e.select(F.posexplode("embedding").alias("i", "x")).select(
+        (F.col("i") + 1).cast("long").alias("dim"),
+        F.col("x").cast("double").alias("x"),
+    )
+    return u.groupBy("dim").agg(
+        F.count("*").cast("long").alias("n"),
+        F.round(F.avg("x"), 4).alias("mean_x"),
+        F.round(F.stddev_samp("x"), 4).alias("std_x"),
+        F.round(F.min("x"), 4).alias("min_x"),
+        F.round(F.max("x"), 4).alias("max_x"),
+    )
+
+
+# ===========================================================================
 # Registry ordering: natural registration order, deliberately UN-curated.
 #
 # The external correctness gate samples a window of this registry in

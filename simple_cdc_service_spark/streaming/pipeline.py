@@ -402,6 +402,130 @@ def start_replica_merge(
     return writer.start()
 
 
+def read_scd2(
+    spark: SparkSession, state_dir: str, before: int | None = None
+) -> DataFrame | None:
+    """Latest committed SCD2 history version (see start_scd2_merge), or
+    None. ``before`` has the same crash-replay contract as read_replica."""
+    versions = _state_versions(state_dir)
+    if before is not None:
+        versions = [v for v in versions if v < before]
+    if not versions:
+        return None
+    return spark.read.parquet(os.path.join(state_dir, f"v{versions[-1]}"))
+
+
+def _merge_scd2_batch(
+    parsed: DataFrame, cfg: ChangeTableConfig, state_dir: str, batch_id: int
+) -> None:
+    """One micro-batch of parsed envelopes → incrementally-maintained SCD2
+    history (the streaming form of operators/cdc.scd2_history, with the
+    same idempotent versioned-parquet protocol as the replica merge).
+
+    Within the batch, versions and their closers come from the same
+    lead() window the batch operator uses. Across batches, the only state
+    rows that change are the OPEN versions of keys the batch touches:
+    their valid_to becomes the key's FIRST in-batch event position (any
+    op closes — an update supersedes, a delete terminates). Closed
+    versions are immutable and pass through untouched, so per-batch cost
+    is O(|batch| + one join against state) regardless of history length.
+    A truncate in the batch wipes prior history entirely (only the live
+    epoch is versioned — identical to the batch operator and R10).
+
+    Replaying batches 1..N through this merge yields byte-identical
+    history to running scd2_history over the concatenated changelog
+    (pinned in test_streaming.py)."""
+    from pyspark.sql.window import Window
+
+    from ..operators.cdc import envelope_changelog, truncate_epoch_filter
+
+    spark = parsed.sparkSession
+    out = os.path.join(state_dir, f"v{batch_id}")
+    if os.path.exists(os.path.join(out, "_SUCCESS")):
+        return
+    changelog = envelope_changelog(
+        parsed.withColumn("__ord", _order_coordinate()), cfg, passthrough_cols=("__ord",)
+    ).persist()
+    try:
+        probe = changelog.agg(
+            F.count("*").alias("n"),
+            F.sum((F.col(cfg.op_column) == "t").cast("int")).alias("nt"),
+        ).collect()[0]
+        if probe.n == 0:
+            return
+        had_truncate = (probe.nt or 0) > 0
+        live = truncate_epoch_filter(changelog, cfg.op_column, "__ord")
+        w = Window.partitionBy(*cfg.key_columns).orderBy("__ord")
+        batch_versions = (
+            live.select(
+                *cfg.key_columns,
+                *cfg.value_columns,
+                F.col(cfg.op_column).alias("__op"),
+                F.col("__ord").alias("valid_from"),
+                F.lead("__ord").over(w).alias("valid_to"),
+            )
+            .filter(F.col("__op") != "d")
+            .drop("__op")
+            .withColumn("is_current", F.col("valid_to").isNull())
+        )
+        current = (
+            None if had_truncate else read_scd2(spark, state_dir, before=batch_id)
+        )
+        if current is not None:
+            closer = live.groupBy(*cfg.key_columns).agg(
+                F.min("__ord").alias("__first")
+            )
+            keys = list(cfg.key_columns)
+            touched_open = F.col("is_current") & F.col("__first").isNotNull()
+            carried = (
+                current.join(closer, keys, "left")
+                .withColumn(
+                    "valid_to",
+                    F.when(touched_open, F.col("__first")).otherwise(
+                        F.col("valid_to")
+                    ),
+                )
+                .withColumn("is_current", F.col("is_current") & F.col("__first").isNull())
+                .drop("__first")
+            )
+            new_state = carried.unionByName(
+                batch_versions, allowMissingColumns=True
+            )
+        else:
+            new_state = batch_versions
+        new_state.write.mode("overwrite").parquet(out)
+    finally:
+        changelog.unpersist(blocking=False)
+
+
+def start_scd2_merge(
+    stream: DataFrame,
+    cfg: ChangeTableConfig,
+    state_dir: str,
+    checkpoint: str,
+    row_schema=INVOICE_ROW,
+    trigger_available_now: bool = True,
+):
+    """SCD Type-2 history sink: the warehouse history table, maintained
+    incrementally from the CDC stream (the streaming counterpart of the
+    cdc_scd2 registry query). Same ordering contract and crash-replay
+    idempotence as start_replica_merge; current versions of the history
+    always equal the replica's state (pinned in tests)."""
+    parsed_schema = row_schema
+
+    def apply_batch(batch_df: DataFrame, batch_id: int) -> None:
+        _merge_scd2_batch(_parse(batch_df, parsed_schema), cfg, state_dir, batch_id)
+
+    writer = (
+        stream.writeStream.foreachBatch(apply_batch)
+        .option("checkpointLocation", checkpoint)
+        .outputMode("update")
+    )
+    if trigger_available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
 def start_streaming_dedup(
     stream: DataFrame,
     out_dir: str,

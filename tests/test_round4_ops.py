@@ -1,0 +1,196 @@
+"""Semantic invariants for the round-4 operators — beyond the oracle parity
+that test_registry_oracle.py already enforces for every registered entry.
+
+  * cdc_scd2: interval chaining, single current version per key, agreement
+    with cdc_snapshot, correct close-on-delete; also exercised over the
+    seeded Debezium envelope workload (the reference's actual input shape).
+  * dedup_spans: planted exact duplicates score dup_fraction 1.0, a
+    vocabulary-disjoint document scores 0.0.
+  * unigram_logprob: rare-token documents must score strictly higher than
+    common-token documents (the filter's reason to exist).
+  * quality_rules: booleans are exactly the thresholds applied to the
+    reported (rounded) metrics, and the smoke corpus has both outcomes.
+  * embedding_dim_stats: one row per dimension, n = corpus size.
+"""
+
+import pandas as pd
+import pytest
+
+from simple_cdc_service_spark.registry import REGISTRY
+
+SF = "/root/testdata/sf0.001"
+
+
+# ---------------------------------------------------------------------------
+# cdc_scd2
+# ---------------------------------------------------------------------------
+
+
+@pytest.fixture(scope="module")
+def scd2_df(spark):
+    return REGISTRY["cdc_scd2"].fn(spark, SF).toPandas()
+
+
+def test_scd2_intervals_chain_per_key(scd2_df):
+    """Within a key, versions ordered by valid_from must tile: each
+    version's valid_to equals the next version's valid_from UNLESS the
+    version was closed by a delete (then the next version opens later)."""
+    for _, g in scd2_df.groupby("user_id"):
+        g = g.sort_values("valid_from")
+        froms = g["valid_from"].tolist()
+        tos = g["valid_to"].tolist()
+        for i in range(len(g) - 1):
+            assert tos[i] is not None and not pd.isna(tos[i])
+            # closed no later than the next version opens (equality when the
+            # closer was the next version itself; earlier when a delete
+            # intervened)
+            assert tos[i] <= froms[i + 1]
+        # intervals never overlap
+        for i in range(len(g) - 1):
+            assert froms[i + 1] >= tos[i]
+
+
+def test_scd2_one_current_per_key(scd2_df):
+    cur = scd2_df[scd2_df["is_current"]]
+    assert cur["user_id"].is_unique
+
+
+def test_scd2_current_matches_snapshot(spark, scd2_df):
+    """The open versions ARE the replica: same keys, same values as
+    cdc_snapshot (whose oracle parity is already proven)."""
+    snap = REGISTRY["cdc_snapshot"].fn(spark, SF).toPandas()
+    cur = scd2_df[scd2_df["is_current"]][["user_id", "last_value"]]
+    a = cur.sort_values(["user_id"]).reset_index(drop=True)
+    b = snap[["user_id", "last_value"]].sort_values(["user_id"]).reset_index(drop=True)
+    pd.testing.assert_frame_equal(a, b, check_dtype=False)
+
+
+def test_scd2_from_envelopes_matches_expected_state(spark):
+    """SCD2 over the seeded Debezium workload: the current versions must
+    equal the python-side expected replica state, and every closed version
+    must have been superseded or deleted."""
+    from simple_cdc_service_spark.config import USER_VALUE as _  # noqa: F401
+    from simple_cdc_service_spark.config import ChangeTableConfig
+    from simple_cdc_service_spark.operators.cdc import scd2_history
+    from simple_cdc_service_spark.sources.changelog import (
+        envelopes_df,
+        generate_envelopes,
+        parse_envelopes,
+    )
+    from simple_cdc_service_spark.operators.cdc import envelope_changelog
+
+    msgs, expected = generate_envelopes(n=400, seed=7, truncate_every=150)
+    cfg = ChangeTableConfig(
+        name="invoice",
+        key_columns=("order_id",),
+        value_columns=("invoice_number",),
+    )
+    ch = envelope_changelog(parse_envelopes(envelopes_df(spark, msgs)), cfg)
+    hist = scd2_history(
+        ch, key_cols=("order_id",), value_cols=("invoice_number",), order_col="offset"
+    ).toPandas()
+    cur = hist[hist["is_current"]]
+    got = dict(zip(cur["order_id"], cur["invoice_number"]))
+    assert got == expected
+    # closed versions all predate their key's current version (if any)
+    closed = hist[~hist["is_current"]]
+    cur_from = dict(zip(cur["order_id"], cur["valid_from"]))
+    for _, r in closed.iterrows():
+        if r["order_id"] in cur_from:
+            assert r["valid_from"] < cur_from[r["order_id"]]
+
+
+# ---------------------------------------------------------------------------
+# dedup_spans
+# ---------------------------------------------------------------------------
+
+
+def test_dedup_spans_planted_duplicates(spark, tmp_path):
+    """Two identical 12-word docs → every span duplicated (fraction 1.0);
+    a vocabulary-disjoint doc → fraction 0.0; a doc sharing only its first
+    8-word span with the twins → exactly one duplicated position."""
+    twelve = "alpha beta gamma delta epsilon zeta eta theta iota kappa lambda mu"
+    partial = "alpha beta gamma delta epsilon zeta eta theta onlyhere unique tokens"
+    other = "one two three four five six seven eight nine ten eleven twelve"
+    rows = [(1, twelve), (2, twelve), (3, partial), (4, other)]
+    df = spark.createDataFrame(rows, "doc_id long, text string").selectExpr(
+        "doc_id", "text", "'en' AS lang", "'src0' AS source", "length(text) AS n_chars"
+    )
+    df.write.mode("overwrite").parquet(str(tmp_path / "documents.parquet"))
+    out = REGISTRY["dedup_spans"].fn(spark, str(tmp_path)).toPandas()
+    by_id = out.set_index("doc_id")
+    assert by_id.loc[1, "dup_fraction"] == 1.0
+    assert by_id.loc[2, "dup_fraction"] == 1.0
+    assert by_id.loc[3, "n_dup_spans"] == 1  # only the shared leading span
+    assert by_id.loc[4, "dup_fraction"] == 0.0
+
+
+def test_dedup_spans_positions_not_distinct(spark, tmp_path):
+    """A doc that repeats the same 8-gram at two positions counts BOTH
+    positions (the position-level semantics that separates this from the
+    distinct-shingle MinHash family). Repetition is internal only, so
+    nothing is cross-document duplicated."""
+    rep = "a b c d e f g h a b c d e f g h"  # 16 words, span 'a..h' at pos 0 and 8
+    df = spark.createDataFrame([(1, rep)], "doc_id long, text string").selectExpr(
+        "doc_id", "text", "'en' AS lang", "'src0' AS source", "length(text) AS n_chars"
+    )
+    df.write.mode("overwrite").parquet(str(tmp_path / "documents.parquet"))
+    out = REGISTRY["dedup_spans"].fn(spark, str(tmp_path)).toPandas()
+    assert out.loc[0, "n_spans"] == 9  # 16 - 8 + 1 positions
+    assert out.loc[0, "n_dup_spans"] == 0  # within-doc repetition ≠ cross-doc dup
+
+
+# ---------------------------------------------------------------------------
+# unigram_logprob
+# ---------------------------------------------------------------------------
+
+
+def test_unigram_rare_tokens_score_higher(spark, tmp_path):
+    """Corpus: 'common' appears 40×, each rare token once. The all-rare doc
+    must carry a strictly higher mean negative log-prob than the all-common
+    doc — i.e. the filter orders documents the way a perplexity filter
+    would."""
+    rows = [(i, "common common common common") for i in range(10)]
+    rows.append((100, "rareone raretwo rarethree rarefour"))
+    df = spark.createDataFrame(rows, "doc_id long, text string").selectExpr(
+        "doc_id", "text", "'en' AS lang", "'src0' AS source", "length(text) AS n_chars"
+    )
+    df.write.mode("overwrite").parquet(str(tmp_path / "documents.parquet"))
+    out = REGISTRY["unigram_logprob"].fn(spark, str(tmp_path)).toPandas()
+    by_id = out.set_index("doc_id")
+    assert by_id.loc[100, "avg_neg_logp"] > by_id.loc[0, "avg_neg_logp"]
+    assert (out["n_tokens"] == 4).all()
+
+
+# ---------------------------------------------------------------------------
+# quality_rules
+# ---------------------------------------------------------------------------
+
+
+def test_quality_rules_flags_consistent_and_mixed(spark):
+    out = REGISTRY["quality_rules"].fn(spark, SF).toPandas()
+    assert out["ok_word_count"].equals(out["n_words"].between(20, 1000))
+    assert out["ok_mean_word_len"].equals(out["mean_word_len"].between(3, 6))
+    assert out["ok_stopwords"].equals(out["n_stopwords"] >= 2)
+    assert out["ok_top_word"].equals(out["top_word_fraction"] <= 0.15)
+    assert out["passes"].equals(
+        out["ok_word_count"]
+        & out["ok_mean_word_len"]
+        & out["ok_stopwords"]
+        & out["ok_top_word"]
+    )
+    # the rule set discriminates on the real corpus: both outcomes present
+    assert out["passes"].any() and (~out["passes"]).any()
+
+
+# ---------------------------------------------------------------------------
+# embedding_dim_stats
+# ---------------------------------------------------------------------------
+
+
+def test_embedding_dim_stats_shape(spark):
+    out = REGISTRY["embedding_dim_stats"].fn(spark, SF).toPandas()
+    n_vecs = spark.read.parquet(f"{SF}/embeddings.parquet").count()
+    assert sorted(out["dim"]) == list(range(1, len(out) + 1))
+    assert (out["n"] == n_vecs).all()
+    assert (out["min_x"] <= out["mean_x"]).all() and (out["mean_x"] <= out["max_x"]).all()
