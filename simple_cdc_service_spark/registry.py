@@ -4696,6 +4696,194 @@ def embedding_dim_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "cdc_scd2_asof",
+    oracle=f"""
+    {_CH},
+    ep AS (SELECT coalesce(max(ev_offset), -1) AS t_off FROM ch WHERE op = 't'),
+    cut AS (SELECT CAST(floor((ep.t_off + mx.m) / 2) AS BIGINT) AS cutoff
+            FROM ep CROSS JOIN (SELECT max(ev_offset) AS m FROM ch) mx),
+    live AS (
+        SELECT ch.* FROM ch CROSS JOIN ep
+        WHERE ch.ev_offset > ep.t_off AND ch.op <> 't'
+    ),
+    v AS (
+        SELECT user_id, op, val AS last_value,
+               ev_offset AS valid_from,
+               lead(ev_offset) OVER (PARTITION BY user_id ORDER BY ev_offset)
+                   AS valid_to
+        FROM live
+    )
+    SELECT user_id, last_value
+    FROM v CROSS JOIN cut
+    WHERE op <> 'd' AND valid_from <= cutoff
+      AND (valid_to IS NULL OR valid_to > cutoff)
+    """,
+)
+def cdc_scd2_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-in-time lookup against the SCD2 HISTORY table: the replica
+    state as of a changelog position is the set of versions whose validity
+    interval spans the cutoff — one interval predicate over the already-
+    materialized history, NO changelog re-collapse. This is why a
+    warehouse keeps the SCD2 table: cdc_snapshot_asof re-derives the
+    as-of state from raw events each time (full prefix scan + aggregate);
+    here the same answer is a filter — at scale, a partition-pruned scan
+    of the history table (partition by valid_from date, prune intervals
+    that cannot span the cutoff). Cutoff = midpoint of the live epoch
+    (history only exists after the last truncate, R10), broadcast as a
+    1-row aggregate. Equality of the two formulations at the same cutoff
+    is pinned in tests."""
+    from .operators.cdc import scd2_history
+
+    ch = _changelog(spark, sf_dir)
+    hist = scd2_history(
+        ch,
+        key_cols=("user_id",),
+        value_cols=("last_value",),
+        order_col="ev_offset",
+    )
+    ep = ch.filter(F.col("op") == "t").agg(
+        F.coalesce(F.max("ev_offset"), F.lit(-1)).alias("__t_off")
+    )
+    mx = ch.agg(F.max("ev_offset").alias("__m"))
+    cut = ep.crossJoin(mx).select(
+        F.floor((F.col("__t_off") + F.col("__m")) / 2).cast("long").alias("__cutoff")
+    )
+    return (
+        hist.crossJoin(F.broadcast(cut))
+        .filter(
+            (F.col("valid_from") <= F.col("__cutoff"))
+            & (F.col("valid_to").isNull() | (F.col("valid_to") > F.col("__cutoff")))
+        )
+        .select("user_id", "last_value")
+    )
+
+
+@register(
+    "dedup_spans_cut",
+    oracle="""
+    WITH w AS (SELECT doc_id, string_split(lower(text), ' ') AS ws FROM documents),
+    s AS (SELECT doc_id, unnest(grams) AS gram,
+                 generate_subscripts(grams, 1) - 1 AS pos
+          FROM (SELECT doc_id,
+                       list_transform(range(0, len(ws) - 7),
+                           i -> array_to_string(list_slice(ws, i + 1, i + 8), ' '))
+                           AS grams
+                FROM w WHERE len(ws) >= 8)),
+    g AS (SELECT gram FROM (SELECT gram, count(DISTINCT doc_id) AS nd
+                            FROM s GROUP BY gram) WHERE nd >= 2),
+    dp AS (SELECT DISTINCT s.doc_id,
+                  unnest(range(s.pos, s.pos + 8)) AS idx
+           FROM s JOIN g USING (gram)),
+    toks AS (SELECT doc_id, unnest(ws) AS tok,
+                    generate_subscripts(ws, 1) - 1 AS idx
+             FROM w),
+    kept AS (SELECT t.doc_id, t.idx, t.tok
+             FROM toks t LEFT JOIN dp ON t.doc_id = dp.doc_id AND t.idx = dp.idx
+             WHERE dp.idx IS NULL),
+    a AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_kept,
+                 string_agg(tok, ' ' ORDER BY idx) AS cleaned_text
+          FROM kept GROUP BY doc_id)
+    SELECT w.doc_id,
+           CAST(len(w.ws) AS BIGINT) AS n_tokens,
+           CAST(len(w.ws) AS BIGINT) - coalesce(a.n_kept, 0) AS n_removed,
+           coalesce(a.cleaned_text, '') AS cleaned_text
+    FROM w LEFT JOIN a USING (doc_id)
+    """,
+)
+def dedup_spans_cut(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-substring dedup that actually CUTS (Lee et al. 2022): every
+    token position covered by a cross-document-duplicated 8-word span is
+    removed; the document survives with its unique content. Two-phase,
+    scale-shaped:
+
+      1. duplicated-position discovery — the dedup_spans pipeline (span
+         explode → dup-gram set → join), then the covered index set per
+         doc via ONE collect_set aggregate. Only DUPLICATED positions
+         ever shuffle (the dup subset, not the corpus);
+      2. map-side rebuild — the covered set joins back to the document
+         row and a higher-order filter drops covered positions:
+         the corpus tokens themselves never shuffle, the text is
+         reassembled inside the scan's projection.
+
+    The 2-parameter HOF lambda receives the ARRAY INDEX as its second
+    argument — here that trap (NOTES #3) is the feature. Output is
+    lowercase (the pipeline's canonical tokenization). Oracle rebuilds
+    the same text via ordered string_agg over kept positions."""
+    from .functions import word_ngrams_all, words
+
+    d = _t(spark, sf_dir, "documents")
+    ws = words(F.col("text"))
+    spans = d.filter(F.size(ws) >= 8).select(
+        "doc_id", F.posexplode(word_ngrams_all(ws, 8)).alias("pos", "gram")
+    )
+    dup_grams = (
+        spans.groupBy("gram")
+        .agg(F.count_distinct("doc_id").alias("nd"))
+        .filter(F.col("nd") >= 2)
+        .select("gram")
+    )
+    covered = (
+        spans.join(dup_grams, "gram")
+        .select(
+            "doc_id",
+            F.explode(F.sequence(F.col("pos"), F.col("pos") + 7)).alias("idx"),
+        )
+        .groupBy("doc_id")
+        .agg(F.collect_set("idx").alias("__cov"))
+    )
+    cov = F.coalesce(F.col("__cov"), F.array().cast("array<int>"))
+    kept = F.filter(ws, lambda x, i: ~F.array_contains(cov, i.cast("int")))
+    return (
+        d.join(covered, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.size(ws).cast("long").alias("n_tokens"),
+            (F.size(ws) - F.size(kept)).cast("long").alias("n_removed"),
+            F.concat_ws(" ", kept).alias("cleaned_text"),
+        )
+    )
+
+
+@register(
+    "train_val_split",
+    oracle="""
+    WITH s AS (SELECT doc_id, source,
+                      CASE WHEN (doc_id * 9973 + 17) % 100 < 10 THEN 'test'
+                           WHEN (doc_id * 9973 + 17) % 100 < 20 THEN 'val'
+                           ELSE 'train' END AS split
+               FROM documents)
+    SELECT source, split, CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(min(doc_id) AS BIGINT) AS min_doc_id
+    FROM s GROUP BY source, split
+    """,
+)
+def train_val_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic train/val/test assignment: each document's split is a
+    pure function of its id (LCG mix, 80/10/10), so the assignment is
+    identical across engines, retries, repartitions, and later corpus
+    versions — a NEW document never flips an OLD document's split, which
+    rand()-based splitting cannot guarantee (the property that keeps eval
+    sets uncontaminated as the corpus grows). Map-only decision + one
+    aggregate for the per-(source, split) audit counts the pipeline
+    monitors. Production would swap the LCG for xxhash64(doc_id) with the
+    same mod-quota contract (kept LCG here for oracle exactness, same
+    trade as domain_mix_sample)."""
+    d = _t(spark, sf_dir, "documents")
+    h = (F.col("doc_id") * 9973 + 17) % 100
+    split = (
+        F.when(h < 10, "test").when(h < 20, "val").otherwise("train").alias("split")
+    )
+    return (
+        d.select("doc_id", "source", split)
+        .groupBy("source", "split")
+        .agg(
+            F.count("*").cast("long").alias("n_docs"),
+            F.min("doc_id").cast("long").alias("min_doc_id"),
+        )
+    )
+
+
 # ===========================================================================
 # Registry ordering: natural registration order, deliberately UN-curated.
 #

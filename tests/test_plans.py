@@ -302,3 +302,68 @@ class TestAQESkewJoin:
                     spark.conf.unset(k)
                 else:
                     spark.conf.set(k, v)
+
+
+class TestRound4Plans:
+    def test_cdc_scd2_single_key_shuffle(self, spark):
+        """The history derivation costs ONE shuffle on the key (the lead
+        window); a second hashpartitioning exchange would mean the epoch
+        filter or projection broke the single-pass shape."""
+        plan = plan_string(q(spark, "cdc_scd2"))
+        assert "lead(" in plan
+        assert plan.count("hashpartitioning(user_id") == 1
+
+    def test_cdc_scd2_asof_is_filter_not_recollapse(self, spark):
+        """Time travel over the history must be an interval FILTER plus
+        broadcast cutoff — never a re-aggregate of the changelog (no
+        max_by collapse in this plan, unlike cdc_snapshot_asof)."""
+        plan = plan_string(q(spark, "cdc_scd2_asof"))
+        assert "max_by" not in plan
+        assert "lead(" in plan and "cutoff" in plan.lower()
+
+    def test_unigram_corpus_scanned_twice_total_from_vocab(self, spark):
+        """The scoring plan reads documents ONCE (tokens); the vocab enters
+        as the materialized checkpoint (scanned twice including the
+        build), and the 1-row total re-aggregates the checkpoint, not the
+        corpus."""
+        plan = plan_string(q(spark, "unigram_logprob"))
+        assert plan.count("documents.parquet") == 1
+        assert "ExistingRDD" in plan or "Scan ExistingRDD" in plan
+
+    def test_dedup_spans_left_join_probe(self, spark):
+        """Unique grams never enter the join build side: the probe is a
+        LEFT join against the nd>=2-filtered gram set."""
+        plan = plan_string(q(spark, "dedup_spans"))
+        assert "LeftOuter" in plan
+
+    def test_dedup_spans_cut_mapside_rebuild(self, spark):
+        """The cleaned text is rebuilt by a higher-order filter inside a
+        projection (corpus tokens never shuffle): the HOF lambda and
+        concat_ws sit ABOVE the covered-set join."""
+        plan = plan_string(q(spark, "dedup_spans_cut"))
+        assert "lambdafunction" in plan and "concat_ws" in plan
+        # tokens are never exploded for the rebuild: every Generate in the
+        # plan belongs to span discovery (8-gram transform) or coverage
+        # expansion (sequence) — none explodes the raw token array
+        gen_args = [
+            line for line in plan.splitlines() if "explode" in line and "Arguments" in line
+        ]
+        assert gen_args, plan
+        for line in gen_args:
+            assert "transform(" in line or "sequence(" in line, line
+
+    def test_embedding_dim_stats_partial_agg(self, spark):
+        """Map-side combine: the shuffle carries n_dims partials per task,
+        not n_vectors x n_dims rows."""
+        assert_in_plan(
+            q(spark, "embedding_dim_stats"), "partial_count", "partial_avg"
+        )
+
+    def test_quality_rules_two_shuffles(self, spark):
+        """The whole rule stack costs exactly the two hash aggregates of
+        the token pipeline — no per-rule re-scan."""
+        plan = plan_string(q(spark, "quality_rules"))
+        assert plan.count("documents.parquet") == 1
+        # formatted mode prints each node in the tree and again in the
+        # detail section; "- Exchange (" matches only tree entries
+        assert plan.count("- Exchange (") == 2

@@ -48,6 +48,49 @@ def test_collapse_equals_sequential_replay(spark, events):
     assert got == expected
 
 
+def replay_history(events):
+    """Sequential truth for SCD2: every version a key held in the live
+    epoch with its [open, close) offsets; truncate wipes all history."""
+    open_ver: dict[int, list] = {}
+    closed: list[list] = []
+    for i, (op, k, v) in enumerate(events):
+        if op == "t":
+            closed.clear()
+            open_ver.clear()
+        elif op == "d":
+            if k in open_ver:
+                ver = open_ver.pop(k)
+                ver[3] = i
+                closed.append(ver)
+        else:  # c/u: close any open version, open a new one
+            if k in open_ver:
+                ver = open_ver.pop(k)
+                ver[3] = i
+                closed.append(ver)
+            open_ver[k] = [k, v, i, None]
+    return sorted(
+        (k, v, vf, vt, vt is None) for k, v, vf, vt in closed + list(open_ver.values())
+    )
+
+
+@given(st.lists(event, max_size=60))
+@settings(max_examples=12, deadline=None)
+def test_scd2_equals_sequential_replay(spark, events):
+    """For ANY changelog, scd2_history must produce exactly the versions a
+    sequential replay records — intervals, open flags, truncate wipes,
+    delete closes, re-insert-after-delete reopenings, all of it."""
+    rows = [
+        (i, op, None if op == "t" else k, None if op in ("t", "d") else v)
+        for i, (op, k, v) in enumerate(events)
+    ]
+    ch = spark.createDataFrame(rows, "offset long, op string, k long, v long")
+    hist = cdc.scd2_history(ch, key_cols=("k",), value_cols=("v",), order_col="offset")
+    got = sorted(
+        (r.k, r.v, r.valid_from, r.valid_to, r.is_current) for r in hist.collect()
+    )
+    assert got == replay_history(events)
+
+
 # ---------------------------------------------------------------------------
 # As-of join property: for ANY (left, right) event sets, the union+window
 # composition must equal the brute-force python definition — "the right row

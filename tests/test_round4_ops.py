@@ -140,6 +140,73 @@ def test_dedup_spans_positions_not_distinct(spark, tmp_path):
     assert out.loc[0, "n_dup_spans"] == 0  # within-doc repetition ≠ cross-doc dup
 
 
+def test_scd2_asof_equals_prefix_collapse(spark):
+    """The SCD2-interval formulation of time travel must give the exact
+    state the changelog prefix-collapse gives at the same cutoff — the
+    history table is a lossless index of the changelog."""
+    from pyspark.sql import functions as F
+
+    from simple_cdc_service_spark.config import USER_VALUE
+    from simple_cdc_service_spark.operators import cdc
+    from simple_cdc_service_spark.registry import _changelog
+
+    got = REGISTRY["cdc_scd2_asof"].fn(spark, SF).toPandas()
+
+    ch = _changelog(spark, SF)
+    row = (
+        ch.agg(
+            F.coalesce(
+                F.max(F.when(F.col("op") == "t", F.col("ev_offset"))), F.lit(-1)
+            ).alias("t_off"),
+            F.max("ev_offset").alias("m"),
+        ).collect()[0]
+    )
+    cutoff = (row.t_off + row.m) // 2
+    prefix = ch.filter(F.col("ev_offset") <= cutoff)
+    want = cdc.collapse_changelog(prefix, USER_VALUE).toPandas()
+    a = got.sort_values(["user_id"]).reset_index(drop=True)
+    b = want[["user_id", "last_value"]].sort_values(["user_id"]).reset_index(drop=True)
+    pd.testing.assert_frame_equal(a, b, check_dtype=False)
+
+
+def test_dedup_spans_cut_planted(spark, tmp_path):
+    """Identical twin docs are cut to nothing; a unique doc survives
+    verbatim (lowercased); a doc sharing only its leading 8-word span
+    loses exactly those 8 tokens and keeps the rest."""
+    twelve = "alpha beta gamma delta epsilon zeta eta theta iota kappa lambda mu"
+    partial = "alpha beta gamma delta epsilon zeta eta theta onlyhere unique tokens"
+    other = "One Two three four five six seven eight nine ten eleven twelve"
+    rows = [(1, twelve), (2, twelve), (3, partial), (4, other)]
+    df = spark.createDataFrame(rows, "doc_id long, text string").selectExpr(
+        "doc_id", "text", "'en' AS lang", "'src0' AS source", "length(text) AS n_chars"
+    )
+    df.write.mode("overwrite").parquet(str(tmp_path / "documents.parquet"))
+    out = REGISTRY["dedup_spans_cut"].fn(spark, str(tmp_path)).toPandas()
+    by_id = out.set_index("doc_id")
+    assert by_id.loc[1, "cleaned_text"] == "" and by_id.loc[1, "n_removed"] == 12
+    assert by_id.loc[2, "cleaned_text"] == ""
+    # twins cover positions 0..11 of the shared prefix in doc 3? no — doc 3
+    # shares only the span starting at position 0 (8 tokens); the spans at
+    # positions 1..3 differ (they include 'onlyhere'), so exactly 8 cut
+    assert by_id.loc[3, "n_removed"] == 8
+    assert by_id.loc[3, "cleaned_text"] == "onlyhere unique tokens"
+    assert by_id.loc[4, "n_removed"] == 0
+    assert by_id.loc[4, "cleaned_text"] == other.lower()
+
+
+def test_dedup_spans_cut_internal_consistency(spark):
+    """On the real corpus: n_removed + tokens(cleaned_text) == n_tokens
+    for every doc, and the cut agrees with dedup_spans' verdict on who is
+    touched (n_removed > 0 ⇔ n_dup_spans > 0)."""
+    cut = REGISTRY["dedup_spans_cut"].fn(spark, SF).toPandas()
+    kept_toks = cut["cleaned_text"].map(lambda t: len(t.split()) if t else 0)
+    assert ((cut["n_removed"] + kept_toks) == cut["n_tokens"]).all()
+    spans = REGISTRY["dedup_spans"].fn(spark, SF).toPandas()
+    touched_cut = set(cut[cut["n_removed"] > 0]["doc_id"])
+    touched_spans = set(spans[spans["n_dup_spans"] > 0]["doc_id"])
+    assert touched_cut == touched_spans
+
+
 # ---------------------------------------------------------------------------
 # unigram_logprob
 # ---------------------------------------------------------------------------
