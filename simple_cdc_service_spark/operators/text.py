@@ -127,3 +127,70 @@ def hamming_bits(a: Column, b: Column, n_bits: int = 32) -> Column:
             lambda d: d,
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Gopher/C4-style rule filter (shared by the quality_rules registry entry
+# and the streaming admission quality gate).
+# ---------------------------------------------------------------------------
+
+# (lo, hi) word-count band, mean-word-length band, stopword floor, top-word cap
+RULE_WORD_COUNT = (20, 1000)
+RULE_MEAN_WORD_LEN = (3, 6)
+RULE_MIN_STOPWORDS = 2
+RULE_TOP_WORD_CAP = 0.15
+
+
+def quality_rule_metrics(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Per-document rule inputs from ONE token-level pipeline (explode →
+    (doc, token) counts → per-doc aggregate): two hash shuffles total, no
+    matter how many rules consume the metrics. Metrics are rounded so the
+    derived booleans are bit-identical across engines."""
+    toks = docs.select(id_col, F.explode(words(F.col(text_col))).alias("tok"))
+    c = toks.groupBy(id_col, "tok").agg(F.count("*").alias("n"))
+    return c.groupBy(id_col).agg(
+        F.sum("n").cast("long").alias("n_words"),
+        F.round(F.sum(F.length("tok") * F.col("n")) / F.sum("n"), 4).alias(
+            "mean_word_len"
+        ),
+        F.coalesce(F.sum(F.when(F.col("tok").isin(*STOPWORDS), F.col("n"))), F.lit(0))
+        .cast("long")
+        .alias("n_stopwords"),
+        F.round(F.max("n") / F.sum("n"), 4).alias("top_word_fraction"),
+    )
+
+
+def quality_rule_flags(metrics: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Named per-rule booleans + the conjunctive ``passes`` verdict."""
+    ok_wc = F.col("n_words").between(*RULE_WORD_COUNT)
+    ok_mwl = F.col("mean_word_len").between(*RULE_MEAN_WORD_LEN)
+    ok_stop = F.col("n_stopwords") >= RULE_MIN_STOPWORDS
+    ok_top = F.col("top_word_fraction") <= RULE_TOP_WORD_CAP
+    return metrics.select(
+        id_col,
+        "n_words",
+        "mean_word_len",
+        "n_stopwords",
+        "top_word_fraction",
+        ok_wc.alias("ok_word_count"),
+        ok_mwl.alias("ok_mean_word_len"),
+        ok_stop.alias("ok_stopwords"),
+        ok_top.alias("ok_top_word"),
+        (ok_wc & ok_mwl & ok_stop & ok_top).alias("passes"),
+    )
+
+
+def filter_quality(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Keep only documents passing every rule — the admission-gate form
+    (semi join against the passing ids; per micro-batch the metrics frame
+    is batch-sized, so the join is broadcast-cheap)."""
+    passing = (
+        quality_rule_flags(quality_rule_metrics(docs, id_col, text_col), id_col)
+        .filter("passes")
+        .select(id_col)
+    )
+    return docs.join(passing, id_col, "left_semi")

@@ -4622,40 +4622,15 @@ def quality_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
     stacked; thresholds compare against the ROUNDED metrics so the
     booleans are bit-identical across engines. Per-rule booleans (rather
     than a pre-filtered corpus) are what a curation pipeline wants: rule
-    hit-rates are monitorable and thresholds tunable without a re-scan."""
-    from .functions import words
+    hit-rates are monitorable and thresholds tunable without a re-scan.
+    The same operators gate the streaming admission pipeline
+    (operators/text.filter_quality -> start_corpus_dedup_admission);
+    thresholds live in operators/text.py RULE_* constants, mirrored in
+    the oracle SQL above."""
+    from .operators.text import quality_rule_flags, quality_rule_metrics
 
     d = _t(spark, sf_dir, "documents")
-    toks = d.select("doc_id", F.explode(words(F.col("text"))).alias("tok"))
-    c = toks.groupBy("doc_id", "tok").agg(F.count("*").alias("n"))
-    a = c.groupBy("doc_id").agg(
-        F.sum("n").cast("long").alias("n_words"),
-        F.round(F.sum(F.length("tok") * F.col("n")) / F.sum("n"), 4).alias(
-            "mean_word_len"
-        ),
-        F.coalesce(
-            F.sum(F.when(F.col("tok").isin(*_STOP_RULES), F.col("n"))), F.lit(0)
-        )
-        .cast("long")
-        .alias("n_stopwords"),
-        F.round(F.max("n") / F.sum("n"), 4).alias("top_word_fraction"),
-    )
-    ok_wc = F.col("n_words").between(20, 1000)
-    ok_mwl = F.col("mean_word_len").between(3, 6)
-    ok_stop = F.col("n_stopwords") >= 2
-    ok_top = F.col("top_word_fraction") <= 0.15
-    return a.select(
-        "doc_id",
-        "n_words",
-        "mean_word_len",
-        "n_stopwords",
-        "top_word_fraction",
-        ok_wc.alias("ok_word_count"),
-        ok_mwl.alias("ok_mean_word_len"),
-        ok_stop.alias("ok_stopwords"),
-        ok_top.alias("ok_top_word"),
-        (ok_wc & ok_mwl & ok_stop & ok_top).alias("passes"),
-    )
+    return quality_rule_flags(quality_rule_metrics(d))
 
 
 @register(
@@ -4880,6 +4855,75 @@ def train_val_split(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             F.count("*").cast("long").alias("n_docs"),
             F.min("doc_id").cast("long").alias("min_doc_id"),
+        )
+    )
+
+
+@register(
+    "bigram_logprob",
+    oracle="""
+    WITH w AS (SELECT doc_id, string_split(lower(text), ' ') AS ws FROM documents),
+    toks AS (SELECT doc_id, unnest(ws) AS tok FROM w),
+    uni AS (SELECT tok, count(*) AS c1 FROM toks GROUP BY tok),
+    bg AS (SELECT doc_id, unnest(list_transform(range(0, len(ws) - 1),
+               i -> struct_pack(prev := ws[i + 1], cur := ws[i + 2]))) AS b
+           FROM w WHERE len(ws) >= 2),
+    pairs AS (SELECT doc_id, b.prev AS prev, b.cur AS cur FROM bg),
+    bi AS (SELECT prev, cur, count(*) AS c2 FROM pairs GROUP BY prev, cur)
+    SELECT p.doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+           round(avg(-ln(bi.c2 * 1.0 / uni.c1)), 4) AS avg_neg_logp
+    FROM pairs p
+    JOIN bi ON bi.prev = p.prev AND bi.cur = p.cur
+    JOIN uni ON uni.tok = p.prev
+    GROUP BY p.doc_id
+    """,
+)
+def bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bigram-LM quality score: P(cur|prev) = count(prev,cur)/count(prev)
+    estimated from the corpus itself; each document scored by the mean
+    negative log-probability of its transitions. The step up from
+    unigram_logprob that a perplexity filter actually needs: two documents
+    with IDENTICAL token histograms but different word order score
+    differently (repetitive/boilerplate word sequences are predictable →
+    low score; scrambled text is not → high score) — pinned in tests.
+
+    Scale shape: bigram pairs are built MAP-SIDE with a pure HOF over the
+    token array (no window, no self-join — the classic lag() formulation
+    would shuffle the whole corpus on doc_id first); the model tables are
+    two hash aggregates; scoring is two key joins (bigram, then unigram
+    backbone) AQE picks strategies for, then one per-doc aggregate.
+    Everything shuffled is model-table-sized or pair-count-sized, linear
+    in corpus tokens. MLE probabilities (no smoothing): every observed
+    pair has c2 >= 1 by construction, so the log is always finite; an
+    UNSEEN-pair query path would need the +1 smoothing documented here."""
+    from .functions import words
+
+    d = _t(spark, sf_dir, "documents")
+    ws = words(F.col("text"))
+    pair = F.transform(
+        F.sequence(F.lit(0), F.size(ws) - 2),
+        lambda i: F.struct(
+            F.element_at(ws, (i + 1).cast("int")).alias("prev"),
+            F.element_at(ws, (i + 2).cast("int")).alias("cur"),
+        ),
+    )
+    pairs = (
+        d.filter(F.size(ws) >= 2)
+        .select("doc_id", F.explode(pair).alias("b"))
+        .select("doc_id", F.col("b.prev").alias("prev"), F.col("b.cur").alias("cur"))
+    )
+    toks = d.select(F.explode(ws).alias("tok"))
+    uni = toks.groupBy("tok").agg(F.count("*").alias("c1"))
+    bi = pairs.groupBy("prev", "cur").agg(F.count("*").alias("c2"))
+    return (
+        pairs.join(bi, ["prev", "cur"])
+        .join(uni, pairs["prev"] == uni["tok"])
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").cast("long").alias("n_bigrams"),
+            F.round(F.avg(-F.log(F.col("c2") / F.col("c1"))), 4).alias(
+                "avg_neg_logp"
+            ),
         )
     )
 

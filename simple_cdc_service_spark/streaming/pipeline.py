@@ -1047,6 +1047,7 @@ def start_corpus_dedup_admission(
     threshold: float = 0.6,
     trigger_available_now: bool = True,
     family: str = "md5",
+    quality_filter=None,
 ):
     """Streaming corpus admission with incremental near-dup gating.
 
@@ -1086,7 +1087,14 @@ def start_corpus_dedup_admission(
     production — see minhash_banded) and MUST stay uniform for the
     lifetime of a corpus_dir: the probe signatures have to match the
     stored ones, so switching families on an existing store silently
-    disables cross-batch dedup."""
+    disables cross-batch dedup.
+
+    ``quality_filter`` (optional, DataFrame -> DataFrame over
+    (doc_id, text)) runs BEFORE any dedup work — rejected docs never pay
+    for shingling, never enter the signature store, and never suppress a
+    later GOOD near-duplicate (a rejected doc must not become a cluster
+    representative). operators/text.filter_quality is the stock
+    Gopher/C4 gate; any batch-safe transform fits."""
     from ..operators.dedup import (
         dup_clusters,
         jaccard_verify_pairs,
@@ -1100,7 +1108,12 @@ def start_corpus_dedup_admission(
         marker = os.path.join(corpus_dir, "sigs", f"v{batch_id}", "_SUCCESS")
         if os.path.exists(marker):
             return
-        docs = batch_df.select("doc_id", "text").localCheckpoint(eager=True)
+        docs = batch_df.select("doc_id", "text")
+        if quality_filter is not None:
+            # quality gate first: a rejected doc must neither enter the
+            # store nor act as a dedup cluster representative
+            docs = quality_filter(docs)
+        docs = docs.localCheckpoint(eager=True)
         # 1. within-batch collapse: one survivor (min id) PER CONNECTED
         # COMPONENT of the verified-pair graph — cluster-representative
         # semantics (see docstring), replacing the ad-hoc drop-greatest-

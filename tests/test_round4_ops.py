@@ -229,6 +229,27 @@ def test_unigram_rare_tokens_score_higher(spark, tmp_path):
     assert (out["n_tokens"] == 4).all()
 
 
+def test_bigram_is_order_sensitive_where_unigram_is_not(spark, tmp_path):
+    """Two documents with IDENTICAL token histograms: one a repetitive
+    (predictable) sequence, one scrambled. The unigram scorer must tie
+    them exactly; the bigram scorer must score the repetitive one lower —
+    the order sensitivity that makes a transition model worth its extra
+    join."""
+    rep = "red blue red blue red blue red blue red blue"
+    scr = "red red blue blue red blue blue red red blue"
+    rows = [(1, rep), (2, scr)]
+    # pad the corpus so the model isn't trained only on the two probes
+    rows += [(10 + i, "green yellow green yellow green") for i in range(5)]
+    df = spark.createDataFrame(rows, "doc_id long, text string").selectExpr(
+        "doc_id", "text", "'en' AS lang", "'src0' AS source", "length(text) AS n_chars"
+    )
+    df.write.mode("overwrite").parquet(str(tmp_path / "documents.parquet"))
+    uni = REGISTRY["unigram_logprob"].fn(spark, str(tmp_path)).toPandas().set_index("doc_id")
+    bi = REGISTRY["bigram_logprob"].fn(spark, str(tmp_path)).toPandas().set_index("doc_id")
+    assert uni.loc[1, "avg_neg_logp"] == uni.loc[2, "avg_neg_logp"]
+    assert bi.loc[1, "avg_neg_logp"] < bi.loc[2, "avg_neg_logp"]
+
+
 # ---------------------------------------------------------------------------
 # quality_rules
 # ---------------------------------------------------------------------------

@@ -1203,3 +1203,48 @@ class TestCorpusDedupAdmission:
             ).awaitTermination()
         got = {r.doc_id for r in read_corpus(spark, corpus_dir).collect()}
         assert got == {1, 11}, got
+
+
+class TestQualityGatedAdmission:
+    def test_low_quality_rejected_before_dedup(self, spark, tmp_path):
+        """Admission with the Gopher/C4 gate: failing docs are rejected
+        BEFORE dedup — they are absent from the corpus AND from the
+        signature store (a rejected doc must never suppress a future good
+        near-duplicate or act as a cluster representative)."""
+        import json as _json
+
+        from simple_cdc_service_spark.operators.text import filter_quality
+        from simple_cdc_service_spark.streaming.pipeline import (
+            _read_sigs,
+            read_corpus,
+            start_corpus_dedup_admission,
+        )
+
+        src = str(tmp_path / "src")
+        corpus_dir = str(tmp_path / "corpus")
+        ckpt = str(tmp_path / "ckpt")
+        os.makedirs(src)
+
+        good1 = ("the river turns east past a stone bridge and low hills "
+                 "where old barns lean into wind worn fields toward dusk "
+                 "while herons wade slow in cold water")
+        good2 = ("a market opens early on narrow streets selling bread "
+                 "fruit cloth and tools to farmers who arrive before dawn "
+                 "with carts drawn by patient mules")
+        bad_short = "too few words here"  # fails word-count floor
+        bad_repeat = ("spam " * 30).strip()  # fails top-word + stopwords
+
+        rows = [(1, good1), (2, bad_short), (3, bad_repeat), (4, good2)]
+        with open(os.path.join(src, "b1.json"), "w") as f:
+            for did, text in rows:
+                f.write(_json.dumps({"doc_id": did, "text": text}) + "\n")
+
+        stream = spark.readStream.schema("doc_id long, text string").json(src)
+        start_corpus_dedup_admission(
+            stream, corpus_dir, ckpt, threshold=0.5, quality_filter=filter_quality
+        ).awaitTermination()
+
+        admitted = {r.doc_id for r in read_corpus(spark, corpus_dir).collect()}
+        assert admitted == {1, 4}
+        sig_ids = {r.doc_id for r in _read_sigs(spark, corpus_dir).collect()}
+        assert sig_ids == {1, 4}

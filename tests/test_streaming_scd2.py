@@ -5,6 +5,7 @@ replica, and truncate must wipe history (R10 semantics)."""
 import json
 import os
 
+import pandas as pd
 from pyspark.sql import functions as F
 
 from simple_cdc_service_spark.config import INVOICE
@@ -136,6 +137,57 @@ def test_scd2_truncate_wipes_history(spark, tmp_path):
     rows = read_scd2(spark, state).collect()
     assert len(rows) == 1
     assert rows[0].order_id == 7 and rows[0].is_current
+
+
+def test_scd2_schema_evolution_mid_stream(spark, tmp_path):
+    """The table config grows a value column between batches (Debezium
+    schema-change, enabled-but-ignored in the reference,
+    debezium-config-push.sh:21): pre-evolution versions must survive with
+    NULL for the new column, get CLOSED correctly by post-evolution
+    events, and new versions carry the new column."""
+    from pyspark.sql import types as T
+
+    from simple_cdc_service_spark.config import ChangeTableConfig
+    from simple_cdc_service_spark.schemas import INVOICE_ROW, row_schema
+    from simple_cdc_service_spark.sources.changelog import envelopes_df
+    from simple_cdc_service_spark.streaming.pipeline import _merge_scd2_batch, _parse
+
+    state = str(tmp_path / "state")
+    cfg_v1 = INVOICE
+    b0 = [json.dumps(_envelope("c", None, {"order_id": 1, "invoice_number": 10}, 1, 1))]
+    _merge_scd2_batch(_parse(envelopes_df(spark, b0), INVOICE_ROW), cfg_v1, state, 0)
+
+    evolved_row = row_schema(
+        {
+            "order_id": T.LongType(),
+            "invoice_number": T.LongType(),
+            "amount": T.LongType(),
+        }
+    )
+    cfg_v2 = ChangeTableConfig(
+        name="invoice",
+        key_columns=("order_id",),
+        value_columns=("invoice_number", "amount"),
+    )
+    b1 = [
+        json.dumps(
+            _envelope(
+                "u",
+                {"order_id": 1, "invoice_number": 10, "amount": None},
+                {"order_id": 1, "invoice_number": 11, "amount": 99},
+                2,
+                2,
+            )
+        )
+    ]
+    _merge_scd2_batch(_parse(envelopes_df(spark, b1), evolved_row), cfg_v2, state, 1)
+
+    hist = read_scd2(spark, state).toPandas()
+    old = hist[~hist["is_current"]].iloc[0]
+    new = hist[hist["is_current"]].iloc[0]
+    assert old["invoice_number"] == 10 and pd.isna(old["amount"])
+    assert old["valid_to"] is not None
+    assert new["invoice_number"] == 11 and new["amount"] == 99
 
 
 def test_scd2_delete_closes_without_emitting(spark, tmp_path):

@@ -140,8 +140,60 @@ def bench_admission(n_docs: int = 5_000, chunks: int = 5, dup_fraction: float = 
     spark.stop()
 
 
+def bench_scd2(n_events: int = 50_000, chunks: int = 5) -> None:
+    """SCD2-history-sink throughput: the same seeded workload as the CDC
+    replica leg, through start_scd2_merge — per batch the sink rewrites
+    only touched keys' open versions, so the rate should track the
+    replica merge's, plus the history's extra write volume. Verified
+    against the batch operator's output at the end (exactness, not just
+    rate)."""
+    from simple_cdc_service_spark.streaming import read_scd2, start_scd2_merge
+
+    spark = get_spark("bench-scd2")
+    spark.sparkContext.setLogLevel("ERROR")
+    d = tempfile.mkdtemp()
+    src, state, ckpt = f"{d}/src", f"{d}/state", f"{d}/ckpt"
+    os.makedirs(src)
+    msgs, expected = generate_envelopes(n=n_events, seed=42, truncate_every=None,
+                                        key_space=n_events // 3)
+    per = len(msgs) // chunks
+    load_start = os.getloadavg()[0]
+    batch_secs = []
+    t0 = time.perf_counter()
+    for c in range(chunks):
+        lo, hi = c * per, (c + 1) * per if c < chunks - 1 else len(msgs)
+        with open(f"{src}/c{c}.json", "w") as f:
+            for i in range(lo, hi):
+                f.write(json.dumps({"offset": i, "timestamp": i, "value": msgs[i]}) + "\n")
+        tb = time.perf_counter()
+        start_scd2_merge(
+            read_changelog_stream(spark, src), INVOICE, state, ckpt
+        ).awaitTermination()
+        batch_secs.append(round(time.perf_counter() - tb, 2))
+    wall = time.perf_counter() - t0
+    hist = read_scd2(spark, state)
+    cur = {r.order_id: r.invoice_number for r in hist.filter("is_current").collect()}
+    n_versions = hist.count()
+    print(json.dumps({
+        "metric": "scd2_stream_events_per_sec",
+        "value": round(len(msgs) / wall, 1),
+        "unit": "events/sec",
+        "events": len(msgs),
+        "history_versions": n_versions,
+        "micro_batches": chunks,
+        "wall_sec": round(wall, 2),
+        "batch_sec": batch_secs,
+        "loadavg_start": round(load_start, 1),
+        "loadavg_end": round(os.getloadavg()[0], 1),
+        "current_equals_replay": cur == expected,
+    }))
+    spark.stop()
+
+
 if __name__ == "__main__":
     if len(sys.argv) > 1 and sys.argv[1] == "admission":
         bench_admission()
+    elif len(sys.argv) > 1 and sys.argv[1] == "scd2":
+        bench_scd2()
     else:
         main()
