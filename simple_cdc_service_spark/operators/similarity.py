@@ -52,6 +52,58 @@ def knn_bruteforce(
     )
 
 
+def knn_filtered(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    filter_col: str = "label",
+) -> DataFrame:
+    """Filtered (hybrid) vector search: exact cosine top-k among only the
+    corpus vectors whose ``filter_col`` matches the query's — the
+    metadata-constrained lookup every production vector store needs
+    ("nearest products in the same category").
+
+    PRE-filter semantics: the constraint joins INTO the scoring — the
+    scored set is the matching subset, so every query gets its true k
+    best within the filter. The naive POST-filter (global top-k, then
+    drop non-matching) silently returns < k rows whenever the neighborhood
+    is dominated by other labels; that defect is pinned in tests.
+
+    Plan shape: the crossJoin of the unfiltered brute force becomes a
+    broadcast HASH join on the filter key — Catalyst only scores
+    |corpus ∩ label| pairs per query instead of |corpus|. At 100 TB,
+    partition the corpus by the filter column and the same join prunes
+    partitions before scoring; selective filters turn brute force into
+    the FASTEST exact method (the filter does the candidate bounding an
+    IVF index would)."""
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(filter_col),
+        as_double_array(F.col(vec_col)).alias("cv"),
+    )
+    q = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.col(filter_col),
+        as_double_array(F.col(vec_col)).alias("qv"),
+    )
+    scored = c.join(F.broadcast(q), filter_col).select(
+        "query_id",
+        F.col(filter_col),
+        "neighbor_id",
+        F.round(cosine(F.col("qv"), F.col("cv")), 6).alias("cos_sim"),
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cos_sim").desc(), F.col("neighbor_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", filter_col, "neighbor_id", "rank", "cos_sim")
+    )
+
+
 def ivf_assign(
     corpus: DataFrame,
     centroids: DataFrame,

@@ -64,6 +64,52 @@ def asof_join(
     )
 
 
+def interval_join_bucketed(
+    points: DataFrame,
+    intervals: DataFrame,
+    point_ts: str,
+    lo: str,
+    hi: str,
+    bucket_width: int,
+    how: str = "inner",
+) -> DataFrame:
+    """KEYLESS interval-containment join: every (point, interval) pair with
+    ``lo <= point_ts < hi`` — the case with no equi-key for a hash join,
+    where Spark's own planner falls back to BroadcastNestedLoopJoin
+    (quadratic scoring, broadcast-sized build side: dead at scale).
+
+    The bucketing trick MANUFACTURES the equi-key: time is cut into
+    ``bucket_width`` buckets, each interval is duplicated onto every
+    bucket it overlaps (explode over sequence — fan-out is bounded by
+    ceil(interval_len / bucket_width) + 1), each point lands in exactly
+    one bucket, and a plain equi-join on the bucket id followed by the
+    exact containment filter produces each qualifying pair EXACTLY once
+    (the one interval copy on the point's bucket). No dedup pass needed.
+
+    At 100 TB: both sides shuffle on the bucket id — a time-ordered,
+    near-uniform key — so the join is an ordinary shuffled hash join with
+    per-task state bounded by (rows per bucket × interval fan-out).
+    Choose bucket_width ≈ the typical interval length: shorter buckets
+    raise duplication, longer buckets raise per-bucket candidate count.
+    Same trick as the LSH band join in dedup: turn a predicate Spark
+    can't hash on into a key it can."""
+    iv = intervals.withColumn(
+        "__bkt",
+        F.explode(
+            F.sequence(
+                F.floor(F.col(lo) / bucket_width),
+                F.floor((F.col(hi) - 1) / bucket_width),
+            )
+        ),
+    )
+    pt = points.withColumn("__bkt", F.floor(F.col(point_ts) / bucket_width))
+    return (
+        pt.join(iv, "__bkt", how)
+        .filter((F.col(point_ts) >= F.col(lo)) & (F.col(point_ts) < F.col(hi)))
+        .drop("__bkt")
+    )
+
+
 def range_join_count(
     anchors: DataFrame,
     events: DataFrame,

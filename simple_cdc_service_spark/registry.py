@@ -4560,13 +4560,23 @@ def dedup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     of all grams) and probed with a left join — unique grams never enter
     the join state, so the broadcast/shuffle side shrinks by ~the dup rate
     at any scale. Downstream use: cut documents with dup_fraction above a
-    threshold, or feed the span list to a passage-level cutter."""
+    threshold, or feed the span list to a passage-level cutter.
+
+    Two local decisions measured at sf1 (10× data): the span frame is
+    consumed twice (gram counting + probe), so it is STAGED with
+    localCheckpoint instead of recomputed; and the shingling scan is
+    spread() to the core count first (a few MB of text is one parquet
+    partition — one core shingling, 31 idle; NOTES trap #6). Together:
+    33.7 → 7.0s at sf1."""
     from .functions import word_ngrams_all, words
+    from .sources.tables import spread
 
     d = _t(spark, sf_dir, "documents")
     ws = words(F.col("text"))
-    spans = d.filter(F.size(ws) >= 8).select(
-        "doc_id", F.explode(word_ngrams_all(ws, 8)).alias("gram")
+    spans = (
+        spread(d.filter(F.size(ws) >= 8))
+        .select("doc_id", F.explode(word_ngrams_all(ws, 8)).alias("gram"))
+        .localCheckpoint(eager=True)
     )
     g_dup = (
         spans.groupBy("gram")
@@ -4784,13 +4794,17 @@ def dedup_spans_cut(spark: SparkSession, sf_dir: str) -> DataFrame:
     The 2-parameter HOF lambda receives the ARRAY INDEX as its second
     argument — here that trap (NOTES #3) is the feature. Output is
     lowercase (the pipeline's canonical tokenization). Oracle rebuilds
-    the same text via ordered string_agg over kept positions."""
+    the same text via ordered string_agg over kept positions. Span frame
+    staged + scan spread, same measured rationale as dedup_spans."""
     from .functions import word_ngrams_all, words
+    from .sources.tables import spread
 
     d = _t(spark, sf_dir, "documents")
     ws = words(F.col("text"))
-    spans = d.filter(F.size(ws) >= 8).select(
-        "doc_id", F.posexplode(word_ngrams_all(ws, 8)).alias("pos", "gram")
+    spans = (
+        spread(d.filter(F.size(ws) >= 8))
+        .select("doc_id", F.posexplode(word_ngrams_all(ws, 8)).alias("pos", "gram"))
+        .localCheckpoint(eager=True)
     )
     dup_grams = (
         spans.groupBy("gram")
@@ -4877,6 +4891,7 @@ def train_val_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     JOIN uni ON uni.tok = p.prev
     GROUP BY p.doc_id
     """,
+    headline=True,
 )
 def bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Bigram-LM quality score: P(cur|prev) = count(prev,cur)/count(prev)
@@ -4926,6 +4941,222 @@ def bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+@register(
+    "knn_filtered",
+    oracle="""
+    WITH e AS (SELECT vec_id, label,
+                      list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+               FROM embeddings),
+    q AS (SELECT vec_id AS query_id, label, v AS qv FROM e WHERE vec_id < 5),
+    c AS (SELECT vec_id AS neighbor_id, label, v AS cv FROM e WHERE vec_id >= 5),
+    scored AS (
+        SELECT query_id, label, neighbor_id,
+               round(list_dot_product(qv, cv)
+                     / (sqrt(list_dot_product(qv, qv)) * sqrt(list_dot_product(cv, cv))),
+                     6) AS cos_sim
+        FROM q JOIN c USING (label)
+    ),
+    r AS (SELECT *, CAST(row_number() OVER (
+              PARTITION BY query_id ORDER BY cos_sim DESC, neighbor_id) AS BIGINT)
+              AS nn_rank
+          FROM scored)
+    SELECT query_id, label, neighbor_id, nn_rank, cos_sim FROM r WHERE nn_rank <= 10
+    """,
+)
+def knn_filtered_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Filtered/hybrid vector search: exact top-k restricted to corpus
+    vectors sharing the query's label — metadata constraint joined INTO
+    the scoring (pre-filter), not applied after (post-filter under-fills;
+    pinned in tests). See operators/similarity.knn_filtered."""
+    from .operators.similarity import knn_filtered
+
+    emb = _t(spark, sf_dir, "embeddings")
+    res = knn_filtered(
+        emb.filter(F.col("vec_id") >= 5), emb.filter(F.col("vec_id") < 5), k=10
+    )
+    return res.select(
+        "query_id",
+        "label",
+        "neighbor_id",
+        F.col("rank").cast("long").alias("nn_rank"),
+        "cos_sim",
+    )
+
+
+@register(
+    "cdc_changelog_stats",
+    oracle=f"""
+    {_CH},
+    per_key AS (SELECT op, user_id, count(*) AS depth FROM ch GROUP BY op, user_id)
+    SELECT op,
+           CAST(sum(depth) AS BIGINT) AS n_events,
+           CAST(count(*) AS BIGINT) AS n_keys,
+           CAST(max(depth) AS BIGINT) AS max_events_per_key,
+           round(avg(depth), 4) AS avg_events_per_key
+    FROM per_key GROUP BY op
+    """,
+)
+def cdc_changelog_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CDC feed observability: per-op event counts, touched-key
+    cardinality, and per-key depth (max/avg) — the monitoring panel for a
+    changelog (op-mix drift says the upstream workload changed; max
+    events-per-key is the hot-key early warning for the collapse's
+    shuffle skew). Two hash aggregates, second one op×key-sized; at
+    100 TB this is the cheap side query run on the same scan as the
+    merge."""
+    ch = _changelog(spark, sf_dir)
+    per_key = ch.groupBy("op", "user_id").agg(F.count("*").alias("depth"))
+    return per_key.groupBy("op").agg(
+        F.sum("depth").cast("long").alias("n_events"),
+        F.count("*").cast("long").alias("n_keys"),
+        F.max("depth").cast("long").alias("max_events_per_key"),
+        F.round(F.avg("depth"), 4).alias("avg_events_per_key"),
+    )
+
+
+@register(
+    "chunk_documents",
+    oracle="""
+    WITH w AS (SELECT doc_id, string_split(lower(text), ' ') AS ws FROM documents)
+    SELECT doc_id,
+           CAST(i AS BIGINT) AS chunk_id,
+           CAST(least(40, len(ws) - i * 30) AS BIGINT) AS n_chunk_tokens,
+           array_to_string(list_slice(ws, i * 30 + 1, i * 30 + 40), ' ') AS chunk_text
+    FROM w, LATERAL unnest(range(0, (len(ws) - 1) // 30 + 1)) AS t(i)
+    """,
+)
+def chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-size token chunking with overlap (window=40, stride=30) — the
+    RAG-indexing / training-sequence chunking pass: every document becomes
+    ceil-ish(n/stride) overlapping windows of tokens, each re-joined to
+    text with its token count.
+
+    Map-only: `sequence` generates chunk starts per row, a `transform`
+    HOF slices the token array per start, one `explode` — no shuffle, no
+    self-join, no window function. At 100 TB this is the ideal shape: the
+    pass is embarrassingly parallel over input splits, output size is
+    input × (window/stride) ≈ 1.33×, and Catalyst keeps the whole thing
+    in one WholeStageCodegen stage over the scan. The final chunk is
+    allowed to be short (least(window, n - start)); empty docs produce a
+    single empty chunk, matching the SQL oracle's range(0, ..1)."""
+    from .functions import words
+
+    W, S = 40, 30
+    d = _t(spark, sf_dir, "documents")
+    ws = words(F.col("text"))
+    n = F.size(ws)
+    chunk = F.transform(
+        F.sequence(F.lit(0), ((n - 1) / S).cast("int")),
+        lambda i: F.struct(
+            i.cast("long").alias("chunk_id"),
+            F.least(F.lit(W), n - i * S).cast("long").alias("n_chunk_tokens"),
+            F.concat_ws(" ", F.slice(ws, i * S + 1, W)).alias("chunk_text"),
+        ),
+    )
+    return d.select("doc_id", F.explode(chunk).alias("c")).select(
+        "doc_id", "c.chunk_id", "c.n_chunk_tokens", "c.chunk_text"
+    )
+
+
+@register(
+    "interval_join_bucketed",
+    oracle="""
+    WITH e AS (SELECT event_id, epoch_ms(ts) AS ts_ms, user_id, event_type,
+                      CAST(round(value * 100) AS BIGINT) AS cents FROM events),
+    i AS (SELECT event_id AS incident_id, ts_ms AS lo, ts_ms + 600000 AS hi
+          FROM e WHERE event_type = 'error')
+    SELECT incident_id, CAST(lo AS BIGINT) AS incident_start_ms,
+           CAST(count(*) AS BIGINT) AS n_events,
+           CAST(count(DISTINCT user_id) AS BIGINT) AS n_users,
+           CAST(sum(cents) AS BIGINT) AS sum_cents
+    FROM i JOIN e ON e.ts_ms >= i.lo AND e.ts_ms < i.hi
+    GROUP BY incident_id, lo
+    """,
+)
+def interval_join_bucketed_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Keyless interval-containment join, bucketed: every error event
+    opens a 10-minute platform-wide incident window; count the events
+    (all users — no equi-key exists) landing in each window, plus
+    distinct users and value (integer cents: a join result is a SET, so
+    float accumulation order is engine-dependent; cents are order-free).
+
+    The oracle is the naive theta join (fine for DuckDB at sf0.01); the
+    Spark side uses interval_join_bucketed, which manufactures a hashable
+    bucket key so the plan is an equi-join, never the
+    BroadcastNestedLoopJoin Spark would pick for a bare range predicate
+    (pinned in test_plans.py). Bucket width = window width, so each
+    interval lands on at most 2 buckets — 2× duplication buys a fully
+    shuffled, AQE-balanceable join at any scale."""
+    from .operators.temporal import interval_join_bucketed
+
+    e = _t(spark, sf_dir, "events").select(
+        "event_id",
+        F.unix_millis("ts").alias("ts_ms"),
+        "user_id",
+        "event_type",
+        F.round(F.col("value") * 100).cast("long").alias("cents"),
+    )
+    inc = e.filter(F.col("event_type") == "error").select(
+        F.col("event_id").alias("incident_id"),
+        F.col("ts_ms").alias("lo"),
+        (F.col("ts_ms") + 600_000).alias("hi"),
+    )
+    pairs = interval_join_bucketed(
+        e.select("ts_ms", "user_id", "cents"), inc, "ts_ms", "lo", "hi", 600_000
+    )
+    return pairs.groupBy("incident_id", "lo").agg(
+        F.count("*").alias("n_events"),
+        F.countDistinct("user_id").alias("n_users"),
+        F.sum("cents").alias("sum_cents"),
+    ).select(
+        "incident_id",
+        F.col("lo").alias("incident_start_ms"),
+        "n_events",
+        "n_users",
+        "sum_cents",
+    )
+
+
+@register(
+    "user_event_sequences",
+    oracle="""
+    SELECT user_id,
+           string_agg(event_type, ' ' ORDER BY epoch_ms(ts), event_id) AS seq,
+           CAST(count(*) AS BIGINT) AS n_events
+    FROM events GROUP BY user_id
+    """,
+)
+def user_event_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user time-ordered event-type sequences — the sequence-model /
+    behavioral-training-data builder (each user's history becomes one
+    training example).
+
+    ONE shuffle: collect_list gathers per-user structs (ts, event_id,
+    type), array_sort orders them INSIDE the executor (structs compare
+    field-by-field, so (ts_ms, event_id) is the deterministic tiebreak),
+    and a transform HOF projects the type sequence — no window function,
+    no secondary sort-within-partitions machinery. At 100 TB per-user
+    state is bounded by that user's event count; a production variant
+    caps it with slice(sorted, 1, max_len) before the join — same plan
+    shape. The string form (array_join) makes the result hashable
+    cross-engine against DuckDB's ordered string_agg."""
+    e = _t(spark, sf_dir, "events").select(
+        "user_id", F.unix_millis("ts").alias("ts_ms"), "event_id", "event_type"
+    )
+    return e.groupBy("user_id").agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("ts_ms", "event_id", "event_type"))),
+                lambda s: s.event_type,
+            ),
+            " ",
+        ).alias("seq"),
+        F.count("*").cast("long").alias("n_events"),
+    )
+
+
 
 
 # ===========================================================================

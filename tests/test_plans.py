@@ -367,3 +367,20 @@ class TestRound4Plans:
         # formatted mode prints each node in the tree and again in the
         # detail section; "- Exchange (" matches only tree entries
         assert plan.count("- Exchange (") == 2
+
+    def test_knn_filtered_hash_join_not_cross(self, spark):
+        """The filter joins INTO the scoring: a broadcast HASH join on the
+        label key, never the BroadcastNestedLoopJoin cross product of the
+        unfiltered brute force."""
+        plan = plan_string(q(spark, "knn_filtered"))
+        assert "BroadcastHashJoin" in plan
+        assert "BroadcastNestedLoopJoin" not in plan
+
+    def test_interval_join_bucketed_is_equi_join(self, spark):
+        """The manufactured bucket key turns the keyless range predicate
+        into a hash-joinable equi-join — never the quadratic
+        BroadcastNestedLoopJoin Spark plans for a bare theta join."""
+        plan = plan_string(q(spark, "interval_join_bucketed"))
+        assert "BroadcastNestedLoopJoin" not in plan
+        assert "CartesianProduct" not in plan
+        assert "Join" in plan

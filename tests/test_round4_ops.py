@@ -272,6 +272,30 @@ def test_quality_rules_flags_consistent_and_mixed(spark):
 
 
 # ---------------------------------------------------------------------------
+# knn_filtered
+# ---------------------------------------------------------------------------
+
+
+def test_knn_filtered_prefilter_beats_postfilter(spark):
+    """Every neighbor shares its query's label, every query gets a FULL k
+    (pre-filter semantics), and post-filtering the unfiltered top-k would
+    under-fill — the defect the operator exists to avoid."""
+    got = REGISTRY["knn_filtered"].fn(spark, SF).toPandas()
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet").toPandas()
+    labels = dict(zip(emb["vec_id"], emb["label"]))
+    # label agreement
+    assert all(labels[q] == l for q, l in zip(got["query_id"], got["label"]))
+    # full k per query (corpus has >= k matching vectors per label here)
+    per_q = got.groupby("query_id").size()
+    assert (per_q == 10).all()
+    # post-filter comparison: unfiltered global top-10 restricted to the
+    # query's label keeps FEWER than 10 for at least one query
+    unf = REGISTRY["knn_bruteforce"].fn(spark, SF).toPandas()
+    post = unf[[labels[q] == labels[n] for q, n in zip(unf["query_id"], unf["neighbor_id"])]]
+    assert (post.groupby("query_id").size() < 10).any()
+
+
+# ---------------------------------------------------------------------------
 # embedding_dim_stats
 # ---------------------------------------------------------------------------
 
@@ -282,3 +306,90 @@ def test_embedding_dim_stats_shape(spark):
     assert sorted(out["dim"]) == list(range(1, len(out) + 1))
     assert (out["n"] == n_vecs).all()
     assert (out["min_x"] <= out["mean_x"]).all() and (out["mean_x"] <= out["max_x"]).all()
+
+
+# ---------------------------------------------------------------------------
+# chunk_documents
+# ---------------------------------------------------------------------------
+
+
+def test_chunk_documents_overlap_and_reconstruction(spark):
+    """Chunking invariants: (1) consecutive chunks overlap by exactly
+    window - stride tokens; (2) concatenating each chunk's first `stride`
+    tokens (all of the last chunk) rebuilds the full tokenized document;
+    (3) every chunk has exactly min(window, n - start) tokens — with
+    window > stride the final SEVERAL chunks may run short, not just the
+    last one."""
+    W, S = 40, 30
+    got = REGISTRY["chunk_documents"].fn(spark, SF).toPandas()
+    docs = spark.read.parquet(f"{SF}/documents.parquet").toPandas()
+    full = {r.doc_id: r.text.lower().split(" ") for r in docs.itertuples()}
+    for doc_id, g in got.groupby("doc_id"):
+        g = g.sort_values("chunk_id")
+        toks = [c.split(" ") if c else [""] for c in g["chunk_text"]]
+        n = len(full[doc_id])
+        # chunk ids are dense from 0, covering every stride start
+        assert g["chunk_id"].tolist() == list(range((n - 1) // S + 1))
+        # token counts: exactly min(window, remaining-from-start)
+        assert g["n_chunk_tokens"].tolist() == [
+            min(W, n - i * S) for i in g["chunk_id"]
+        ]
+        assert [len(t) for t in toks] == g["n_chunk_tokens"].tolist()
+        # overlap: chunk i's last W-S tokens == chunk i+1's first W-S tokens
+        for a, b in zip(toks, toks[1:]):
+            assert a[S:] == b[: len(a) - S]
+        # reconstruction from stride-prefixes + full tail
+        rebuilt = [t for c in toks[:-1] for t in c[:S]] + toks[-1]
+        assert rebuilt == full[doc_id]
+
+
+# ---------------------------------------------------------------------------
+# interval_join_bucketed
+# ---------------------------------------------------------------------------
+
+
+def test_interval_join_bucketed_matches_naive_theta_join(spark):
+    """The bucketed equi-join must produce each qualifying (point,
+    interval) pair EXACTLY once — cross-checked against the naive
+    pandas theta join, including windows that straddle a bucket
+    boundary (bucket width == window width guarantees most do)."""
+    got = REGISTRY["interval_join_bucketed"].fn(spark, SF).toPandas()
+    ev = spark.read.parquet(f"{SF}/events.parquet").toPandas()
+    import pandas as pd
+
+    ts_ms = (ev["ts"].astype("int64") // 10**6).astype("int64")
+    e = pd.DataFrame(
+        {"ts_ms": ts_ms, "user_id": ev["user_id"],
+         "cents": (ev["value"] * 100).round().astype("int64"),
+         "event_type": ev["event_type"], "event_id": ev["event_id"]}
+    )
+    inc = e[e["event_type"] == "error"]
+    rows = []
+    for r in inc.itertuples():
+        m = e[(e["ts_ms"] >= r.ts_ms) & (e["ts_ms"] < r.ts_ms + 600_000)]
+        rows.append((r.event_id, r.ts_ms, len(m), m["user_id"].nunique(),
+                     int(m["cents"].sum())))
+    want = pd.DataFrame(rows, columns=[
+        "incident_id", "incident_start_ms", "n_events", "n_users", "sum_cents"])
+    key = ["incident_id"]
+    a = got.sort_values(key).reset_index(drop=True)
+    b = want.sort_values(key).reset_index(drop=True)
+    assert a.astype(str).equals(b[a.columns].astype(str))
+
+
+# ---------------------------------------------------------------------------
+# user_event_sequences
+# ---------------------------------------------------------------------------
+
+
+def test_user_event_sequences_length_and_order(spark):
+    """seq has exactly n_events tokens, and per user the sequence follows
+    event-time order (spot-checked against a pandas sort)."""
+    got = REGISTRY["user_event_sequences"].fn(spark, SF).toPandas()
+    assert (got["seq"].str.split(" ").str.len() == got["n_events"]).all()
+    ev = spark.read.parquet(f"{SF}/events.parquet").toPandas()
+    u = got.iloc[0]["user_id"]
+    mine = ev[ev["user_id"] == u].sort_values(["ts", "event_id"])
+    assert " ".join(mine["event_type"]) == got.set_index("user_id").loc[u, "seq"]
+
+
