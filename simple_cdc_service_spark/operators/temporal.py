@@ -92,8 +92,25 @@ def interval_join_bucketed(
     Choose bucket_width ≈ the typical interval length: shorter buckets
     raise duplication, longer buckets raise per-bucket candidate count.
     Same trick as the LSH band join in dedup: turn a predicate Spark
-    can't hash on into a key it can."""
-    iv = intervals.withColumn(
+    can't hash on into a key it can.
+
+    Cost model (measured, sf0.1→sf1): candidate volume is
+    Σ_bucket |points_b| × |intervals_b| — LINEAR when a bigger corpus
+    extends the TIME SPAN at constant density, QUADRATIC when it raises
+    density in a fixed span (the sf1 replica stacks 10× rows into the
+    same window: 1.0s → 32.4s, pairs 100×). The quadratic half is
+    inherent to the join's OUTPUT — denser streams genuinely contain
+    more qualifying pairs, and any exact interval join must enumerate
+    them. When downstream only needs decomposable per-interval
+    aggregates (count/sum), skip pair enumeration: pre-aggregate points
+    per FINE bucket (B ≈ interval/10) once, answer interior buckets from
+    that rollup, and join raw points only for the two edge buckets —
+    enumerated rows drop to O(edge density); non-decomposable aggregates
+    (count DISTINCT) still need the pairs."""
+    # Empty/inverted intervals (hi <= lo) match nothing, and would make the
+    # bucket sequence DESCEND (Spark auto-negates the step) — unbounded
+    # explode fan-out on malformed input. Drop them before the explode.
+    iv = intervals.filter(F.col(hi) > F.col(lo)).withColumn(
         "__bkt",
         F.explode(
             F.sequence(

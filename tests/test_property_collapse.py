@@ -159,3 +159,52 @@ def test_asof_join_equals_bruteforce(spark, left, right):
         (i, k, ts, p) for (i, k, ts, p) in asof_reference(left, right)
     }
     assert got == want
+
+
+# ---------------------------------------------------------------------------
+# interval_join_bucketed: for ANY point set and ANY interval set — including
+# intervals spanning many buckets (fan-out >> 2), sub-bucket intervals,
+# empty intervals (lo == hi), negative timestamps, and bucket-boundary
+# points — the bucketed equi-join must produce each qualifying
+# (point, interval) pair EXACTLY once (exactly-once is the part a wrong
+# bucket fan-out silently breaks: a missed bucket drops pairs, a dedup-less
+# double-cover duplicates them).
+# ---------------------------------------------------------------------------
+
+iv_points = st.lists(st.integers(min_value=-50, max_value=150), max_size=25)
+iv_intervals = st.lists(
+    st.tuples(
+        st.integers(min_value=-50, max_value=150),
+        st.integers(min_value=0, max_value=90),
+    ),
+    max_size=12,
+)
+
+
+@given(iv_points, iv_intervals, st.sampled_from([1, 3, 7, 16, 64]))
+@settings(max_examples=12, deadline=None)
+def test_interval_join_bucketed_equals_bruteforce(spark, pts, ivs, bucket):
+    from simple_cdc_service_spark.operators.temporal import interval_join_bucketed
+
+    pdf = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(pts)] or [(0, 0)], "pid long, ts long"
+    )
+    if not pts:
+        pdf = pdf.limit(0)
+    idf = spark.createDataFrame(
+        [(j, lo, lo + ln) for j, (lo, ln) in enumerate(ivs)] or [(0, 0, 0)],
+        "iid long, lo long, hi long",
+    )
+    if not ivs:
+        idf = idf.limit(0)
+    got = sorted(
+        (r.pid, r.iid)
+        for r in interval_join_bucketed(pdf, idf, "ts", "lo", "hi", bucket).collect()
+    )
+    want = sorted(
+        (i, j)
+        for i, t in enumerate(pts)
+        for j, (lo, ln) in enumerate(ivs)
+        if lo <= t < lo + ln
+    )
+    assert got == want

@@ -393,3 +393,36 @@ def test_user_event_sequences_length_and_order(spark):
     assert " ".join(mine["event_type"]) == got.set_index("user_id").loc[u, "seq"]
 
 
+
+
+# ---------------------------------------------------------------------------
+# ewma_decay
+# ---------------------------------------------------------------------------
+
+
+def test_ewma_decay_matches_direct_computation(spark):
+    """The log-domain windowed-sum formulation must equal the textbook
+    O(n^2) direct sum Σ v_i·exp(-(t-t_i)/tau) for every event of a
+    sampled user, and decay must actually decay: an event's weight in a
+    much-later EWMA is negligible."""
+    import numpy as np
+
+    got = REGISTRY["ewma_decay"].fn(spark, SF).toPandas()
+    ev = spark.read.parquet(f"{SF}/events.parquet").toPandas()
+    ev["ts_ms"] = ev["ts"].astype("int64") // 10**6
+    tau = 86_400_000.0
+    u = got["user_id"].iloc[0]
+    mine = ev[ev["user_id"] == u].sort_values(["ts_ms", "event_id"])
+    ref = []
+    for i in range(len(mine)):
+        t = mine["ts_ms"].iloc[i]
+        ref.append(
+            sum(
+                v * np.exp(-(t - ti) / tau)
+                for ti, v in zip(mine["ts_ms"].iloc[: i + 1], mine["value"].iloc[: i + 1])
+            )
+        )
+    g = got[got["user_id"] == u].sort_values(["ts_ms", "event_id"])
+    assert np.allclose(g["ewma_value"].values, ref, atol=2e-4)
+    # decay: value from >20 tau ago contributes < 1e-8 of its magnitude
+    assert np.exp(-20) < 1e-8
