@@ -5288,3 +5288,724 @@ def ewma_decay(spark: SparkSession, sf_dir: str) -> DataFrame:
 # sweep (`tools/check_oracle.py`, committed as CORRECTNESS_FULL_r{N}.json)
 # and by `tools/verify_all.py`'s driver simulation over all entries.
 # ===========================================================================
+
+
+# ===========================================================================
+# Round-4 continuation, block 6: behavioral analytics + corpus curation ops.
+# ===========================================================================
+
+
+@register(
+    "funnel_conversion",
+    oracle="""
+    WITH e AS (SELECT user_id, event_type, epoch_ms(ts) AS ts_ms FROM events),
+    u1 AS (SELECT user_id, min(ts_ms) AS s1 FROM e
+           WHERE event_type = 'signup' GROUP BY user_id),
+    u2 AS (SELECT e.user_id, min(ts_ms) AS s2 FROM e JOIN u1 USING (user_id)
+           WHERE event_type = 'view' AND ts_ms > s1 GROUP BY e.user_id),
+    u3 AS (SELECT e.user_id, min(ts_ms) AS s3 FROM e JOIN u2 USING (user_id)
+           WHERE event_type = 'click' AND ts_ms > s2 GROUP BY e.user_id),
+    u4 AS (SELECT e.user_id, min(ts_ms) AS s4 FROM e JOIN u3 USING (user_id)
+           WHERE event_type = 'purchase' AND ts_ms > s3 GROUP BY e.user_id)
+    SELECT CAST((SELECT count(*) FROM u1) AS BIGINT) AS n_signup,
+           CAST((SELECT count(*) FROM u2) AS BIGINT) AS n_view,
+           CAST((SELECT count(*) FROM u3) AS BIGINT) AS n_click,
+           CAST((SELECT count(*) FROM u4) AS BIGINT) AS n_purchase,
+           round((SELECT count(*) FROM u4) * 1.0
+                 / nullif((SELECT count(*) FROM u1), 0), 4) AS conversion
+    """,
+    headline=True,
+)
+def funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequenced funnel analysis (signup → view → click → purchase): how
+    many users reach each stage IN ORDER, where stage k counts only events
+    strictly later than the user's stage-(k-1) time — the product-analytics
+    staple (Amplitude/Mixpanel funnels).
+
+    The textbook SQL formulation (the oracle) is k-1 self-joins, each a
+    shuffle over the events table. The Spark side does the whole funnel in
+    ONE shuffle: per-user events are gathered once
+    (collect_list → array_sort, deterministic (ts, event_id) order), and a
+    single aggregate() HOF folds the sorted array through the stage
+    machine — stage k's slot is set by the first qualifying event after
+    slot k-1, which over an ascending-ts array is exactly the min-ts
+    semantics of the join chain. Per-user state is 4 longs regardless of
+    history length; the final global rollup is a 1-row aggregate. At
+    100 TB: one exchange on user_id (AQE-balanceable), no join storm, and
+    funnel depth extends by adding struct fields, not shuffles."""
+    e = _t(spark, sf_dir, "events").select(
+        "user_id", F.unix_millis("ts").alias("ts_ms"), "event_id", "event_type"
+    )
+    nul = F.lit(None).cast("long")
+
+    def merge(acc, ev):
+        def take(slot, typ, prev):
+            cond = (ev.event_type == typ) & prev.isNotNull() & (ev.ts_ms > prev)
+            return F.coalesce(slot, F.when(cond, ev.ts_ms))
+
+        return F.struct(
+            F.coalesce(acc.s1, F.when(ev.event_type == "signup", ev.ts_ms)).alias("s1"),
+            take(acc.s2, "view", acc.s1).alias("s2"),
+            take(acc.s3, "click", acc.s2).alias("s3"),
+            take(acc.s4, "purchase", acc.s3).alias("s4"),
+        )
+
+    per_user = (
+        e.groupBy("user_id")
+        .agg(
+            F.array_sort(
+                F.collect_list(F.struct("ts_ms", "event_id", "event_type"))
+            ).alias("seq")
+        )
+        .select(
+            F.aggregate(
+                "seq",
+                F.struct(
+                    nul.alias("s1"), nul.alias("s2"), nul.alias("s3"), nul.alias("s4")
+                ),
+                merge,
+            ).alias("f")
+        )
+    )
+    return per_user.agg(
+        F.count("f.s1").alias("n_signup"),
+        F.count("f.s2").alias("n_view"),
+        F.count("f.s3").alias("n_click"),
+        F.count("f.s4").alias("n_purchase"),
+        F.round(
+            F.count("f.s4") / F.nullif(F.count("f.s1").cast("double"), F.lit(0.0)), 4
+        ).alias("conversion"),
+    )
+
+
+@register(
+    "ngram_top",
+    oracle="""
+    WITH w AS (SELECT string_split(lower(text), ' ') AS ws FROM documents),
+    g AS (SELECT array_to_string(list_slice(ws, i + 1, i + 3), ' ') AS gram
+          FROM w, LATERAL unnest(range(0, len(ws) - 2)) AS t(i)
+          WHERE len(ws) >= 3),
+    c AS (SELECT gram, count(*) AS n FROM g GROUP BY gram)
+    SELECT gram, CAST(n AS BIGINT) AS n_occurrences
+    FROM c ORDER BY n DESC, gram LIMIT 50
+    """,
+    headline=True,
+)
+def ngram_top(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-wide top-k n-gram frequencies (WIMBD-style "what's in my big
+    data" analysis, n=3, k=50): the boilerplate/meme detector — a handful
+    of trigrams with outsized counts is the signature of template text a
+    curation pass should down-weight.
+
+    Plan: staged token arrays (spread + localCheckpoint — a few MB of text
+    is ONE parquet partition otherwise, NOTES trap #6), map-side trigram
+    construction via a position HOF (word_ngrams_all — no self-join, no
+    window), explode → partial-agg'd count (map-side combine shrinks the
+    exchange to distinct grams per partition) → TakeOrderedAndProject for
+    the global top-k (O(k) per partition, never a full sort). At 100 TB
+    the exchange carries only distinct (gram, partial-count) pairs and the
+    top-k never materializes the full distribution on one node."""
+    from .functions import word_ngrams_all, words
+    from .sources.tables import spread
+
+    d = _t(spark, sf_dir, "documents")
+    grams = (
+        spread(d.select(words(F.col("text")).alias("ws")))
+        .select(F.explode(word_ngrams_all(F.col("ws"), 3)).alias("gram"))
+        .groupBy("gram")
+        .agg(F.count("*").alias("n_occurrences"))
+    )
+    return grams.orderBy(F.desc("n_occurrences"), "gram").limit(50)
+
+
+@register(
+    "corpus_stats",
+    oracle="""
+    SELECT lang,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(len(string_split(lower(text), ' '))) AS BIGINT) AS n_tokens,
+           CAST(sum(length(text)) AS BIGINT) AS n_chars,
+           CAST(count(DISTINCT source) AS BIGINT) AS n_sources,
+           CAST(count(DISTINCT md5(lower(text))) AS BIGINT) AS n_unique_texts,
+           round(avg(len(string_split(lower(text), ' '))), 4) AS avg_tokens
+    FROM documents GROUP BY lang
+    """,
+)
+def corpus_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language corpus overview — the first dashboard over any new
+    crawl dump: volume (docs/tokens/chars), provenance breadth (distinct
+    sources), and exact-dup pressure (distinct canonical fingerprints vs
+    docs). One scan, one grouped aggregate; the two DISTINCTs expand to
+    the standard Expand + partial-agg plan, each keyed by (lang, value) —
+    mergeable and skew-safe because lang cardinality is tiny but the
+    expanded keys are not. Fingerprint = md5(lower(text)), shared with
+    doc_fingerprint/dedup_exact so the dup ratio here predicts exactly
+    what dedup_exact will remove."""
+    d = _t(spark, sf_dir, "documents")
+    from .functions import words
+
+    ws = words(F.col("text"))
+    return (
+        d.select(
+            "lang",
+            "source",
+            F.size(ws).alias("n_toks"),
+            F.length("text").alias("n_chars_1"),
+            F.md5(F.lower(F.col("text"))).alias("fp"),
+        )
+        .groupBy("lang")
+        .agg(
+            F.count("*").cast("long").alias("n_docs"),
+            F.sum("n_toks").cast("long").alias("n_tokens"),
+            F.sum("n_chars_1").cast("long").alias("n_chars"),
+            F.count_distinct("source").cast("long").alias("n_sources"),
+            F.count_distinct("fp").cast("long").alias("n_unique_texts"),
+            F.round(F.avg("n_toks"), 4).alias("avg_tokens"),
+        )
+    )
+
+
+@register(
+    "per_source_cap",
+    oracle="""
+    WITH h AS (SELECT doc_id, source,
+                      (doc_id * 1103515245 + 12345) % 2147483648 AS hk
+               FROM documents),
+    r AS (SELECT doc_id, source,
+                 CAST(row_number() OVER (PARTITION BY source ORDER BY hk, doc_id)
+                      AS BIGINT) AS sample_rank
+          FROM h)
+    SELECT doc_id, source, sample_rank FROM r WHERE sample_rank <= 10
+    """,
+)
+def per_source_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-domain document cap (keep ≤ 10 docs per source, hash order) —
+    the anti-over-representation pass every crawl-derived corpus runs
+    (RefinedWeb/FineWeb-style per-domain quotas: one mega-domain must not
+    dominate the training mix).
+
+    Selection order is a pure LCG mix of doc_id — deterministic across
+    engines, retries, and corpus growth *within* a source's surviving
+    prefix (adding docs to a source reshuffles only ranks at the margin,
+    never the hash itself; production swaps the LCG for xxhash64 with the
+    same contract, kept LCG for oracle exactness — same trade as
+    train_val_split). Plan: one exchange on source + in-partition rank;
+    at 100 TB a WindowGroupLimit (rank-pushdown) stops each partition
+    after 10 rows instead of ranking every doc, and a skewed mega-source
+    salts into (source, doc_id-band) sub-keys with a per-band quota."""
+    d = _t(spark, sf_dir, "documents")
+    hk = (F.col("doc_id") * 1103515245 + 12345) % 2147483648
+    w = Window.partitionBy("source").orderBy(hk.asc(), F.col("doc_id").asc())
+    return (
+        d.select("doc_id", "source")
+        .withColumn("sample_rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("sample_rank") <= 10)
+    )
+
+
+@register(
+    "keyword_search",
+    oracle="""
+    WITH toks AS (SELECT DISTINCT doc_id, unnest(string_split(lower(text), ' ')) AS tok
+                  FROM documents),
+    hits AS (SELECT doc_id FROM toks
+             WHERE tok IN ('spark', 'merge', 'window')
+             GROUP BY doc_id HAVING count(*) = 3)
+    SELECT d.doc_id, d.source, CAST(d.n_chars AS BIGINT) AS n_chars
+    FROM documents d JOIN hits USING (doc_id)
+    """,
+)
+def keyword_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Conjunctive keyword search (docs containing ALL of 'spark',
+    'merge', 'window') in inverted-index shape: explode to (doc, token)
+    postings, keep only query-term postings (the filter is pushed to the
+    generator's output before any shuffle — the exchange carries query-
+    term hits only, not the corpus), distinct per doc, and a HAVING
+    count = |terms| intersection. The result then semi-joins the corpus
+    row for display columns.
+
+    This is deliberately NOT array_contains per term (which re-scans the
+    token array per term and can't reuse a persisted posting table): at
+    100 TB the posting frame IS the inverted index — computed once,
+    bucket-written by token, every subsequent query becomes a bucket-
+    pruned probe of its terms. The HAVING-count form extends to k-of-n
+    and OR semantics without plan changes."""
+    from .functions import words
+
+    TERMS = ("spark", "merge", "window")
+    d = _t(spark, sf_dir, "documents")
+    postings = d.select("doc_id", F.explode(words(F.col("text"))).alias("tok")).filter(
+        F.col("tok").isin(*TERMS)
+    )
+    hits = (
+        postings.groupBy("doc_id")
+        .agg(F.count_distinct("tok").alias("nt"))
+        .filter(F.col("nt") == len(TERMS))
+        .select("doc_id")
+    )
+    return d.join(hits, "doc_id", "left_semi").select(
+        "doc_id", "source", F.col("n_chars").cast("long").alias("n_chars")
+    )
+
+
+@register(
+    "text_normalize",
+    oracle="""
+    SELECT doc_id,
+           trim(regexp_replace(regexp_replace(lower(text), '[\\x00-\\x1f]', ' ', 'g'),
+                               '\\s+', ' ', 'g')) AS norm_text,
+           CAST(length(text) AS BIGINT) AS n_chars_raw,
+           CAST(length(trim(regexp_replace(
+                    regexp_replace(lower(text), '[\\x00-\\x1f]', ' ', 'g'),
+                    '\\s+', ' ', 'g'))) AS BIGINT) AS n_chars_norm
+    FROM documents
+    """,
+)
+def text_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Canonical text normalization — the first transform of every text
+    pipeline: lowercase, control characters → space, whitespace runs
+    collapsed, edges trimmed. Idempotent (normalize ∘ normalize =
+    normalize — pinned in tests), so re-running a partially-normalized
+    corpus is safe. Pure map-only column expressions: zero shuffle, the
+    pass rides the corpus scan and stays inside WholeStageCodegen at any
+    scale. DuckDB's regexp_replace needs the explicit 'g' flag to match
+    Spark's replace-all default — the oracle carries it."""
+    d = _t(spark, sf_dir, "documents")
+    norm = F.trim(
+        F.regexp_replace(
+            F.regexp_replace(F.lower(F.col("text")), "[\\x00-\\x1f]", " "),
+            "\\s+",
+            " ",
+        )
+    )
+    return d.select(
+        "doc_id",
+        norm.alias("norm_text"),
+        F.length("text").cast("long").alias("n_chars_raw"),
+        F.length(norm).cast("long").alias("n_chars_norm"),
+    )
+
+
+@register(
+    "histogram_tokens",
+    oracle="""
+    WITH t AS (SELECT least(len(string_split(lower(text), ' ')) // 10, 19) AS b
+               FROM documents)
+    SELECT CAST(b * 10 AS BIGINT) AS token_bucket_lo,
+           CAST(count(*) AS BIGINT) AS n_docs
+    FROM t GROUP BY b
+    """,
+)
+def histogram_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document-length histogram (token count, width-10 buckets, top
+    bucket open-ended): the length-distribution panel used to pick
+    truncation/packing parameters and to spot crawler pathologies
+    (a spike at tiny lengths = boilerplate fragments). Map-side bucket
+    assignment + one 20-group aggregate — partial aggregation collapses
+    each scan partition to ≤ 20 rows, so the exchange is constant-size
+    regardless of corpus size."""
+    from .functions import words
+
+    d = _t(spark, sf_dir, "documents")
+    b = F.least(F.floor(F.size(words(F.col("text"))) / 10), F.lit(19))
+    return (
+        d.select(b.alias("b"))
+        .groupBy("b")
+        .agg(F.count("*").cast("long").alias("n_docs"))
+        .select((F.col("b") * 10).cast("long").alias("token_bucket_lo"), "n_docs")
+    )
+
+
+@register(
+    "domain_reweight",
+    oracle="""
+    WITH cur AS (SELECT lang, count(*) AS n_docs FROM documents GROUP BY lang),
+    tot AS (SELECT sum(n_docs) AS n_total FROM cur)
+    SELECT lang, CAST(n_docs AS BIGINT) AS n_docs,
+           round(n_docs * 1.0 / n_total, 6) AS corpus_share,
+           CASE lang WHEN 'en' THEN 0.4 WHEN 'de' THEN 0.15 WHEN 'es' THEN 0.15
+                     WHEN 'fr' THEN 0.15 WHEN 'zh' THEN 0.15 END AS target_share,
+           round((CASE lang WHEN 'en' THEN 0.4 WHEN 'de' THEN 0.15
+                            WHEN 'es' THEN 0.15 WHEN 'fr' THEN 0.15
+                            WHEN 'zh' THEN 0.15 END)
+                 / (n_docs * 1.0 / n_total), 6) AS weight,
+           round(round((CASE lang WHEN 'en' THEN 0.4 WHEN 'de' THEN 0.15
+                                  WHEN 'es' THEN 0.15 WHEN 'fr' THEN 0.15
+                                  WHEN 'zh' THEN 0.15 END)
+                       / (n_docs * 1.0 / n_total), 6) * n_docs, 2) AS expected_docs
+    FROM cur CROSS JOIN tot
+    """,
+)
+def domain_reweight(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Domain/language importance reweighting (the DoReMi/data-mixture
+    step): given a TARGET mix over languages, emit per-language sampling
+    weights = target_share / corpus_share, plus the expected post-sampling
+    doc counts the weights imply. A doc-level sampler then draws each doc
+    with probability ∝ its language's weight (pure function of (doc_id,
+    weight) — same LCG contract as train_val_split).
+
+    Plan: one grouped count + a broadcast 1-row total (the crossJoin is
+    against a single-row aggregate — constant, never a real cartesian);
+    everything after is map-side arithmetic on a |langs|-row frame. At
+    100 TB the only corpus-sized work is the count aggregate."""
+    TARGET = {"en": 0.4, "de": 0.15, "es": 0.15, "fr": 0.15, "zh": 0.15}
+    d = _t(spark, sf_dir, "documents")
+    tgt = F.create_map(*[F.lit(x) for kv in TARGET.items() for x in kv])
+    cur = d.groupBy("lang").agg(F.count("*").alias("n_docs"))
+    tot = cur.agg(F.sum("n_docs").alias("n_total"))
+    share = F.col("n_docs") / F.col("n_total")
+    weight = F.round(tgt[F.col("lang")] / share, 6)
+    return cur.crossJoin(F.broadcast(tot)).select(
+        "lang",
+        F.col("n_docs").cast("long").alias("n_docs"),
+        F.round(share, 6).alias("corpus_share"),
+        tgt[F.col("lang")].alias("target_share"),
+        weight.alias("weight"),
+        F.round(weight * F.col("n_docs"), 2).alias("expected_docs"),
+    )
+
+
+@register(
+    "shard_plan",
+    oracle="""
+    WITH t AS (SELECT doc_id, len(string_split(lower(text), ' ')) AS n_tokens
+               FROM documents),
+    c AS (SELECT doc_id, n_tokens,
+                 coalesce(CAST(sum(n_tokens) OVER (ORDER BY doc_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS BIGINT), 0)
+                     AS tok_before
+          FROM t)
+    SELECT CAST(tok_before // 5000 AS BIGINT) AS shard_id,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(n_tokens) AS BIGINT) AS n_tokens,
+           CAST(min(doc_id) AS BIGINT) AS first_doc_id,
+           CAST(max(doc_id) AS BIGINT) AS last_doc_id
+    FROM c GROUP BY 1
+    """,
+)
+def shard_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-budget shard planning: assign documents, in deterministic
+    doc_id order, to contiguous training shards of ~5000 tokens each
+    (shard_id = prefix-token-count // budget) and report each shard's
+    doc/token totals and id range — how a corpus becomes fixed-size
+    training files with stable doc→shard assignment.
+
+    The naive formulation is a GLOBAL cumulative window (ORDER BY with no
+    partition — a single-partition sort, the oracle does exactly that and
+    it is fine for DuckDB at sf0.01 but a non-starter at 100 TB). The
+    Spark side computes the identical prefix sum hierarchically:
+    1000-doc segments get per-segment totals (one small aggregate), the
+    segment-level prefix runs over the segments frame (corpus/1000 rows —
+    and recursable to another level if even that is large), and each
+    row's prefix = its segment's offset + the within-segment cumulative
+    window (partitionBy segment — fully parallel). Same numbers, no
+    global sort."""
+    from .functions import words
+
+    BUDGET, SEG = 5000, 1000
+    d = _t(spark, sf_dir, "documents")
+    tok = d.select(
+        "doc_id",
+        (F.col("doc_id") / SEG).cast("long").alias("seg"),
+        F.size(words(F.col("text"))).cast("long").alias("n_tokens"),
+    )
+    seg_tot = tok.groupBy("seg").agg(F.sum("n_tokens").alias("seg_tokens"))
+    seg_off = seg_tot.select(
+        "seg",
+        F.coalesce(
+            F.sum("seg_tokens").over(
+                Window.orderBy("seg").rowsBetween(Window.unboundedPreceding, -1)
+            ),
+            F.lit(0),
+        ).alias("seg_before"),
+    )
+    inner = Window.partitionBy("seg").orderBy("doc_id").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    planned = (
+        tok.join(F.broadcast(seg_off), "seg")
+        .select(
+            "doc_id",
+            "n_tokens",
+            (
+                F.col("seg_before") + F.coalesce(F.sum("n_tokens").over(inner), F.lit(0))
+            ).alias("tok_before"),
+        )
+    )
+    return (
+        planned.select(
+            "doc_id", "n_tokens", (F.col("tok_before") / BUDGET).cast("long").alias("shard_id")
+        )
+        .groupBy("shard_id")
+        .agg(
+            F.count("*").cast("long").alias("n_docs"),
+            F.sum("n_tokens").cast("long").alias("n_tokens"),
+            F.min("doc_id").cast("long").alias("first_doc_id"),
+            F.max("doc_id").cast("long").alias("last_doc_id"),
+        )
+    )
+
+
+@register(
+    "retrieval_mrr",
+    oracle="""
+    WITH e AS (SELECT vec_id, label,
+                      list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+               FROM embeddings),
+    q AS (SELECT vec_id AS query_id, label AS q_label, v AS qv FROM e WHERE vec_id < 5),
+    c AS (SELECT vec_id AS neighbor_id, label AS n_label, v AS cv FROM e WHERE vec_id >= 5),
+    scored AS (
+        SELECT query_id, q_label, neighbor_id, n_label,
+               round(list_dot_product(qv, cv)
+                     / (sqrt(list_dot_product(qv, qv)) * sqrt(list_dot_product(cv, cv))),
+                     6) AS cos_sim
+        FROM q CROSS JOIN c
+    ),
+    r AS (SELECT *, row_number() OVER (
+              PARTITION BY query_id ORDER BY cos_sim DESC, neighbor_id) AS rank
+          FROM scored),
+    topk AS (SELECT * FROM r WHERE rank <= 10),
+    per_q AS (SELECT query_id,
+                     min(CASE WHEN q_label = n_label THEN rank END) AS first_hit,
+                     sum(CASE WHEN q_label = n_label THEN 1 ELSE 0 END) AS n_hits
+              FROM topk GROUP BY query_id)
+    SELECT CAST(count(*) AS BIGINT) AS n_queries,
+           round(avg(coalesce(1.0 / first_hit, 0.0)), 6) AS mrr,
+           round(avg(n_hits / 10.0), 6) AS mean_precision_at_10
+    FROM per_q
+    """,
+)
+def retrieval_mrr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Retrieval evaluation as a query: score the exact top-10 neighbors
+    of each held-out query against its label (label match = relevant) and
+    report MRR and mean precision@10 — the eval harness an embedding/ANN
+    pipeline runs after every index build, expressed as one DataFrame so
+    it reuses the engine's own knn operator (any knn_* variant drops in;
+    recall bars in tests already compare them the same way).
+
+    Plan: knn_bruteforce (broadcast queries, per-partition local top-k),
+    then the k×|queries|-row result — tiny by construction — is broadcast
+    against the corpus labels; two 1-row aggregates finish. Nothing
+    corpus-sized shuffles."""
+    from .operators.similarity import knn_bruteforce
+
+    emb = _t(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") < 5)
+    c = emb.filter(F.col("vec_id") >= 5)
+    knn = knn_bruteforce(c, q, k=10)
+    ql = q.select(F.col("vec_id").alias("query_id"), F.col("label").alias("q_label"))
+    cl = c.select(F.col("vec_id").alias("neighbor_id"), F.col("label").alias("n_label"))
+    j = cl.join(F.broadcast(knn.join(F.broadcast(ql), "query_id")), "neighbor_id")
+    per_q = j.groupBy("query_id").agg(
+        F.min(F.when(F.col("q_label") == F.col("n_label"), F.col("rank"))).alias(
+            "first_hit"
+        ),
+        F.sum(F.when(F.col("q_label") == F.col("n_label"), 1).otherwise(0))
+        .cast("long")
+        .alias("n_hits"),
+    )
+    return per_q.agg(
+        F.count("*").cast("long").alias("n_queries"),
+        F.round(F.avg(F.coalesce(F.lit(1.0) / F.col("first_hit"), F.lit(0.0))), 6).alias(
+            "mrr"
+        ),
+        F.round(F.avg(F.col("n_hits") / 10.0), 6).alias("mean_precision_at_10"),
+    )
+
+
+@register(
+    "props_profile",
+    oracle="""
+    WITH kv AS (
+        SELECT je.key AS key, je.value AS val
+        FROM events, LATERAL (
+            SELECT unnest(json_keys(props)) AS key,
+                   json_extract_string(props, unnest(json_keys(props))) AS value
+        ) je(key, value)
+    )
+    SELECT key,
+           CASE WHEN regexp_matches(val, '^-?[0-9]+$') THEN 'integer'
+                WHEN regexp_matches(val, '^-?[0-9]*\\.[0-9]+$') THEN 'double'
+                ELSE 'string' END AS value_type,
+           CAST(count(*) AS BIGINT) AS n_events
+    FROM kv GROUP BY 1, 2
+    """,
+)
+def props_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-structured payload profiling: key frequency × inferred value
+    type over the events' JSON `props` — the schema-drift panel for an
+    event feed (a new key appearing, or a key's type flipping
+    integer→string, is the upstream-contract break an ingest pipeline
+    must alarm on; complements sources/schema_changes.py which handles
+    DECLARED Debezium schema changes).
+
+    Map-side from_json to map<string,string> (no schema assumption beyond
+    JSON-object-ness), explode entries, regex type sniff, one small
+    aggregate keyed by (key, type) — cardinality = distinct keys × few
+    types, so partial aggregation collapses the exchange to near-nothing
+    at any scale."""
+    ev = _t(spark, sf_dir, "events")
+    kv = ev.select(
+        F.explode(F.map_entries(F.from_json(F.col("props"), "map<string,string>"))).alias(
+            "e"
+        )
+    ).select(
+        F.col("e.key").alias("key"),
+        F.when(F.col("e.value").rlike("^-?[0-9]+$"), "integer")
+        .when(F.col("e.value").rlike("^-?[0-9]*\\.[0-9]+$"), "double")
+        .otherwise("string")
+        .alias("value_type"),
+    )
+    return kv.groupBy("key", "value_type").agg(
+        F.count("*").cast("long").alias("n_events")
+    )
+
+
+@register(
+    "retention_cohorts",
+    oracle="""
+    WITH e AS (SELECT user_id, epoch_ms(ts) AS ts_ms FROM events),
+    f AS (SELECT user_id, min(ts_ms) AS t0 FROM e GROUP BY user_id),
+    x AS (SELECT DISTINCT e.user_id,
+                 (f.t0 // 604800000) * 604800000 AS cohort_week_ms,
+                 (e.ts_ms // 604800000) - (f.t0 // 604800000) AS week_offset
+          FROM e JOIN f USING (user_id))
+    SELECT CAST(cohort_week_ms AS BIGINT) AS cohort_week_ms,
+           CAST(week_offset AS BIGINT) AS week_offset,
+           CAST(count(*) AS BIGINT) AS n_users
+    FROM x GROUP BY 1, 2
+    """,
+    headline=True,
+)
+def retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort retention matrix: users grouped by the epoch-aligned week of
+    their FIRST event; cell (cohort, k) = distinct users of that cohort
+    active k weeks later — the standard product-retention triangle.
+
+    Plan: first-seen per user is one aggregate on user_id; the events
+    re-join it ON THE SAME KEY (co-partitioned — the exchange from the
+    aggregate is reused, no second full shuffle of the fact side); the
+    (cohort, offset, user) distinct is the only remaining exchange and is
+    bounded by distinct actives, not raw events. Weeks are fixed-width
+    epoch arithmetic (timezone-free, matches the oracle exactly). At
+    100 TB the first-seen frame is the thing to persist incrementally
+    (it is append-only by definition: min(ts) never changes once a user
+    exists — delta-maintain it like cdc_incremental_agg)."""
+    W = 604_800_000
+    e = _t(spark, sf_dir, "events").select("user_id", "ts_ms")
+    first = e.groupBy("user_id").agg(F.min("ts_ms").alias("t0"))
+    x = e.join(first, "user_id").select(
+        "user_id",
+        ((F.col("t0") / W).cast("long") * W).alias("cohort_week_ms"),
+        ((F.col("ts_ms") / W).cast("long") - (F.col("t0") / W).cast("long")).alias(
+            "week_offset"
+        ),
+    )
+    return (
+        x.distinct()
+        .groupBy("cohort_week_ms", "week_offset")
+        .agg(F.count("*").cast("long").alias("n_users"))
+    )
+
+
+@register(
+    "event_transitions",
+    oracle="""
+    WITH e AS (SELECT user_id, epoch_ms(ts) AS ts_ms, event_id, event_type FROM events),
+    s AS (SELECT user_id,
+                 list_transform(
+                     list_sort(list_zip(list(ts_ms), list(event_id), list(event_type))),
+                     z -> z[3]) AS seq
+          FROM e GROUP BY user_id),
+    p AS (SELECT seq[i + 1] AS src, seq[i + 2] AS dst
+          FROM s, LATERAL unnest(range(0, len(seq) - 1)) t(i)
+          WHERE len(seq) >= 2),
+    tr AS (SELECT src, dst, count(*) AS n FROM p GROUP BY src, dst),
+    tot AS (SELECT src, sum(n) AS n_src FROM tr GROUP BY src)
+    SELECT tr.src, tr.dst, CAST(tr.n AS BIGINT) AS n_transitions,
+           round(tr.n * 1.0 / tot.n_src, 6) AS p_transition
+    FROM tr JOIN tot USING (src)
+    """,
+)
+def event_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order Markov transition matrix over per-user event streams:
+    P(next type | current type) with counts — the behavioral fingerprint
+    (and the input to sequence-anomaly scoring; the event-type analogue
+    of bigram_logprob's text model).
+
+    ONE corpus shuffle: per-user ordered sequences via
+    collect_list → array_sort (deterministic (ts, event_id) tiebreak,
+    same shape as user_event_sequences), transitions built MAP-SIDE by a
+    position HOF (no window, no self-join), then a |types|²-row count
+    aggregate and a tiny normalizing join. Transition-matrix cardinality
+    is independent of corpus size, so everything after the first exchange
+    is constant-sized at any scale."""
+    e = _t(spark, sf_dir, "events").select("user_id", "ts_ms", "event_id", "event_type")
+    seq = e.groupBy("user_id").agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("ts_ms", "event_id", "event_type"))),
+            lambda s: s.event_type,
+        ).alias("seq")
+    )
+    pair = F.transform(
+        F.sequence(F.lit(0), F.size("seq") - 2),
+        lambda i: F.struct(
+            F.element_at(F.col("seq"), (i + 1).cast("int")).alias("src"),
+            F.element_at(F.col("seq"), (i + 2).cast("int")).alias("dst"),
+        ),
+    )
+    tr = (
+        seq.filter(F.size("seq") >= 2)
+        .select(F.explode(pair).alias("p"))
+        .groupBy(F.col("p.src").alias("src"), F.col("p.dst").alias("dst"))
+        .agg(F.count("*").alias("n"))
+    )
+    tot = tr.groupBy("src").agg(F.sum("n").alias("n_src"))
+    return tr.join(tot, "src").select(
+        "src",
+        "dst",
+        F.col("n").cast("long").alias("n_transitions"),
+        F.round(F.col("n") / F.col("n_src"), 6).alias("p_transition"),
+    )
+
+
+@register(
+    "dau_rolling",
+    oracle="""
+    WITH ud AS (SELECT DISTINCT user_id, epoch_ms(ts) // 86400000 AS day FROM events),
+    dau AS (SELECT day, count(*) AS dau FROM ud GROUP BY day),
+    contrib AS (SELECT DISTINCT user_id, day + i AS day
+                FROM ud, LATERAL unnest(range(0, 7)) t(i)),
+    wau AS (SELECT day, count(*) AS wau FROM contrib GROUP BY day)
+    SELECT CAST(dau.day * 86400000 AS BIGINT) AS day_ms,
+           CAST(dau.dau AS BIGINT) AS dau,
+           CAST(wau.wau AS BIGINT) AS wau
+    FROM dau JOIN wau USING (day)
+    """,
+)
+def dau_rolling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DAU + trailing-7-day WAU per day — the rolling DISTINCT problem
+    (windowed count_distinct is not decomposable, so no window frame can
+    compute it). The scale-out trick: each (user, day) active pair
+    CONTRIBUTES itself to the 7 days it keeps the user 'weekly active'
+    for (explode of a 7-element sequence — map-side), then WAU is a plain
+    distinct count per day. Shuffle volume is 7× the distinct
+    (user, day) frame — already deduplicated, orders of magnitude below
+    raw events — traded for decomposability; the alternative at extreme
+    scale is merging per-day HLL sketches (approx_distinct's machinery)
+    at 7× less shuffle but ±2% error, noted in-line. Emitted days are
+    restricted to days with actual activity (semi-join on the DAU frame),
+    so both engines enumerate the same day set."""
+    D = 86_400_000
+    e = _t(spark, sf_dir, "events").select(
+        "user_id", (F.col("ts_ms") / D).cast("long").alias("day")
+    )
+    ud = e.distinct()
+    dau = ud.groupBy("day").agg(F.count("*").cast("long").alias("dau"))
+    contrib = ud.select(
+        F.explode(F.sequence(F.col("day"), F.col("day") + 6)).alias("day"), "user_id"
+    ).distinct()
+    wau = contrib.groupBy("day").agg(F.count("*").cast("long").alias("wau"))
+    return dau.join(wau, "day").select(
+        (F.col("day") * D).alias("day_ms"), "dau", "wau"
+    )

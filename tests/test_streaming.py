@@ -1248,3 +1248,67 @@ class TestQualityGatedAdmission:
         assert admitted == {1, 4}
         sig_ids = {r.doc_id for r in _read_sigs(spark, corpus_dir).collect()}
         assert sig_ids == {1, 4}
+
+
+class TestWatermarkDropAccounting:
+    def test_late_rows_dropped_and_counted(self, spark, tmp_path):
+        """A row arriving BEYOND the watermark must (a) not appear in any
+        emitted window and (b) be visible in the per-batch state metrics
+        as numRowsDroppedByWatermark — silent data loss is the one thing a
+        late-data policy may not do. Exercises the ProgressRecorder's
+        state capture end-to-end."""
+        import json as _json
+
+        from simple_cdc_service_spark.streaming.metrics import ProgressRecorder
+
+        src = str(tmp_path / "src")
+        out = str(tmp_path / "out")
+        ckpt = str(tmp_path / "ckpt")
+        metrics = str(tmp_path / "metrics.jsonl")
+        os.makedirs(src)
+
+        def feed(name, times):
+            with open(os.path.join(src, name), "w") as f:
+                for t in times:
+                    f.write(_json.dumps({"event_time": t}) + "\n")
+
+        def run():
+            stream = (
+                spark.readStream.schema("event_time string")
+                .json(src)
+                .withColumn("event_time", F.col("event_time").cast("timestamp"))
+            )
+            _run(
+                start_windowed_counts(
+                    stream, out, ckpt, "event_time", "1 hour", "30 minutes"
+                )
+            )
+
+        rec = ProgressRecorder(metrics)
+        spark.streams.addListener(rec)
+        try:
+            # batch 1: two on-time rows + a far-future row -> watermark ends
+            # up at 23:30, windows 00 and 01 close and emit
+            feed("a.json", ["2024-01-01 00:10:00", "2024-01-01 01:10:00",
+                            "2024-01-02 00:00:00"])
+            run()
+            # batch 2: a row for the long-closed 00:00 window (23h late)
+            feed("b.json", ["2024-01-01 00:20:00"])
+            run()
+        finally:
+            spark.streams.removeListener(rec)
+
+        counts = {r.win_start: r.n for r in spark.read.parquet(out).collect()}
+        base = 1704067200000  # 2024-01-01 00:00 UTC
+        assert counts[base] == 1  # late row NOT added (window already emitted)
+        assert counts[base + 3600000] == 1
+
+        with open(metrics) as f:
+            lines = [_json.loads(ln) for ln in f]
+        dropped = sum(
+            s["dropped_by_watermark"]
+            for ln in lines
+            if ln["event"] == "progress"
+            for s in ln.get("state", [])
+        )
+        assert dropped == 1, lines
