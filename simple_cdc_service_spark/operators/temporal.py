@@ -149,3 +149,101 @@ def range_join_count(
     return joined.groupBy(anchor_id, key, anchor_ts).agg(
         F.sum(F.when(F.col("__in_range"), 1).otherwise(0)).alias("n_in_range")
     )
+
+
+def interval_join_preagg(
+    events: DataFrame,
+    intervals: DataFrame,
+    ts_col: str,
+    lo_col: str,
+    hi_col: str,
+    bucket_ms: int,
+    value_col: str,
+) -> DataFrame:
+    """Interval-containment COUNT/SUM without enumerating pairs.
+
+    ``interval_join_bucketed`` emits every (event, interval) pair — correct
+    and necessary for DISTINCT-style consumers, but when the windows are
+    dense the pair set is the product of densities (the one super-linear
+    scaler in the sf1 check: 32× at 10²× pair count). For decomposable
+    aggregates the pairs never need to exist:
+
+      1. events pre-aggregate ONCE to fine buckets of ``bucket_ms``
+         (count + sum — the only corpus-sized pass);
+      2. each interval explodes to its FULLY-CONTAINED bucket ids
+         (~width/bucket_ms rows) and equi-joins the tiny aggregated
+         frame — cost ∝ intervals × buckets-per-interval, independent of
+         event density;
+      3. only the ≤2 partial EDGE buckets per interval join raw events
+         with the exact containment filter — cost ∝ events in edge
+         buckets only.
+
+    Interior + edge sums are exact (bucket [b·B, (b+1)·B) is inside
+    [lo, hi) iff b ∈ [ceil(lo/B), floor(hi/B)−1]; the edge candidates
+    floor(lo/B) / floor((hi−1)/B) are kept only when NOT in that interior
+    range, which also covers sub-bucket intervals where the interior is
+    empty and both candidates collapse to one bucket). Returns one row
+    per interval: n_events, sum_value."""
+    B = bucket_ms
+
+    def fdiv(c):
+        # exact floor division on longs for ANY sign: cast("long") truncates
+        # toward zero, and F.floor over double division can be off by one
+        # ulp at exact multiples — both corrupt interior-bucket membership,
+        # which has no exact filter to catch it. (c - pmod) is exactly
+        # divisible, so the double quotient is an exact integer.
+        return ((c - F.pmod(c, F.lit(B))) / B).cast("long")
+
+    ev = events.select(
+        F.col(ts_col).alias("__ts"),
+        F.col(value_col).alias("__v"),
+        fdiv(F.col(ts_col)).alias("__b"),
+    )
+    eb = ev.groupBy("__b").agg(F.count("*").alias("__cnt"), F.sum("__v").alias("__sv"))
+
+    iv = intervals.select(
+        "*",
+        fdiv(F.col(lo_col) + (B - 1)).alias("__blo"),  # ceil(lo/B)
+        (fdiv(F.col(hi_col)) - 1).alias("__bhi"),
+        fdiv(F.col(lo_col)).alias("__be"),
+        fdiv(F.col(hi_col) - 1).alias("__br"),
+    )
+    ikeys = [c for c in intervals.columns]
+
+    interior = (
+        iv.filter(F.col("__blo") <= F.col("__bhi"))
+        .select(*ikeys, F.explode(F.sequence("__blo", "__bhi")).alias("__b"))
+        .join(eb, "__b")
+        .groupBy(*ikeys)
+        .agg(F.sum("__cnt").alias("__n1"), F.sum("__sv").alias("__s1"))
+    )
+    edge_arr = F.array_distinct(F.array("__be", "__br"))
+    edges = (
+        iv.select(
+            *ikeys,
+            F.col(lo_col).alias("__lo"),
+            F.col(hi_col).alias("__hi"),
+            F.explode(
+                F.filter(
+                    edge_arr,
+                    lambda x: ~((F.col("__blo") <= x) & (x <= F.col("__bhi"))),
+                )
+            ).alias("__b"),
+        )
+        .join(ev, "__b")
+        .filter((F.col("__ts") >= F.col("__lo")) & (F.col("__ts") < F.col("__hi")))
+        .groupBy(*ikeys)
+        .agg(F.count("*").alias("__n2"), F.sum("__v").alias("__s2"))
+    )
+    return (
+        interior.join(edges, ikeys, "full_outer")
+        .select(
+            *ikeys,
+            (F.coalesce("__n1", F.lit(0)) + F.coalesce("__n2", F.lit(0)))
+            .cast("long")
+            .alias("n_events"),
+            (F.coalesce("__s1", F.lit(0)) + F.coalesce("__s2", F.lit(0)))
+            .cast("long")
+            .alias("sum_value"),
+        )
+    )

@@ -6009,3 +6009,241 @@ def dau_rolling(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dau.join(wau, "day").select(
         (F.col("day") * D).alias("day_ms"), "dau", "wau"
     )
+
+
+@register(
+    "dau_rolling_hll",
+    oracle="""
+    WITH ud AS (SELECT DISTINCT user_id, epoch_ms(ts) // 86400000 AS day FROM events),
+    contrib AS (SELECT DISTINCT user_id, day + i AS day
+                FROM ud, LATERAL unnest(range(0, 7)) t(i)),
+    wau AS (SELECT day, count(*) AS wau FROM contrib GROUP BY day),
+    days AS (SELECT DISTINCT day FROM ud)
+    SELECT CAST(wau.day * 86400000 AS BIGINT) AS day_ms,
+           CAST(wau.wau AS BIGINT) AS wau_exact,
+           TRUE AS hll_in_bound
+    FROM wau JOIN days USING (day)
+    """,
+)
+def dau_rolling_hll(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trailing-7-day actives via MERGED DAILY HLL SKETCHES — the shape a
+    100 TB deployment actually uses: one sketch per (day) is built from
+    raw events (mergeable, tiny, persistable), and any trailing window is
+    a UNION of 7 sketches — no re-touching of raw data, no 7× row
+    amplification (contrast dau_rolling's exact contribute-forward
+    explode). The estimate is checked IN-QUERY against the exact rolling
+    distinct (same pattern as approx_distinct): the hashed output carries
+    the exact value plus a boolean pinning |est − exact| ≤ 5%·exact, so
+    the oracle (which cannot run datasketches) emits literal TRUE and the
+    comparison still bites — a broken sketch path fails the hash-match.
+
+    Plan: distinct (user, day) → per-day hll_sketch_agg (lgK=12 default,
+    ±~1.6% rsd) → 7-day contribute-forward of the |days|-row sketch
+    frame → hll_union_agg per day → estimate; exact side shares the
+    distinct frame. Restricted to days with actual activity via a
+    semi-join, matching the oracle's day set."""
+    D = 86_400_000
+    e = _t(spark, sf_dir, "events").select(
+        "user_id", (F.col("ts_ms") / D).cast("long").alias("day")
+    )
+    ud = e.distinct()
+    daily_sk = ud.groupBy("day").agg(F.hll_sketch_agg("user_id").alias("sk"))
+    est = (
+        daily_sk.select(
+            F.explode(F.sequence(F.col("day"), F.col("day") + 6)).alias("day"), "sk"
+        )
+        .groupBy("day")
+        .agg(F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("wau_est"))
+    )
+    exact = (
+        ud.select(
+            F.explode(F.sequence(F.col("day"), F.col("day") + 6)).alias("day"),
+            "user_id",
+        )
+        .distinct()
+        .groupBy("day")
+        .agg(F.count("*").cast("long").alias("wau_exact"))
+    )
+    days = ud.select("day").distinct()
+    return (
+        exact.join(est, "day")
+        .join(days, "day", "left_semi")
+        .select(
+            (F.col("day") * D).alias("day_ms"),
+            "wau_exact",
+            (
+                F.abs(F.col("wau_est") - F.col("wau_exact"))
+                <= 0.05 * F.col("wau_exact")
+            ).alias("hll_in_bound"),
+        )
+    )
+
+
+@register(
+    "cdc_before_image",
+    oracle=f"""
+    {_CH},
+    live AS (
+        SELECT ch.* FROM ch
+        CROSS JOIN (SELECT coalesce(max(ev_offset), -1) AS t_off
+                    FROM ch WHERE op = 't') ep
+        WHERE ch.ev_offset > ep.t_off AND ch.op <> 't'
+    ),
+    v AS (
+        SELECT user_id, op, val AS last_value, ev_offset AS valid_from,
+               lead(ev_offset) OVER (PARTITION BY user_id ORDER BY ev_offset)
+                   AS valid_to
+        FROM live
+    ),
+    hist AS (SELECT * FROM v WHERE op <> 'd'),
+    f AS (SELECT ev_offset AS event_offset, user_id, op FROM ch)
+    SELECT f.event_offset, f.user_id, f.op,
+           hist.last_value AS before_value,
+           hist.valid_from AS before_since_offset
+    FROM f JOIN hist ON f.user_id = hist.user_id
+    WHERE hist.valid_from < f.event_offset
+      AND (hist.valid_to IS NULL OR f.event_offset <= hist.valid_to)
+    """,
+)
+def cdc_before_image(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reconstruct every change event's BEFORE image from the SCD2
+    history — the ``payload.before`` field Debezium ships with each
+    envelope (insert.json:4-163), recomputed from state: the version in
+    effect immediately before the event applied is the unique interval
+    with valid_from < offset ≤ valid_to (the event that closed a version
+    IS that version's valid_to, so each event matches exactly one — a
+    CDC audit: what state did each update overwrite, what value did each
+    delete remove. Events whose user had no live prior version (first
+    insert of a key, pre-truncate history) have no before image and drop
+    out of the inner join.
+
+    Plan: SCD2 history (one key-partitioned lead() window) joined to the
+    changelog ON THE KEY with the interval predicate as the join filter —
+    an equi-shuffle join both sides partitioned by user_id, never a
+    BroadcastNestedLoopJoin (same co-partitioning class as the collapse);
+    the ≤1-match guarantee keeps output ≤ input. Point-in-time dimension
+    enrichment of an arbitrary fact table is this same plan with the
+    fact's event time in place of the offset."""
+    from .sources.changelog import derive_changelog
+
+    scd2 = REGISTRY["cdc_scd2"].fn(spark, sf_dir)
+    ch = derive_changelog(_t(spark, sf_dir, "events"))
+    f = ch.select("ev_offset", "user_id", "op")
+    return (
+        f.join(scd2, "user_id")
+        .filter(
+            (F.col("valid_from") < F.col("ev_offset"))
+            & (F.col("valid_to").isNull() | (F.col("ev_offset") <= F.col("valid_to")))
+        )
+        .select(
+            F.col("ev_offset").alias("event_offset"),
+            "user_id",
+            "op",
+            F.col("last_value").alias("before_value"),
+            F.col("valid_from").alias("before_since_offset"),
+        )
+    )
+
+
+@register(
+    "quality_deciles",
+    oracle="""
+    WITH t AS (SELECT doc_id, len(string_split(lower(text), ' ')) AS n_toks
+               FROM documents),
+    thr AS (SELECT list_transform(
+                quantile_cont(n_toks, [0.1,0.2,0.3,0.4,0.5,0.6,0.7,0.8,0.9]),
+                x -> round(x, 4)) AS thr
+            FROM t),
+    dec AS (SELECT doc_id, n_toks,
+                   len(list_filter(thr.thr, x -> n_toks > x)) + 1 AS decile
+            FROM t CROSS JOIN thr)
+    SELECT CAST(decile AS BIGINT) AS decile,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(min(n_toks) AS BIGINT) AS min_tokens,
+           CAST(max(n_toks) AS BIGINT) AS max_tokens
+    FROM dec GROUP BY decile
+    """,
+)
+def quality_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Decile bucketing by a computed score (token count here; any quality
+    signal drops in): exact P10..P90 thresholds in ONE 1-row aggregate,
+    broadcast to a map-side bucket assignment (count of thresholds below
+    the value, via an array-filter HOF — no per-row join, no ntile()
+    global window, which would single-partition the corpus). Thresholds
+    are rounded to 4dp on both engines BEFORE comparison so the integer
+    bucket decisions are bit-identical (Spark percentile and DuckDB
+    quantile_cont share linear interpolation). At 100 TB swap the exact
+    percentile for percentile_approx (t-digest, mergeable) — same plan,
+    documented error; the assignment stage is unchanged."""
+    from .functions import words
+
+    d = _t(spark, sf_dir, "documents")
+    toks = d.select("doc_id", F.size(words(F.col("text"))).cast("long").alias("n_toks"))
+    qs = [i / 10.0 for i in range(1, 10)]
+    thr = toks.agg(
+        F.transform(
+            F.percentile("n_toks", F.array(*[F.lit(q) for q in qs])),
+            lambda x: F.round(x, 4),
+        ).alias("thr")
+    )
+    dec = toks.crossJoin(F.broadcast(thr)).select(
+        "doc_id",
+        "n_toks",
+        (F.size(F.filter(F.col("thr"), lambda t: F.col("n_toks") > t)) + 1)
+        .cast("long")
+        .alias("decile"),
+    )
+    return dec.groupBy("decile").agg(
+        F.count("*").cast("long").alias("n_docs"),
+        F.min("n_toks").cast("long").alias("min_tokens"),
+        F.max("n_toks").cast("long").alias("max_tokens"),
+    )
+
+
+@register(
+    "interval_join_preagg",
+    oracle="""
+    WITH e AS (SELECT event_id, epoch_ms(ts) AS ts_ms, event_type,
+                      CAST(round(value * 100) AS BIGINT) AS cents FROM events),
+    i AS (SELECT event_id AS incident_id, ts_ms AS lo, ts_ms + 600000 AS hi
+          FROM e WHERE event_type = 'error')
+    SELECT incident_id, CAST(lo AS BIGINT) AS incident_start_ms,
+           CAST(count(*) AS BIGINT) AS n_events,
+           CAST(sum(cents) AS BIGINT) AS sum_cents
+    FROM i JOIN e ON e.ts_ms >= i.lo AND e.ts_ms < i.hi
+    GROUP BY incident_id, lo
+    """,
+)
+def interval_join_preagg_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """interval_join_bucketed's aggregate-only sibling: the same incident
+    windows, but count/sum computed from PRE-AGGREGATED fine buckets +
+    exact edge correction — no (event, interval) pair enumeration. This
+    is the answer to the sf1 scale check's one super-linear query: pair
+    density² drops out of the cost for decomposable aggregates (DISTINCT
+    consumers still need the enumerating form). Same oracle as
+    interval_join_bucketed minus n_users; equality of the two Spark
+    formulations is pinned in tests. See
+    operators/temporal.interval_join_preagg for the bucket algebra."""
+    from .operators.temporal import interval_join_preagg
+
+    W = 600_000
+    e = _t(spark, sf_dir, "events").select(
+        "event_id",
+        "ts_ms",
+        F.round(F.col("value") * 100).cast("long").alias("cents"),
+        "event_type",
+    )
+    inc = e.filter(F.col("event_type") == "error").select(
+        F.col("event_id").alias("incident_id"),
+        F.col("ts_ms").alias("lo"),
+        (F.col("ts_ms") + W).alias("hi"),
+    )
+    res = interval_join_preagg(
+        e.select("ts_ms", "cents"), inc, "ts_ms", "lo", "hi", 60_000, "cents"
+    )
+    return res.select(
+        "incident_id",
+        F.col("lo").alias("incident_start_ms"),
+        "n_events",
+        F.col("sum_value").alias("sum_cents"),
+    )

@@ -1277,3 +1277,95 @@ def vacuum_corpus(corpus_dir: str) -> None:
                 d != newest and int(name[len("base_v"):]) < through
             ):
                 shutil.rmtree(d, ignore_errors=True)
+
+
+def start_funnel_state(
+    stream: DataFrame,
+    out_dir: str,
+    checkpoint: str,
+    stages: "tuple[str, ...]" = ("signup", "view", "click", "purchase"),
+    trigger_available_now: bool = True,
+):
+    """Incremental funnel maintenance (the streaming form of the
+    funnel_conversion registry entry): each user's 4-slot stage machine
+    lives in the streaming state store and is advanced by every micro-
+    batch; each batch emits the post-batch slot vector for touched users
+    (an update-mode changelog — latest emission per user IS the funnel
+    state, so stage counts are one aggregate over it).
+
+    Slots are SET-ONCE (a stage records the first qualifying event after
+    the previous stage), so per-user state is 4 longs forever — no
+    history accumulates, unlike sessionization state. Within a batch
+    events are applied in (ts_ms, event_id) order; across batches the
+    fold equals the batch operator when events arrive in event-time order
+    (the CDC stand-in's contract — same assumption as the replica).
+    An event-time-late stage event can under-fill a slot the batch
+    operator would have filled; pinned equal under ordered replay in
+    tests, and the honest fix for unordered feeds is a watermark-delayed
+    re-sort upstream, not more state here.
+    """
+    import pandas as pd
+
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    n = len(stages)
+
+    def update(key, pdfs, state: GroupState):
+        slots = list(state.get) if state.exists else [None] * n
+        for pdf in pdfs:
+            pdf = pdf.sort_values(["ts_ms", "event_id"])
+            for ts, ty in zip(pdf["ts_ms"], pdf["event_type"]):
+                for k, s in enumerate(stages):
+                    if ty != s or slots[k] is not None:
+                        continue
+                    if k == 0 or (slots[k - 1] is not None and ts > slots[k - 1]):
+                        slots[k] = int(ts)
+                    break
+        state.update(tuple(slots))
+        row = {"user_id": int(key[0])}
+        row.update({f"s{i + 1}": slots[i] for i in range(n)})
+        yield pd.DataFrame([row])
+
+    slot_cols = ", ".join(f"s{i + 1} long" for i in range(n))
+    out = (
+        stream.select("user_id", "ts_ms", "event_id", "event_type")
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            update,
+            outputStructType=f"user_id long, {slot_cols}",
+            stateStructType=slot_cols,
+            outputMode="update",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )
+
+    def append_batch(batch_df: DataFrame, batch_id: int) -> None:
+        batch_df.withColumn("batch_id", F.lit(batch_id)).write.mode(
+            "append"
+        ).parquet(out_dir)
+
+    writer = (
+        out.writeStream.foreachBatch(append_batch)
+        .option("checkpointLocation", checkpoint)
+        .outputMode("update")
+    )
+    if trigger_available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
+def read_funnel_state(spark: SparkSession, out_dir: str, n_stages: int = 4) -> DataFrame:
+    """Current funnel stage counts from the emitted changelog: latest
+    emission per user (max batch_id wins), then one count per slot."""
+    df = spark.read.parquet(out_dir)
+    slot_cols = [f"s{i + 1}" for i in range(n_stages)]
+    latest = (
+        df.groupBy("user_id")
+        .agg(
+            F.max_by(F.struct(*slot_cols), F.col("batch_id")).alias("f")
+        )
+        .select("user_id", *[F.col(f"f.{c}").alias(c) for c in slot_cols])
+    )
+    return latest.agg(
+        *[F.count(c).alias(f"n_{i + 1}") for i, c in enumerate(slot_cols)]
+    )

@@ -208,3 +208,37 @@ def test_interval_join_bucketed_equals_bruteforce(spark, pts, ivs, bucket):
         if lo <= t < lo + ln
     )
     assert got == want
+
+
+@given(iv_points, iv_intervals, st.sampled_from([1, 3, 7, 16, 64]))
+@settings(max_examples=12, deadline=None)
+def test_interval_join_preagg_equals_bruteforce(spark, pts, ivs, bucket):
+    """Pre-aggregated interior + exact edges must equal the brute-force
+    containment aggregate for every bucket width — including sub-bucket
+    intervals, bucket-aligned bounds, negative timestamps, and empty
+    inputs (value = the point's ts, so sums catch misassignment)."""
+    from simple_cdc_service_spark.operators.temporal import interval_join_preagg
+
+    pdf = spark.createDataFrame(
+        [(t, t) for t in pts] or [(0, 0)], "ts long, v long"
+    )
+    if not pts:
+        pdf = pdf.limit(0)
+    idf = spark.createDataFrame(
+        [(j, lo, lo + ln) for j, (lo, ln) in enumerate(ivs)] or [(0, 0, 0)],
+        "iid long, lo long, hi long",
+    )
+    if not ivs:
+        idf = idf.limit(0)
+    got = {
+        r.iid: (r.n_events, r.sum_value)
+        for r in interval_join_preagg(
+            pdf, idf, "ts", "lo", "hi", bucket, "v"
+        ).collect()
+    }
+    want = {}
+    for j, (lo, ln) in enumerate(ivs):
+        hits = [t for t in pts if lo <= t < lo + ln]
+        if hits:
+            want[j] = (len(hits), sum(hits))
+    assert got == want

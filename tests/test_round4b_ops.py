@@ -288,3 +288,115 @@ def test_dau_rolling_wau_bounds(spark):
         d = r["day_ms"] // D
         cap = sum(dau_by_day.get(d - i, 0) for i in range(7))
         assert r["wau"] <= cap
+
+
+def test_dau_rolling_hll_agrees_with_exact(spark):
+    """The sketch entry's exact column must equal dau_rolling's wau (same
+    contribute-forward semantics), and the in-bound boolean must hold on
+    every row (the oracle hash-match enforces it too; this keeps the
+    property visible if the oracle is ever loosened)."""
+    a = REGISTRY["dau_rolling"].fn(spark, SF).toPandas().set_index("day_ms")
+    b = REGISTRY["dau_rolling_hll"].fn(spark, SF).toPandas().set_index("day_ms")
+    assert (a["wau"].sort_index() == b["wau_exact"].sort_index()).all()
+    assert b["hll_in_bound"].all()
+
+
+# ---------------------------------------------------------------------------
+# funnel property test: random event streams vs sequential replay
+# ---------------------------------------------------------------------------
+
+from hypothesis import given, settings, strategies as st  # noqa: E402
+
+_ev = st.tuples(
+    st.integers(min_value=1, max_value=5),  # user
+    st.integers(min_value=0, max_value=50),  # ts ms
+    st.sampled_from(["signup", "view", "click", "purchase", "error"]),
+)
+
+
+@given(st.lists(_ev, max_size=40))
+@settings(max_examples=10, deadline=None)
+def test_funnel_property_vs_replay(spark, tmp_path_factory, events):
+    """Random event streams (duplicate timestamps, shuffled stages, noise
+    types): the one-shuffle fold must equal the sequential replay."""
+    import uuid
+
+    d = tmp_path_factory.mktemp("funnel") / uuid.uuid4().hex
+    d.mkdir()
+    pdf = pd.DataFrame(
+        {
+            "event_id": pd.array(range(len(events)), dtype="int64"),
+            # explicit datetime64 dtype: an EMPTY object column would land in
+            # parquet as unannotated int64, which load_events refuses
+            "ts": pd.to_datetime([pd.Timestamp(ts, unit="ms") for _, ts, _ in events]),
+            "user_id": pd.array([u for u, _, _ in events], dtype="int64"),
+            "event_type": pd.array([ty for _, _, ty in events], dtype=object),
+            "value": 1.0,
+            "props": "{}",
+        }
+    )
+    pdf.to_parquet(str(d / "events.parquet"))
+    out = REGISTRY["funnel_conversion"].fn(spark, str(d)).collect()[0].asDict()
+    # replay must see events in (ts, event_id) order — the engine's tiebreak
+    ordered = sorted(zip(events, range(len(events))), key=lambda p: (p[0][1], p[1]))
+    exp = _funnel_replay_ordered([(u, ts, ty) for (u, ts, ty), _ in ordered])
+    got = [out["n_signup"], out["n_view"], out["n_click"], out["n_purchase"]]
+    assert got == exp, (events, got, exp)
+
+
+def _funnel_replay_ordered(events_in_order):
+    """Sequential replay over an ALREADY-ORDERED event list."""
+    stages = ("signup", "view", "click", "purchase")
+    per_user = {}
+    for u, ts, ty in events_in_order:
+        slots = per_user.setdefault(u, [None, None, None, None])
+        for k, s in enumerate(stages):
+            if ty != s or slots[k] is not None:
+                continue
+            if k == 0 or (slots[k - 1] is not None and ts > slots[k - 1]):
+                slots[k] = ts
+            break
+    counts = [0, 0, 0, 0]
+    for slots in per_user.values():
+        for k in range(4):
+            counts[k] += slots[k] is not None
+    return counts
+
+
+# ---------------------------------------------------------------------------
+# block 10: cdc_before_image / quality_deciles
+# ---------------------------------------------------------------------------
+
+
+def test_before_image_unique_and_causal(spark):
+    pdf = REGISTRY["cdc_before_image"].fn(spark, SF).toPandas()
+    assert len(pdf) > 0
+    assert pdf["event_offset"].is_unique  # ≤1 pre-image per event
+    assert (pdf["before_since_offset"] < pdf["event_offset"]).all()  # causality
+
+
+def test_before_image_delete_preimage_matches_history(spark):
+    """A delete's before image must be the version the delete closed:
+    re-derive from the SCD2 history (valid_to == delete offset)."""
+    hist = REGISTRY["cdc_scd2"].fn(spark, SF).toPandas()
+    img = REGISTRY["cdc_before_image"].fn(spark, SF).toPandas()
+    dels = img[img["op"] == "d"]
+    closed = hist.dropna(subset=["valid_to"]).set_index(
+        ["user_id", "valid_to"]
+    )["last_value"]
+    for _, r in dels.iterrows():
+        assert closed.loc[(r["user_id"], r["event_offset"])] == r["before_value"]
+
+
+def test_quality_deciles_partition_corpus(spark):
+    pdf = (
+        REGISTRY["quality_deciles"].fn(spark, SF).toPandas().sort_values("decile")
+    )
+    n_docs = spark.read.parquet(f"{SF}/documents.parquet").count()
+    assert int(pdf["n_docs"].sum()) == n_docs
+    assert set(pdf["decile"]) <= set(range(1, 11))
+    # value ranges are ordered: bucket assignment is monotone in the score
+    assert (
+        pdf["max_tokens"].shift(1).dropna().values
+        <= pdf["min_tokens"].iloc[1:].values
+    ).all()

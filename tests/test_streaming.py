@@ -1278,11 +1278,12 @@ class TestWatermarkDropAccounting:
                 .json(src)
                 .withColumn("event_time", F.col("event_time").cast("timestamp"))
             )
-            _run(
-                start_windowed_counts(
-                    stream, out, ckpt, "event_time", "1 hour", "30 minutes"
-                )
+            q = start_windowed_counts(
+                stream, out, ckpt, "event_time", "1 hour", "30 minutes"
             )
+            q.awaitTermination()
+            # handle-side progress is synchronous (no listener-bus delay)
+            return [_json.loads(p.json) for p in q.recentProgress]
 
         rec = ProgressRecorder(metrics)
         spark.streams.addListener(rec)
@@ -1291,10 +1292,10 @@ class TestWatermarkDropAccounting:
             # up at 23:30, windows 00 and 01 close and emit
             feed("a.json", ["2024-01-01 00:10:00", "2024-01-01 01:10:00",
                             "2024-01-02 00:00:00"])
-            run()
+            prog = run()
             # batch 2: a row for the long-closed 00:00 window (23h late)
             feed("b.json", ["2024-01-01 00:20:00"])
-            run()
+            prog += run()
         finally:
             spark.streams.removeListener(rec)
 
@@ -1303,12 +1304,99 @@ class TestWatermarkDropAccounting:
         assert counts[base] == 1  # late row NOT added (window already emitted)
         assert counts[base + 3600000] == 1
 
-        with open(metrics) as f:
-            lines = [_json.loads(ln) for ln in f]
         dropped = sum(
-            s["dropped_by_watermark"]
-            for ln in lines
-            if ln["event"] == "progress"
-            for s in ln.get("state", [])
+            s["numRowsDroppedByWatermark"]
+            for p in prog
+            for s in p.get("stateOperators", [])
         )
-        assert dropped == 1, lines
+        assert dropped == 1, prog
+
+        # the ProgressRecorder sidecar sees the same accounting; the
+        # listener bus is ASYNC, so poll briefly rather than read-once
+        import time as _time
+
+        deadline = _time.monotonic() + 20
+        rec_dropped = -1
+        while _time.monotonic() < deadline:
+            try:
+                with open(metrics) as f:
+                    lines = [_json.loads(ln) for ln in f]
+            except FileNotFoundError:
+                lines = []
+            rec_dropped = sum(
+                s["dropped_by_watermark"]
+                for ln in lines
+                if ln["event"] == "progress"
+                for s in ln.get("state", [])
+            )
+            if rec_dropped == 1:
+                break
+            _time.sleep(0.5)
+        assert rec_dropped == 1, lines
+
+
+class TestStreamingFunnel:
+    def test_streaming_funnel_equals_batch_after_drain(self, spark, tmp_path):
+        """Feed the sf0.001 events in TWO ordered chunks through two
+        availableNow runs sharing a checkpoint: the per-user state fold
+        must equal the batch funnel_conversion on the same data."""
+        import json as _json
+
+        import pandas as pd
+
+        from simple_cdc_service_spark.registry import REGISTRY
+        from simple_cdc_service_spark.streaming.pipeline import (
+            read_funnel_state,
+            start_funnel_state,
+        )
+
+        ev = (
+            pd.read_parquet("/root/testdata/sf0.001/events.parquet")
+            .sort_values("event_id")
+            .reset_index(drop=True)
+        )
+        ev["ts_ms"] = ev["ts"].astype("int64") // 1000
+        src = str(tmp_path / "src")
+        out = str(tmp_path / "out")
+        ckpt = str(tmp_path / "ckpt")
+        os.makedirs(src)
+
+        def feed(name, chunk):
+            with open(os.path.join(src, name), "w") as f:
+                for _, r in chunk.iterrows():
+                    f.write(
+                        _json.dumps(
+                            {
+                                "ts_ms": int(r["ts_ms"]),
+                                "event_id": int(r["event_id"]),
+                                "user_id": int(r["user_id"]),
+                                "event_type": r["event_type"],
+                            }
+                        )
+                        + "\n"
+                    )
+
+        def run():
+            stream = spark.readStream.schema(
+                "ts_ms long, event_id long, user_id long, event_type string"
+            ).json(src)
+            start_funnel_state(stream, out, ckpt).awaitTermination()
+
+        half = len(ev) // 2
+        feed("a.json", ev.iloc[:half])
+        run()
+        feed("b.json", ev.iloc[half:])
+        run()
+
+        got = read_funnel_state(spark, out).collect()[0]
+        want = (
+            REGISTRY["funnel_conversion"]
+            .fn(spark, "/root/testdata/sf0.001")
+            .collect()[0]
+        )
+        assert (got.n_1, got.n_2, got.n_3, got.n_4) == (
+            want.n_signup,
+            want.n_view,
+            want.n_click,
+            want.n_purchase,
+        )
