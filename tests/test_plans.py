@@ -394,3 +394,46 @@ class TestRound4Plans:
         # section, so count the tree marker, not the bare node name
         assert plan.count("- Scan parquet") == 1
         assert plan.count("- Exchange (") == 3
+
+
+class TestRound4cPlans:
+    def test_funnel_is_join_free(self, spark):
+        """The one-shuffle fold formulation: no join anywhere (the oracle's
+        k-join chain is exactly what this plan must NOT be)."""
+        plan = plan_string(q(spark, "funnel_conversion"))
+        assert "Join" not in plan
+        assert "collect_list" in plan or "aggregate" in plan
+
+    def test_ngram_top_uses_take_ordered(self, spark):
+        """Top-k must be TakeOrderedAndProject (O(k) per partition), never
+        a full global sort + limit."""
+        assert_in_plan(q(spark, "ngram_top"), "TakeOrderedAndProject")
+
+    def test_per_source_cap_rank_pushdown(self, spark):
+        """rank <= N over a window must trigger WindowGroupLimit: each
+        partition stops ranking after N rows instead of ranking all."""
+        assert_in_plan(q(spark, "per_source_cap"), "WindowGroupLimit")
+
+    def test_interval_preagg_no_nested_loop(self, spark):
+        """Both the interior and the edge joins are equi-joins on the
+        manufactured bucket key — a BroadcastNestedLoopJoin would mean
+        the range predicate leaked into join planning."""
+        assert_not_in_plan(q(spark, "interval_join_preagg"), "BroadcastNestedLoopJoin")
+
+    def test_keyword_search_semi_join_and_no_window(self, spark):
+        plan = plan_string(q(spark, "keyword_search"))
+        assert "LeftSemi" in plan
+        assert "BroadcastNestedLoopJoin" not in plan
+
+    def test_event_transitions_window_free(self, spark):
+        """Transitions are built by a map-side HOF over the collected
+        sequence — the lag()-window formulation would shuffle the corpus
+        into a Window operator."""
+        assert_not_in_plan(q(spark, "event_transitions"), "Window")
+
+    def test_quality_deciles_window_free(self, spark):
+        """Bucketing is broadcast-thresholds + HOF — an ntile() Window
+        would single-partition the corpus."""
+        plan = plan_string(q(spark, "quality_deciles"))
+        assert "Window" not in plan
+        assert "BroadcastExchange" in plan or "broadcast" in plan.lower()
