@@ -5329,10 +5329,15 @@ def funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
     single aggregate() HOF folds the sorted array through the stage
     machine — stage k's slot is set by the first qualifying event after
     slot k-1, which over an ascending-ts array is exactly the min-ts
-    semantics of the join chain. Per-user state is 4 longs regardless of
-    history length; the final global rollup is a 1-row aggregate. At
-    100 TB: one exchange on user_id (AQE-balanceable), no join storm, and
-    funnel depth extends by adding struct fields, not shuffles."""
+    semantics of the join chain. Per-user FOLD state is 4 longs regardless
+    of history length; the final global rollup is a 1-row aggregate. The
+    collected per-user array is bounded by that user's event count — a
+    pathological mega-user gets capped with slice(sorted, 1, max_len)
+    before the fold (same guard as user_event_sequences), or served by
+    the streaming form (start_funnel_state), whose state is 4 longs with
+    no array at all. At 100 TB: one exchange on user_id (AQE-balanceable),
+    no join storm, and funnel depth extends by adding struct fields, not
+    shuffles."""
     e = _t(spark, sf_dir, "events").select(
         "user_id", F.unix_millis("ts").alias("ts_ms"), "event_id", "event_type"
     )

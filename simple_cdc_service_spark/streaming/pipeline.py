@@ -1369,3 +1369,114 @@ def read_funnel_state(spark: SparkSession, out_dir: str, n_stages: int = 4) -> D
     return latest.agg(
         *[F.count(c).alias(f"n_{i + 1}") for i, c in enumerate(slot_cols)]
     )
+
+
+# ---------------------------------------------------------------------------
+# Incrementally-maintained corpus statistics (the corpus_stats registry
+# entry as a streaming materialized view).
+# ---------------------------------------------------------------------------
+
+
+def _stats_versions(stats_dir: str) -> "list[int]":
+    import glob
+
+    out = []
+    for d in glob.glob(os.path.join(stats_dir, "v*")):
+        name = os.path.basename(d)
+        if os.path.exists(os.path.join(d, "_SUCCESS")):
+            out.append(int(name[1:]))
+    return sorted(out)
+
+
+def read_corpus_stats(
+    spark: SparkSession, stats_dir: str, before: "int | None" = None
+) -> "DataFrame | None":
+    """Latest committed (lang, source)-grain stats, or None."""
+    versions = _stats_versions(stats_dir)
+    if before is not None:
+        versions = [v for v in versions if v < before]
+    if not versions:
+        return None
+    return spark.read.parquet(os.path.join(stats_dir, f"v{versions[-1]}"))
+
+
+def rollup_corpus_stats(stats: DataFrame) -> DataFrame:
+    """Per-language view of the (lang, source) MV: additive columns sum;
+    provenance breadth (n_sources) = the source rows themselves — exact,
+    because the MV keeps the finest grain that stays delta-foldable."""
+    return stats.groupBy("lang").agg(
+        F.sum("n_docs").cast("long").alias("n_docs"),
+        F.sum("n_tokens").cast("long").alias("n_tokens"),
+        F.sum("n_chars").cast("long").alias("n_chars"),
+        F.count("*").cast("long").alias("n_sources"),
+    )
+
+
+def start_corpus_stats_maintenance(
+    doc_stream: DataFrame,
+    stats_dir: str,
+    checkpoint: str,
+    trigger_available_now: bool = True,
+):
+    """corpus_stats as a DELTA-MAINTAINED materialized view: each admitted
+    document batch folds its per-(lang, source) counts into the versioned
+    stats table — per-batch cost is O(|batch| + |stats|), never a corpus
+    rescan (the cdc_incremental_agg pattern applied to the curation
+    pipeline's dashboard).
+
+    Grain choice is the design point: (lang, source) is the FINEST grain
+    at which every maintained column stays additive, so distinct-source
+    breadth per language falls out exactly as the row count of the rollup
+    — no approximate distinct, no state beyond the stats table itself.
+    Distinct-TEXT counting (corpus_stats' n_unique_texts) is deliberately
+    NOT here: exact distinct folding needs the per-doc fingerprint store,
+    which is the admission signature store's job — a stats MV that
+    pretended to fold it would drift on re-admitted duplicates.
+
+    Crash safety mirrors the replica merge: v{N} with _SUCCESS
+    short-circuits a replayed batch; the fold reads strictly
+    before=batch_id so a replay merges onto N's true predecessor."""
+    from ..functions import words
+
+    def fold(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        out = os.path.join(stats_dir, f"v{batch_id}")
+        if os.path.exists(os.path.join(out, "_SUCCESS")):
+            return  # replayed committed batch: idempotent skip
+        deltas = (
+            batch_df.select(
+                "lang",
+                "source",
+                F.size(words(F.col("text"))).alias("__t"),
+                F.length("text").alias("__c"),
+            )
+            .groupBy("lang", "source")
+            .agg(
+                F.count("*").cast("long").alias("n_docs"),
+                F.sum("__t").cast("long").alias("n_tokens"),
+                F.sum("__c").cast("long").alias("n_chars"),
+            )
+        )
+        current = read_corpus_stats(spark, stats_dir, before=batch_id)
+        if current is not None:
+            merged = (
+                current.unionByName(deltas)
+                .groupBy("lang", "source")
+                .agg(
+                    F.sum("n_docs").cast("long").alias("n_docs"),
+                    F.sum("n_tokens").cast("long").alias("n_tokens"),
+                    F.sum("n_chars").cast("long").alias("n_chars"),
+                )
+            )
+        else:
+            merged = deltas
+        merged.write.mode("overwrite").parquet(out)
+
+    writer = (
+        doc_stream.writeStream.foreachBatch(fold)
+        .option("checkpointLocation", checkpoint)
+        .outputMode("append")
+    )
+    if trigger_available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

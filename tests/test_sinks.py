@@ -235,3 +235,35 @@ class TestCompactedSigStoreProbe:
         assert not re.search(r"hashpartitioning\(band", plan), plan
         assert "BroadcastHashJoin" in plan or "BroadcastExchange" in plan, plan
         assert cand.count() == 0  # novel doc: no candidates
+
+
+class TestBucketedAnalytics:
+    def test_per_user_analytics_shuffle_free_on_bucketed_events(self, spark, tmp_path):
+        """The funnel/sequences/retention class is ONE exchange on user_id
+        per query — unless the fact table is already bucketed by user_id,
+        in which case it is ZERO: the scan's bucketing satisfies the
+        grouping's distribution requirement outright. This is the 100 TB
+        deployment guidance for behavioral analytics (bucket the event
+        log by the entity key once; every per-entity pass rides it), and
+        this pin proves Spark actually elides the exchange."""
+        from pyspark.sql import functions as F
+
+        from simple_cdc_service_spark.sources.sinks import write_bucketed
+        from simple_cdc_service_spark.sources.tables import load_events
+
+        ev = load_events(spark, "/root/testdata/sf0.001").select(
+            "user_id", "ts_ms", "event_id", "event_type"
+        )
+        write_bucketed(ev, "ev_user_bucketed", ["user_id"], n_buckets=8)
+        t = spark.table("ev_user_bucketed")
+        seq = t.groupBy("user_id").agg(
+            F.array_sort(
+                F.collect_list(F.struct("ts_ms", "event_id", "event_type"))
+            ).alias("seq")
+        )
+        plan = seq._jdf.queryExecution().executedPlan().toString()
+        assert "Exchange" not in plan
+        # and the result is the same as over the raw parquet
+        raw = ev.groupBy("user_id").agg(F.count("*").alias("n"))
+        bkt = t.groupBy("user_id").agg(F.count("*").alias("n"))
+        assert raw.exceptAll(bkt).isEmpty() and bkt.exceptAll(raw).isEmpty()

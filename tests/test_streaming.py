@@ -1400,3 +1400,116 @@ class TestStreamingFunnel:
             want.n_click,
             want.n_purchase,
         )
+
+
+class TestCorpusStatsMV:
+    def test_incremental_stats_equal_batch_after_drain(self, spark, tmp_path):
+        """Two-chunk drain of the sf0.001 documents: the rolled-up MV must
+        equal corpus_stats' additive columns + exact source breadth."""
+        import json as _json
+
+        import pandas as pd
+
+        from simple_cdc_service_spark.registry import REGISTRY
+        from simple_cdc_service_spark.streaming.pipeline import (
+            read_corpus_stats,
+            rollup_corpus_stats,
+            start_corpus_stats_maintenance,
+        )
+
+        docs = pd.read_parquet("/root/testdata/sf0.001/documents.parquet")
+        src = str(tmp_path / "src")
+        stats = str(tmp_path / "stats")
+        ckpt = str(tmp_path / "ckpt")
+        os.makedirs(src)
+
+        def feed(name, chunk):
+            with open(os.path.join(src, name), "w") as f:
+                for _, r in chunk.iterrows():
+                    f.write(
+                        _json.dumps(
+                            {
+                                "doc_id": int(r["doc_id"]),
+                                "text": r["text"],
+                                "lang": r["lang"],
+                                "source": r["source"],
+                            }
+                        )
+                        + "\n"
+                    )
+
+        def run():
+            stream = spark.readStream.schema(
+                "doc_id long, text string, lang string, source string"
+            ).json(src)
+            start_corpus_stats_maintenance(stream, stats, ckpt).awaitTermination()
+
+        half = len(docs) // 2
+        feed("a.json", docs.iloc[:half])
+        run()
+        feed("b.json", docs.iloc[half:])
+        run()
+
+        mv = (
+            rollup_corpus_stats(read_corpus_stats(spark, stats))
+            .toPandas()
+            .set_index("lang")
+            .sort_index()
+        )
+        want = (
+            REGISTRY["corpus_stats"]
+            .fn(spark, "/root/testdata/sf0.001")
+            .toPandas()
+            .set_index("lang")
+            .sort_index()
+        )
+        for col in ("n_docs", "n_tokens", "n_chars", "n_sources"):
+            assert (mv[col] == want[col]).all(), col
+
+    def test_replayed_batch_is_idempotent(self, spark, tmp_path):
+        """Re-folding a committed batch (foreachBatch crash-replay) must
+        not double-count."""
+        import pandas as pd
+
+        from simple_cdc_service_spark.streaming.pipeline import (
+            read_corpus_stats,
+            start_corpus_stats_maintenance,  # noqa: F401 (import parity)
+        )
+        from simple_cdc_service_spark.streaming import pipeline as P
+
+        docs = spark.createDataFrame(
+            [(1, "a b c", "en", "s1"), (2, "d e", "de", "s2")],
+            "doc_id long, text string, lang string, source string",
+        )
+        stats = str(tmp_path / "stats")
+        import json as _json
+
+        src = str(tmp_path / "src")
+        ckpt = str(tmp_path / "ckpt")
+        os.makedirs(src)
+        with open(os.path.join(src, "a.json"), "w") as f:
+            for r in docs.collect():
+                f.write(
+                    _json.dumps(
+                        {"doc_id": r.doc_id, "text": r.text, "lang": r.lang,
+                         "source": r.source}
+                    )
+                    + "\n"
+                )
+
+        def run(cp):
+            stream = spark.readStream.schema(
+                "doc_id long, text string, lang string, source string"
+            ).json(src)
+            P.start_corpus_stats_maintenance(stream, stats, cp).awaitTermination()
+
+        run(ckpt)
+        before = read_corpus_stats(spark, stats).toPandas()
+        # fresh checkpoint, same input, same stats dir -> same batch_id 0 is
+        # re-delivered; the _SUCCESS short-circuit must make it a no-op
+        run(str(tmp_path / "ckpt2"))
+        after = read_corpus_stats(spark, stats).toPandas()
+        pd.testing.assert_frame_equal(
+            before.sort_values(["lang", "source"]).reset_index(drop=True),
+            after.sort_values(["lang", "source"]).reset_index(drop=True),
+        )
