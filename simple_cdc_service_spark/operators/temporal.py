@@ -247,3 +247,78 @@ def interval_join_preagg(
             .alias("sum_value"),
         )
     )
+
+
+def interval_join_distinct_hll(
+    events: DataFrame,
+    intervals: DataFrame,
+    ts_col: str,
+    lo_col: str,
+    hi_col: str,
+    bucket_ms: int,
+    id_col: str,
+    lg_k: int = 14,
+) -> DataFrame:
+    """Approximate DISTINCT over interval joins without pair enumeration —
+    the companion to ``interval_join_preagg`` for the one consumer class
+    it cannot serve (count DISTINCT is not decomposable over buckets as a
+    sum). Mergeable sketches make it decomposable: each fine bucket keeps
+    an HLL sketch of ``id_col`` (the persistable per-bucket index), an
+    interval's interior is the UNION of its contained buckets' sketches,
+    and only the ≤2 partial edge buckets sketch raw rows under the exact
+    containment filter. Estimate error is the HLL rsd (~1.6% at lgK=14
+    default, tunable); the registry entry pins |est − exact| ≤ 5% exact
+    in-query. Same exact-integer floordiv bucket algebra as the preagg
+    (truncation/ulp-unsafe arithmetic would corrupt interior membership
+    with no downstream filter to catch it). Returns one row per interval
+    with ``n_distinct_est`` (double)."""
+    B = bucket_ms
+
+    def fdiv(c):
+        return ((c - F.pmod(c, F.lit(B))) / B).cast("long")
+
+    ev = events.select(
+        F.col(ts_col).alias("__ts"), F.col(id_col).alias("__id"),
+        fdiv(F.col(ts_col)).alias("__b"),
+    )
+    eb = ev.groupBy("__b").agg(F.hll_sketch_agg("__id", F.lit(lg_k)).alias("__sk"))
+    iv = intervals.select(
+        "*",
+        fdiv(F.col(lo_col) + (B - 1)).alias("__blo"),
+        (fdiv(F.col(hi_col)) - 1).alias("__bhi"),
+        fdiv(F.col(lo_col)).alias("__be"),
+        fdiv(F.col(hi_col) - 1).alias("__br"),
+    )
+    ikeys = list(intervals.columns)
+    interior = (
+        iv.filter(F.col("__blo") <= F.col("__bhi"))
+        .select(*ikeys, F.explode(F.sequence("__blo", "__bhi")).alias("__b"))
+        .join(eb, "__b")
+        .groupBy(*ikeys)
+        .agg(F.hll_union_agg("__sk").alias("__sk_i"))
+    )
+    edge_arr = F.array_distinct(F.array("__be", "__br"))
+    edges = (
+        iv.select(
+            *ikeys,
+            F.col(lo_col).alias("__lo"),
+            F.col(hi_col).alias("__hi"),
+            F.explode(
+                F.filter(
+                    edge_arr,
+                    lambda x: ~((F.col("__blo") <= x) & (x <= F.col("__bhi"))),
+                )
+            ).alias("__b"),
+        )
+        .join(ev, "__b")
+        .filter((F.col("__ts") >= F.col("__lo")) & (F.col("__ts") < F.col("__hi")))
+        .groupBy(*ikeys)
+        .agg(F.hll_sketch_agg("__id", F.lit(lg_k)).alias("__sk_e"))
+    )
+    merged = F.when(F.col("__sk_i").isNull(), F.col("__sk_e")).when(
+        F.col("__sk_e").isNull(), F.col("__sk_i")
+    ).otherwise(F.hll_union(F.col("__sk_i"), F.col("__sk_e")))
+    return (
+        interior.join(edges, ikeys, "full_outer")
+        .select(*ikeys, F.hll_sketch_estimate(merged).alias("n_distinct_est"))
+    )

@@ -6252,3 +6252,114 @@ def interval_join_preagg_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_events",
         F.col("sum_value").alias("sum_cents"),
     )
+
+
+@register(
+    "session_stats",
+    oracle="""
+    WITH o AS (
+        SELECT event_id, user_id, epoch_ms(ts) AS ts_ms,
+               CASE WHEN lag(epoch_ms(ts)) OVER w IS NULL
+                         OR epoch_ms(ts) - lag(epoch_ms(ts)) OVER w > 1800000
+                    THEN 1 ELSE 0 END AS new_sess
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY epoch_ms(ts), event_id)
+    ),
+    s AS (
+        SELECT *, CAST(sum(new_sess) OVER (
+            PARTITION BY user_id ORDER BY ts_ms, event_id
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_id
+        FROM o
+    ),
+    per AS (SELECT user_id, session_id, count(*) AS n_events,
+                   max(ts_ms) - min(ts_ms) AS duration_ms
+            FROM s GROUP BY user_id, session_id)
+    SELECT CAST(count(*) AS BIGINT) AS n_sessions,
+           CAST(count(DISTINCT user_id) AS BIGINT) AS n_users,
+           round(avg(n_events), 4) AS avg_events,
+           CAST(max(n_events) AS BIGINT) AS max_events,
+           round(avg(duration_ms), 4) AS avg_duration_ms,
+           round(avg(CASE WHEN n_events = 1 THEN 1.0 ELSE 0.0 END), 4)
+               AS single_event_fraction
+    FROM per
+    """,
+)
+def session_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Session-quality panel over the sessionize operator (30-min
+    inactivity gap): session counts, events-per-session, duration, and
+    the single-event-session fraction (the bounce-rate analogue — a
+    spike means the gap parameter or the event feed broke). Reuses the
+    sessionize plan (one key-partitioned window pass) and adds a
+    constant-size final rollup; the DISTINCT users count rides the same
+    aggregate via Expand. At 100 TB this is the side output of the same
+    scan that materializes the session table — never a second pass."""
+    sess = REGISTRY["sessionize"].fn(spark, sf_dir)
+    per = sess.select(
+        "user_id",
+        "n_events",
+        (F.col("session_end") - F.col("session_start")).alias("duration_ms"),
+    )
+    return per.agg(
+        F.count("*").cast("long").alias("n_sessions"),
+        F.count_distinct("user_id").cast("long").alias("n_users"),
+        F.round(F.avg("n_events"), 4).alias("avg_events"),
+        F.max("n_events").cast("long").alias("max_events"),
+        F.round(F.avg("duration_ms"), 4).alias("avg_duration_ms"),
+        F.round(F.avg(F.when(F.col("n_events") == 1, 1.0).otherwise(0.0)), 4).alias(
+            "single_event_fraction"
+        ),
+    )
+
+
+@register(
+    "interval_join_distinct_hll",
+    oracle="""
+    WITH e AS (SELECT event_id, epoch_ms(ts) AS ts_ms, user_id, event_type
+               FROM events),
+    i AS (SELECT event_id AS incident_id, ts_ms AS lo, ts_ms + 600000 AS hi
+          FROM e WHERE event_type = 'error')
+    SELECT incident_id, CAST(lo AS BIGINT) AS incident_start_ms,
+           CAST(count(DISTINCT user_id) AS BIGINT) AS n_users_exact,
+           TRUE AS hll_in_bound
+    FROM i JOIN e ON e.ts_ms >= i.lo AND e.ts_ms < i.hi
+    GROUP BY incident_id, lo
+    """,
+)
+def interval_join_distinct_hll_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Completes the interval-join triptych: enumerate for arbitrary
+    consumers (interval_join_bucketed), pre-aggregate for count/sum
+    (interval_join_preagg), and per-bucket HLL SKETCHES for DISTINCT —
+    interior = union of contained buckets' sketches, edges sketched
+    exactly; no (event, interval) pair ever materializes. The hashed
+    output carries the exact distinct count (computed via the
+    enumerating join here, the oracle via its theta join) plus an
+    in-query |est − exact| ≤ 5% boolean — the oracle emits literal TRUE,
+    so a broken sketch path fails the hash-match (the dau_rolling_hll /
+    approx_distinct pattern). At 100 TB the per-bucket sketch table IS
+    the index: tiny, mergeable, incrementally maintainable, and any
+    ad-hoc interval's distinct is a few-row sketch union."""
+    from .operators.temporal import interval_join_bucketed, interval_join_distinct_hll
+
+    W = 600_000
+    e = _t(spark, sf_dir, "events").select("event_id", "ts_ms", "user_id", "event_type")
+    inc = e.filter(F.col("event_type") == "error").select(
+        F.col("event_id").alias("incident_id"),
+        F.col("ts_ms").alias("lo"),
+        (F.col("ts_ms") + W).alias("hi"),
+    )
+    est = interval_join_distinct_hll(
+        e.select("ts_ms", "user_id"), inc, "ts_ms", "lo", "hi", 60_000, "user_id"
+    )
+    pairs = interval_join_bucketed(e.select("ts_ms", "user_id"), inc, "ts_ms", "lo", "hi", W)
+    exact = pairs.groupBy("incident_id", "lo").agg(
+        F.countDistinct("user_id").alias("n_users")
+    )
+    return exact.join(est, ["incident_id", "lo"]).select(
+        "incident_id",
+        F.col("lo").alias("incident_start_ms"),
+        F.col("n_users").cast("long").alias("n_users_exact"),
+        (
+            F.abs(F.col("n_distinct_est") - F.col("n_users"))
+            <= 0.05 * F.col("n_users")
+        ).alias("hll_in_bound"),
+    )

@@ -242,3 +242,39 @@ def test_interval_join_preagg_equals_bruteforce(spark, pts, ivs, bucket):
         if hits:
             want[j] = (len(hits), sum(hits))
     assert got == want
+
+
+@given(iv_points, iv_intervals, st.sampled_from([1, 3, 7, 16, 64]))
+@settings(max_examples=10, deadline=None)
+def test_interval_distinct_hll_within_bound(spark, pts, ivs, bucket):
+    """Sketch-union distinct vs brute force: at these cardinalities HLL
+    runs in sparse mode, so the estimate should be within max(1, 5%) of
+    exact for every interval — and intervals with no points must not
+    appear at all."""
+    from simple_cdc_service_spark.operators.temporal import (
+        interval_join_distinct_hll,
+    )
+
+    pdf = spark.createDataFrame(
+        [(t, t % 7) for t in pts] or [(0, 0)], "ts long, uid long"
+    )
+    if not pts:
+        pdf = pdf.limit(0)
+    idf = spark.createDataFrame(
+        [(j, lo, lo + ln) for j, (lo, ln) in enumerate(ivs)] or [(0, 0, 0)],
+        "iid long, lo long, hi long",
+    )
+    if not ivs:
+        idf = idf.limit(0)
+    got = {
+        r.iid: r.n_distinct_est
+        for r in interval_join_distinct_hll(
+            pdf, idf, "ts", "lo", "hi", bucket, "uid"
+        ).collect()
+    }
+    for j, (lo, ln) in enumerate(ivs):
+        exact = len({t % 7 for t in pts if lo <= t < lo + ln})
+        if exact == 0:
+            assert j not in got
+        else:
+            assert abs(got[j] - exact) <= max(1.0, 0.05 * exact), (j, got[j], exact)

@@ -400,3 +400,87 @@ def test_quality_deciles_partition_corpus(spark):
         pdf["max_tokens"].shift(1).dropna().values
         <= pdf["min_tokens"].iloc[1:].values
     ).all()
+
+
+# ---------------------------------------------------------------------------
+# property tests: transitions + retention vs pandas replays
+# ---------------------------------------------------------------------------
+
+_rev = st.tuples(
+    st.integers(min_value=1, max_value=4),  # user
+    st.integers(min_value=0, max_value=20_000_000_000),  # ts ms (~231 days)
+    st.sampled_from(["view", "click", "purchase"]),
+)
+
+
+def _write_events(d, events):
+    pdf = pd.DataFrame(
+        {
+            "event_id": pd.array(range(len(events)), dtype="int64"),
+            "ts": pd.to_datetime(
+                [pd.Timestamp(ts, unit="ms") for _, ts, _ in events]
+            ),
+            "user_id": pd.array([u for u, _, _ in events], dtype="int64"),
+            "event_type": pd.array([ty for _, _, ty in events], dtype=object),
+            "value": 1.0,
+            "props": "{}",
+        }
+    )
+    pdf.to_parquet(str(d / "events.parquet"))
+
+
+@given(st.lists(_rev, min_size=1, max_size=30))
+@settings(max_examples=8, deadline=None)
+def test_event_transitions_property_vs_replay(spark, tmp_path_factory, events):
+    import uuid
+    from collections import Counter
+
+    d = tmp_path_factory.mktemp("tr") / uuid.uuid4().hex
+    d.mkdir()
+    _write_events(d, events)
+    got = {
+        (r.src, r.dst): (r.n_transitions, r.p_transition)
+        for r in REGISTRY["event_transitions"].fn(spark, str(d)).collect()
+    }
+    per_user = {}
+    for i, (u, ts, ty) in enumerate(events):
+        per_user.setdefault(u, []).append((ts, i, ty))
+    pairs = Counter()
+    for seq in per_user.values():
+        seq.sort()
+        for (_, _, a), (_, _, b) in zip(seq, seq[1:]):
+            pairs[(a, b)] += 1
+    src_tot = Counter()
+    for (a, _), n in pairs.items():
+        src_tot[a] += n
+    want = {
+        (a, b): (n, round(n / src_tot[a], 6)) for (a, b), n in pairs.items()
+    }
+    assert got == want, (events, got, want)
+
+
+@given(st.lists(_rev, min_size=1, max_size=30))
+@settings(max_examples=8, deadline=None)
+def test_retention_property_vs_replay(spark, tmp_path_factory, events):
+    import uuid
+
+    W = 604_800_000
+    d = tmp_path_factory.mktemp("ret") / uuid.uuid4().hex
+    d.mkdir()
+    _write_events(d, events)
+    got = {
+        (r.cohort_week_ms, r.week_offset): r.n_users
+        for r in REGISTRY["retention_cohorts"].fn(spark, str(d)).collect()
+    }
+    first = {}
+    for u, ts, _ in events:
+        first[u] = min(first.get(u, ts), ts)
+    cells = {}
+    seen = set()
+    for u, ts, _ in events:
+        cohort = (first[u] // W) * W
+        off = ts // W - first[u] // W
+        if (u, cohort, off) not in seen:
+            seen.add((u, cohort, off))
+            cells[(cohort, off)] = cells.get((cohort, off), 0) + 1
+    assert got == cells, (events, got, cells)
