@@ -175,6 +175,12 @@ def kmeans_centroids(
         .select("__v")
         .collect()
     )
+    if not rows:
+        # empty corpus (fresh deploy / filtered-to-empty): no centroids —
+        # every downstream assign/join is empty-propagating DataFrame code
+        return corpus.sparkSession.createDataFrame(
+            [], f"centroid_id long, {vec_col} array<double>"
+        )
     x = np.array([r[0] for r in rows], dtype=np.float64)
     rng = np.random.default_rng(seed)
     cent = x[rng.permutation(len(x))[:n_centroids]].copy()
@@ -273,6 +279,10 @@ def kmeans_cluster_summary(
     negated-id second field. At 100 TB: one scan, one k-row aggregate."""
     cents = kmeans_centroids(corpus, n_clusters, seed, vec_col, id_col)
     cent_rows = cents.collect()  # k × dim, tiny by construction
+    if not cent_rows:
+        return corpus.sparkSession.createDataFrame(
+            [], "cluster_id long, n_vecs long, avg_cos_to_centroid double"
+        )
     v = as_double_array(F.col(vec_col))
     best = F.array_max(
         F.array(
@@ -325,6 +335,10 @@ def knn_bruteforce_pandas(
     from pyspark.sql import types as T
 
     q_rows = queries.select(id_col, vec_col).collect()
+    if not q_rows:
+        return corpus.sparkSession.createDataFrame(
+            [], "query_id long, neighbor_id long, rank int, cos_sim double"
+        )
     q_ids = [r[0] for r in q_rows]
     q_mat = np.array([r[1] for r in q_rows], dtype=np.float64)
     q_norm = q_mat / np.linalg.norm(q_mat, axis=1, keepdims=True)
@@ -339,6 +353,8 @@ def knn_bruteforce_pandas(
 
     def score(batches):
         for pdf in batches:
+            if len(pdf) == 0:
+                continue
             ids = pdf[id_col].to_numpy()
             m = np.array(list(pdf[vec_col]), dtype=np.float64)
             m = m / np.linalg.norm(m, axis=1, keepdims=True)
@@ -400,6 +416,8 @@ def pq_train_codebooks(
         .select(vec_col)
         .collect()
     )
+    if not rows:
+        return None  # empty corpus: callers return an empty typed frame
     x = np.array([r[0] for r in rows], dtype=np.float64)
     x = x / np.linalg.norm(x, axis=1, keepdims=True)
     d = x.shape[1]
@@ -464,6 +482,10 @@ def knn_pq(
         corpus, m=m, ksub=ksub, seed=seed, vec_col=vec_col, id_col=id_col
     )
     q_rows = queries.select(id_col, vec_col).collect()
+    if books is None or not q_rows:
+        return corpus.sparkSession.createDataFrame(
+            [], "query_id long, neighbor_id long, rank int, cos_sim double"
+        )
     q_ids = [int(r[0]) for r in q_rows]
     qx = np.array([r[1] for r in q_rows], dtype=np.float64)
     qx = qx / np.linalg.norm(qx, axis=1, keepdims=True)
@@ -613,6 +635,10 @@ def knn_ivfpq(
         corpus, m=m, ksub=ksub, seed=seed, vec_col=vec_col, id_col=id_col
     )
     q_rows = queries.select(id_col, vec_col).collect()
+    if books is None or not q_rows:
+        return corpus.sparkSession.createDataFrame(
+            [], "query_id long, neighbor_id long, rank int, cos_sim double"
+        )
     q_ids = [int(r[0]) for r in q_rows]
     qx = np.array([r[1] for r in q_rows], dtype=np.float64)
     qx = qx / np.linalg.norm(qx, axis=1, keepdims=True)

@@ -1507,6 +1507,11 @@ def knn_lsh_ml(spark: SparkSession, sf_dir: str) -> DataFrame:
     lsh = BucketedRandomProjectionLSH(
         inputCol="features", outputCol="hashes", bucketLength=0.5, numHashTables=4, seed=42
     )
+    if corpus.limit(1).count() == 0:
+        # MLlib fit requires >=1 row; empty corpus -> empty result
+        return spark.createDataFrame(
+            [], "query_id long, neighbor_id long, dist double"
+        )
     model = lsh.fit(corpus)
     # Threshold is a post-candidate distance cut, not a candidate limit —
     # pass +inf-ish so the top-k window (not the cut) decides membership.
@@ -1733,8 +1738,12 @@ def cdc_incremental_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     _merge_parsed_batch(parsed.filter(F.col("offset") > mid), cfg, state, 1,
                         agg_col="invoice_number")
     agg = read_agg(spark, state)
+    # empty changelog: no batch ever wrote an agg version -> the MV is the
+    # empty-replica aggregate, matching the oracle's coalesce(sum, 0)/count
+    sum_value = float(agg.sum_value) if agg else 0.0
+    n_keys = int(agg.n_keys) if agg else 0
     return spark.createDataFrame(
-        [(float(agg.sum_value), int(agg.n_keys))], "sum_value double, n_keys long"
+        [(sum_value, n_keys)], "sum_value double, n_keys long"
     )
 
 
