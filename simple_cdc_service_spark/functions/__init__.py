@@ -139,5 +139,10 @@ def _chunk_min(hashed: Column, j: int) -> Column:
 
 
 def jaccard(a: Column, b: Column) -> Column:
-    """Jaccard similarity of two distinct-element arrays."""
-    return F.size(F.array_intersect(a, b)) / F.size(F.array_union(a, b))
+    """Jaccard similarity of two distinct-element arrays. Two EMPTY sets
+    yield NULL (0/0), not an ANSI divide-by-zero: a pair of contentless
+    documents has no similarity evidence, and NULL fails every
+    >= threshold verify filter, so such pairs drop out."""
+    return F.size(F.array_intersect(a, b)) / F.nullif(
+        F.size(F.array_union(a, b)), F.lit(0)
+    )

@@ -47,13 +47,17 @@ def quality_columns(text: Column) -> dict[str, Column]:
     ws = words(text)
     n_chars = F.length(text)
     punct = n_chars - F.length(F.regexp_replace(text, PUNCT_CLASS, ""))
+    # nullif denominators: an EMPTY document has no defined ratios (NULL),
+    # rather than an ANSI divide-by-zero failure of the whole pass
+    nz_chars = F.nullif(n_chars, F.lit(0))
+    nz_words = F.nullif(F.size(ws), F.lit(0))
     return {
         "n_chars": n_chars,
         "n_tokens": token_count(text),
-        "punct_ratio": F.round(punct / n_chars, 4),
-        "stopword_ratio": F.round(_count_in(ws, STOPWORDS) / F.size(ws), 4),
+        "punct_ratio": F.round(punct / nz_chars, 4),
+        "stopword_ratio": F.round(_count_in(ws, STOPWORDS) / nz_words, 4),
         "mean_word_len": F.round(
-            (n_chars - F.size(ws) + 1) / F.size(ws), 4
+            (n_chars - F.size(ws) + 1) / nz_words, 4
         ),  # chars minus separators over words
     }
 
@@ -194,3 +198,112 @@ def filter_quality(
         .select(id_col)
     )
     return docs.join(passing, id_col, "left_semi")
+
+
+# ---------------------------------------------------------------------------
+# WordPiece-style subword tokenization (greedy longest-match over a
+# corpus-derived vocab) — the "real tokenizer" token-counting pass.
+# ---------------------------------------------------------------------------
+
+
+def wordpiece_vocab(
+    docs: DataFrame, top_k: int = 20, text_col: str = "text"
+) -> "set[str]":
+    """Deterministic subword vocab from the corpus itself: the top_k most
+    frequent whole words (count desc, word asc tie-break) + every single
+    character observed, in both word-initial and '##'-continuation form —
+    the minimal WordPiece-shaped vocab that can encode any in-alphabet
+    word. Two small aggregates; the collected vocab is O(top_k + alphabet)
+    and ships in the encode closure."""
+    ws = words(F.col(text_col))
+    top = (
+        docs.select(F.explode(ws).alias("w"))
+        .filter(F.col("w") != "")
+        .groupBy("w")
+        .count()
+        .orderBy(F.desc("count"), "w")
+        .limit(top_k)
+        .collect()
+    )
+    chars = (
+        docs.select(F.explode(F.split(F.lower(F.col(text_col)), "")).alias("c"))
+        .filter(F.col("c") != " ")
+        .distinct()
+        .collect()
+    )
+    cs = {r.c for r in chars}
+    return {r.w for r in top} | cs | {"##" + c for c in cs}
+
+
+def wordpiece_encode_word(w: str, vocab: "set[str]") -> "list[str]":
+    """Greedy longest-match WordPiece encode of ONE word: the longest
+    vocab prefix, then longest '##'-continuations; a position with no
+    match (character outside the vocab alphabet) collapses the whole word
+    to ['[UNK]'] — standard WordPiece semantics."""
+    out: list[str] = []
+    i, first = 0, True
+    while i < len(w):
+        j = len(w)
+        while j > i:
+            piece = w[i:j] if first else "##" + w[i:j]
+            if piece in vocab:
+                out.append(piece)
+                break
+            j -= 1
+        else:
+            return ["[UNK]"]
+        i, first = j, False
+    return out
+
+
+def wordpiece_stats(
+    docs: DataFrame,
+    vocab: "set[str]",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Per-document subword statistics under greedy WordPiece: word count,
+    subword count, [UNK] words, and the fertility ratio
+    (subwords per word — THE quantity a training-data pipeline budgets
+    by, since sequence length is subwords, not words).
+
+    Arrow-batched mapInPandas: the vocab set rides the closure (a few KB
+    broadcast with the task), encoding is pure per-row Python over the
+    batch — embarrassingly parallel, no shuffle; the fertility math is
+    exact, not estimated. Null text → zero counts with NULL ratio (the
+    dirty-input contract)."""
+    from collections.abc import Iterator
+
+    import pandas as pd
+
+    def gen(batches: "Iterator[pd.DataFrame]") -> "Iterator[pd.DataFrame]":
+        for pdf in batches:
+            rows = []
+            for did, text in zip(pdf[id_col], pdf[text_col]):
+                if text is None:
+                    rows.append(
+                        {"doc_id": int(did), "n_words": 0, "n_subwords": 0,
+                         "n_unk_words": 0, "fertility": None}
+                    )
+                    continue
+                toks = [w for w in text.lower().split(" ") if w]
+                n_sub = n_unk = 0
+                for w in toks:
+                    enc = wordpiece_encode_word(w, vocab)
+                    n_sub += len(enc)
+                    n_unk += enc == ["[UNK]"]
+                rows.append(
+                    {
+                        "doc_id": int(did),
+                        "n_words": len(toks),
+                        "n_subwords": n_sub,
+                        "n_unk_words": n_unk,
+                        "fertility": round(n_sub / len(toks), 4) if toks else None,
+                    }
+                )
+            yield pd.DataFrame(rows)
+
+    return docs.select(id_col, text_col).mapInPandas(
+        gen,
+        "doc_id long, n_words long, n_subwords long, n_unk_words long, fertility double",
+    )

@@ -612,10 +612,11 @@ def text_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
            length(text) AS n_chars,
            len(regexp_split_to_array(trim(text), '\\s+')) AS n_tokens,
            round((length(text) - length(regexp_replace(text, '[.!?,;:]', '', 'g'))) * 1.0
-                 / length(text), 4) AS punct_ratio,
-           round(len(list_filter(ws, w -> w IN {_STOP_SQL})) * 1.0 / len(ws), 4)
-               AS stopword_ratio,
-           round((length(text) - len(ws) + 1) * 1.0 / len(ws), 4) AS mean_word_len
+                 / nullif(length(text), 0), 4) AS punct_ratio,
+           round(len(list_filter(ws, w -> w IN {_STOP_SQL})) * 1.0
+                 / nullif(len(ws), 0), 4) AS stopword_ratio,
+           round((length(text) - len(ws) + 1) * 1.0 / nullif(len(ws), 0), 4)
+               AS mean_word_len
     FROM w
     """,
     headline=True,
@@ -1468,7 +1469,11 @@ def dedup_minhash_ml(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .sources.tables import spread
 
     d = spread(_t(spark, sf_dir, "documents"))
-    tokens = d.select("doc_id", F.split(F.lower("text"), " ").alias("tokens"))
+    # null-text docs have no tokens to hash (HashingTF throws on null
+    # arrays) and nothing to dedup -- drop them at the boundary
+    tokens = d.filter(F.col("text").isNotNull()).select(
+        "doc_id", F.split(F.lower("text"), " ").alias("tokens")
+    )
     tf = HashingTF(inputCol="tokens", outputCol="features", numFeatures=1 << 18)
     feats = tf.transform(tokens)
     lsh = MinHashLSH(inputCol="features", outputCol="hashes", numHashTables=4, seed=42)
@@ -6372,3 +6377,28 @@ def interval_join_distinct_hll_q(spark: SparkSession, sf_dir: str) -> DataFrame:
             <= 0.05 * F.col("n_users")
         ).alias("hll_in_bound"),
     )
+
+
+@register("tokenize_wordpiece", oracle=None)
+def tokenize_wordpiece(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Subword tokenization statistics under a WordPiece-style greedy
+    longest-match tokenizer whose vocab is derived deterministically from
+    the corpus itself (top-20 words + character alphabet in initial and
+    '##'-continuation form): per-doc word/subword/[UNK] counts and the
+    FERTILITY ratio (subwords per word) — the number that converts a
+    corpus's word count into the sequence-length budget a training run
+    actually consumes. Out-of-vocab words split into pieces (fertility
+    > 1); out-of-alphabet words collapse to [UNK] (counted, never
+    silently dropped).
+
+    Rows-only: greedy longest-match is an iterative per-word loop no SQL
+    oracle expresses; correctness is pinned in pytest instead — golden
+    encodings, a round-trip property (stripping '##' reconstructs every
+    non-UNK word), fertility bounds, and determinism. Scale shape: two
+    tiny vocab aggregates, then ONE Arrow-batched map over the corpus —
+    no shuffle, closure-shipped vocab, O(batch) memory."""
+    from .operators.text import wordpiece_stats, wordpiece_vocab
+
+    d = _t(spark, sf_dir, "documents")
+    vocab = wordpiece_vocab(d, top_k=20)
+    return wordpiece_stats(d, vocab)

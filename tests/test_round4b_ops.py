@@ -484,3 +484,62 @@ def test_retention_property_vs_replay(spark, tmp_path_factory, events):
             seen.add((u, cohort, off))
             cells[(cohort, off)] = cells.get((cohort, off), 0) + 1
     assert got == cells, (events, got, cells)
+
+
+# ---------------------------------------------------------------------------
+# tokenize_wordpiece
+# ---------------------------------------------------------------------------
+
+
+def test_wordpiece_golden_encodings():
+    from simple_cdc_service_spark.operators.text import wordpiece_encode_word
+
+    vocab = {"the", "scan", "t", "h", "e", "s", "c", "a", "n", "i", "g",
+             "##t", "##h", "##e", "##s", "##c", "##a", "##n", "##i", "##g"}
+    assert wordpiece_encode_word("the", vocab) == ["the"]
+    assert wordpiece_encode_word("scan", vocab) == ["scan"]
+    # greedy longest prefix first, then ## continuations
+    assert wordpiece_encode_word("scanning", vocab) == [
+        "scan", "##n", "##i", "##n", "##g"
+    ]
+    # out-of-alphabet char collapses the word
+    assert wordpiece_encode_word("axe", vocab) == ["[UNK]"]
+    assert wordpiece_encode_word("", vocab) == []
+
+
+def test_wordpiece_roundtrip_and_fertility(spark):
+    """Every non-UNK word must reconstruct by stripping '##'; fertility is
+    bounded below by 1 and the registry stats must agree with a driver
+    recount on a sample."""
+    from simple_cdc_service_spark.operators.text import (
+        wordpiece_encode_word,
+        wordpiece_vocab,
+    )
+
+    d = spark.read.parquet(f"{SF}/documents.parquet")
+    vocab = wordpiece_vocab(d, top_k=20)
+    sample = d.limit(20).collect()
+    for r in sample:
+        for w in [w for w in r.text.lower().split(" ") if w]:
+            enc = wordpiece_encode_word(w, vocab)
+            if enc != ["[UNK]"]:
+                assert "".join(p.removeprefix("##") for p in enc) == w
+
+    stats = REGISTRY["tokenize_wordpiece"].fn(spark, SF).toPandas()
+    ok = stats[stats["n_words"] > 0]
+    assert (ok["fertility"] >= 1.0).all()
+    assert (ok["n_subwords"] >= ok["n_words"] - ok["n_unk_words"]).all()
+    # vocab is small (top-20) so SOME word somewhere must actually split
+    assert (ok["fertility"] > 1.0).any()
+
+
+def test_wordpiece_deterministic(spark):
+    a = (
+        REGISTRY["tokenize_wordpiece"].fn(spark, SF)
+        .toPandas().sort_values("doc_id").reset_index(drop=True)
+    )
+    b = (
+        REGISTRY["tokenize_wordpiece"].fn(spark, SF)
+        .toPandas().sort_values("doc_id").reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(a, b)
