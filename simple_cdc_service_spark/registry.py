@@ -6402,3 +6402,74 @@ def tokenize_wordpiece(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = _t(spark, sf_dir, "documents")
     vocab = wordpiece_vocab(d, top_k=20)
     return wordpiece_stats(d, vocab)
+
+
+@register(
+    "dedup_cluster_stats",
+    oracle="""
+    WITH RECURSIVE w AS (SELECT doc_id, source,
+                                list_distinct(string_split(lower(text), ' ')) AS ws
+               FROM documents),
+    pairs AS (
+        SELECT a.doc_id AS pa, b.doc_id AS pb
+        FROM w a JOIN w b ON a.source = b.source AND a.doc_id < b.doc_id
+        WHERE round(len(list_intersect(a.ws, b.ws)) * 1.0
+                    / len(list_distinct(list_concat(a.ws, b.ws))), 4) >= 0.95
+    ),
+    edges AS (SELECT pa AS a, pb AS b FROM pairs
+              UNION SELECT pb, pa FROM pairs),
+    reach AS (
+        SELECT a, b FROM edges
+        UNION
+        SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a
+    ),
+    labeled AS (SELECT a AS doc_id, least(a, min(b)) AS cluster_id
+                FROM reach GROUP BY a),
+    sizes AS (SELECT cluster_id, count(*) AS sz FROM labeled GROUP BY cluster_id),
+    hist AS (SELECT sz AS cluster_size, count(*) AS n_clusters FROM sizes GROUP BY sz),
+    singles AS (
+        SELECT 1 AS cluster_size,
+               (SELECT count(*) FROM documents) - (SELECT count(*) FROM labeled)
+                   AS n_clusters
+    )
+    SELECT CAST(cluster_size AS BIGINT) AS cluster_size,
+           CAST(n_clusters AS BIGINT) AS n_clusters
+    FROM hist
+    UNION ALL
+    SELECT CAST(cluster_size AS BIGINT), CAST(n_clusters AS BIGINT)
+    FROM singles WHERE n_clusters > 0
+    """,
+)
+def dedup_cluster_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicate-cluster size distribution — the dedup dashboard number
+    that sets expectations for corpus shrinkage (Σ (size−1)·n_clusters
+    docs will be removed) and flags template explosions (one giant
+    cluster = a boilerplate page mirrored everywhere). Singleton count =
+    corpus − clustered docs (a cluster from pair edges always has
+    size ≥ 2, so the size-1 row is unambiguous).
+
+    Plan: the dup_clusters label propagation (checkpoint-bounded
+    iterative join — the scalable CC), then two tiny aggregates and a
+    1-row arithmetic union; everything after the pair generation is
+    cluster-count-sized. Oracle: recursive-CTE transitive closure +
+    identical rollup."""
+    from .operators.dedup import dup_clusters, ngram_jaccard_pairs
+
+    d = _t(spark, sf_dir, "documents")
+    pairs = ngram_jaccard_pairs(d, threshold=0.95)
+    labeled = dup_clusters(pairs)
+    hist = (
+        labeled.groupBy("cluster_id")
+        .agg(F.count("*").alias("sz"))
+        .groupBy("sz")
+        .agg(F.count("*").cast("long").alias("n_clusters"))
+        .select(F.col("sz").cast("long").alias("cluster_size"), "n_clusters")
+    )
+    totals = d.agg(F.count("*").alias("n_docs")).crossJoin(
+        F.broadcast(labeled.agg(F.count("*").alias("n_clustered")))
+    )
+    singles = totals.select(
+        F.lit(1).cast("long").alias("cluster_size"),
+        (F.col("n_docs") - F.col("n_clustered")).cast("long").alias("n_clusters"),
+    ).filter(F.col("n_clusters") > 0)
+    return hist.unionByName(singles)

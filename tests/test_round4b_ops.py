@@ -543,3 +543,35 @@ def test_wordpiece_deterministic(spark):
         .toPandas().sort_values("doc_id").reset_index(drop=True)
     )
     pd.testing.assert_frame_equal(a, b)
+
+
+def test_dedup_cluster_stats_partitions_corpus(spark):
+    pdf = REGISTRY["dedup_cluster_stats"].fn(spark, SF).toPandas()
+    n_docs = spark.read.parquet(f"{SF}/documents.parquet").count()
+    # every document is in exactly one cluster (incl. singletons)
+    assert int((pdf["cluster_size"] * pdf["n_clusters"]).sum()) == n_docs
+    # pair-derived clusters have size >= 2; exactly one size-1 row at most
+    assert (pdf[pdf["cluster_size"] == 1].shape[0]) <= 1
+
+
+@given(st.lists(_rev, min_size=1, max_size=30))
+@settings(max_examples=8, deadline=None)
+def test_dau_rolling_property_vs_replay(spark, tmp_path_factory, events):
+    import uuid
+
+    D = 86_400_000
+    d = tmp_path_factory.mktemp("dau") / uuid.uuid4().hex
+    d.mkdir()
+    _write_events(d, events)
+    got = {
+        r.day_ms: (r.dau, r.wau)
+        for r in REGISTRY["dau_rolling"].fn(spark, str(d)).collect()
+    }
+    ud = {(u, ts // D) for u, ts, _ in events}
+    days = {day for _, day in ud}
+    want = {}
+    for day in days:
+        dau = len({u for u, dd in ud if dd == day})
+        wau = len({u for u, dd in ud if day - 6 <= dd <= day})
+        want[day * D] = (dau, wau)
+    assert got == want, (events, got, want)
