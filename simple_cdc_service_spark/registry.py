@@ -6473,3 +6473,96 @@ def dedup_cluster_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("n_docs") - F.col("n_clustered")).cast("long").alias("n_clusters"),
     ).filter(F.col("n_clusters") > 0)
     return hist.unionByName(singles)
+
+
+@register(
+    "user_activity_gini",
+    oracle="""
+    WITH pu AS (SELECT user_id, count(*) AS n FROM events GROUP BY user_id),
+    r AS (SELECT *, row_number() OVER (ORDER BY n, user_id) AS i FROM pu),
+    tot AS (SELECT count(*) AS nu, sum(n) AS te FROM r)
+    SELECT CAST(tot.nu AS BIGINT) AS n_users,
+           CAST(tot.te AS BIGINT) AS n_events,
+           round((2.0 * sum(r.i * r.n)) / (tot.nu * tot.te)
+                 - (tot.nu + 1.0) / tot.nu, 6) AS gini,
+           round(sum(CASE WHEN r.i > tot.nu * 0.9 THEN r.n ELSE 0 END) * 1.0
+                 / tot.te, 6) AS top10pct_share
+    FROM r CROSS JOIN tot
+    GROUP BY tot.nu, tot.te
+    """,
+)
+def user_activity_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Activity-concentration diagnostic: exact Gini coefficient of
+    events-per-user plus the top-decile share — the number that says
+    whether per-key operators (collapse, funnel, sequences) face a
+    uniform key space or a hot-key regime that needs salting/AQE skew
+    handling. Gini = (2·Σ i·x_(i))/(n·Σx) − (n+1)/n over
+    ascending-sorted per-user counts (deterministic user_id tie-break).
+
+    Plan: per-user counts (one exchange), a rank over the USER frame
+    (distinct-user-sized — not the event stream; the single-partition
+    window is over users, recursable via the shard_plan segment trick if
+    even that is huge), a broadcast 1-row total, one final aggregate.
+    Spark forbids count(*) nested inside sum() (the oracle's
+    correlated form), so the totals ride a broadcast crossJoin instead —
+    same numbers, no nested aggregate."""
+    e = _t(spark, sf_dir, "events")
+    per_user = e.groupBy("user_id").agg(F.count("*").alias("n"))
+    w = Window.orderBy("n", "user_id")
+    ranked = per_user.withColumn("i", F.row_number().over(w))
+    tot = ranked.agg(
+        F.count("*").alias("nu"), F.sum("n").alias("te")
+    )
+    j = ranked.crossJoin(F.broadcast(tot))
+    return j.groupBy("nu", "te").agg(
+        F.round(
+            (2.0 * F.sum(F.col("i") * F.col("n"))) / (F.col("nu") * F.col("te"))
+            - (F.col("nu") + 1.0) / F.col("nu"),
+            6,
+        ).alias("gini"),
+        F.round(
+            F.sum(F.when(F.col("i") > F.col("nu") * 0.9, F.col("n")).otherwise(0))
+            / F.col("te"),
+            6,
+        ).alias("top10pct_share"),
+    ).select(
+        F.col("nu").cast("long").alias("n_users"),
+        F.col("te").cast("long").alias("n_events"),
+        "gini",
+        "top10pct_share",
+    )
+
+
+@register(
+    "seasonality_matrix",
+    oracle="""
+    SELECT CAST(dayofweek(ts) + 1 AS BIGINT) AS dow,
+           CAST(hour(ts) AS BIGINT) AS hour,
+           CAST(count(*) AS BIGINT) AS n_events,
+           CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS sum_cents
+    FROM events GROUP BY 1, 2
+    """,
+)
+def seasonality_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hour-of-day × day-of-week activity matrix — the capacity-planning
+    / anomaly-baseline panel (traffic shape repeats weekly; a cell far
+    off its column's baseline is the alert). Map-side calendar
+    extraction + one ≤168-group aggregate: partial aggregation collapses
+    every scan partition to at most a week's worth of cells, so the
+    exchange is constant-size at any scale. Integer cents keep the sums
+    order-free; Spark's dayofweek (Sun=1) aligns to DuckDB's (Sun=0)
+    via +1 in the oracle. Timestamps are UTC-interpreted on both
+    engines (machine runs UTC — the registry's timestamp convention)."""
+    e = _t(spark, sf_dir, "events")
+    return (
+        e.select(
+            F.dayofweek("ts").cast("long").alias("dow"),
+            F.hour("ts").cast("long").alias("hour"),
+            F.round(F.col("value") * 100).cast("long").alias("cents"),
+        )
+        .groupBy("dow", "hour")
+        .agg(
+            F.count("*").cast("long").alias("n_events"),
+            F.sum("cents").cast("long").alias("sum_cents"),
+        )
+    )

@@ -575,3 +575,27 @@ def test_dau_rolling_property_vs_replay(spark, tmp_path_factory, events):
         wau = len({u for u, dd in ud if day - 6 <= dd <= day})
         want[day * D] = (dau, wau)
     assert got == want, (events, got, want)
+
+
+def test_gini_bounds_and_replay(spark):
+    r = REGISTRY["user_activity_gini"].fn(spark, SF).collect()[0]
+    assert 0.0 <= r.gini < 1.0
+    assert 0.0 <= r.top10pct_share <= 1.0
+    # replay in pandas
+    ev = pd.read_parquet(f"{SF}/events.parquet")
+    counts = ev.groupby("user_id").size().sort_values(kind="mergesort")
+    n, total = len(counts), counts.sum()
+    x = counts.to_numpy()
+    import numpy as np
+
+    gini = (2.0 * ((np.arange(1, n + 1)) * x).sum()) / (n * total) - (n + 1.0) / n
+    assert abs(r.gini - round(gini, 6)) <= 1e-6
+    assert r.n_users == n and r.n_events == total
+
+
+def test_seasonality_covers_all_events(spark):
+    pdf = REGISTRY["seasonality_matrix"].fn(spark, SF).toPandas()
+    ev_n = spark.read.parquet(f"{SF}/events.parquet").count()
+    assert int(pdf["n_events"].sum()) == ev_n
+    assert pdf["dow"].between(1, 7).all() and pdf["hour"].between(0, 23).all()
+    assert len(pdf) <= 168
