@@ -6566,3 +6566,99 @@ def seasonality_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("cents").cast("long").alias("sum_cents"),
         )
     )
+
+
+@register(
+    "curation_impact",
+    oracle=f"""
+    WITH toks AS (SELECT doc_id, unnest(string_split(lower(text), ' ')) AS tok
+                  FROM documents),
+    c AS (SELECT doc_id, tok, count(*) AS n FROM toks GROUP BY doc_id, tok),
+    a AS (SELECT doc_id,
+                 sum(n) AS n_words,
+                 round(sum(length(tok) * n) * 1.0 / sum(n), 4) AS mean_word_len,
+                 coalesce(sum(n) FILTER (WHERE tok IN {_STOP_RULES_SQL}), 0)
+                     AS n_stopwords,
+                 round(max(n) * 1.0 / sum(n), 4) AS top_word_fraction
+          FROM c GROUP BY doc_id),
+    s1 AS (SELECT d.doc_id, d.source, d.text FROM documents d JOIN a USING (doc_id)
+           WHERE a.n_words BETWEEN 20 AND 1000
+             AND a.mean_word_len BETWEEN 3 AND 6
+             AND a.n_stopwords >= 2 AND a.top_word_fraction <= 0.15),
+    s2 AS (SELECT * FROM s1 WHERE doc_id IN (
+               SELECT min(doc_id) FROM s1 GROUP BY md5(lower(text)))),
+    w2 AS (SELECT doc_id, source,
+                  list_distinct(string_split(lower(text), ' ')) AS ws FROM s2),
+    losers AS (SELECT DISTINCT b.doc_id
+               FROM w2 a JOIN w2 b ON a.source = b.source AND a.doc_id < b.doc_id
+               WHERE round(len(list_intersect(a.ws, b.ws)) * 1.0
+                           / len(list_distinct(list_concat(a.ws, b.ws))), 4) >= 0.95),
+    s3 AS (SELECT * FROM s2 WHERE doc_id NOT IN (SELECT doc_id FROM losers)),
+    s4 AS (SELECT * FROM (
+               SELECT doc_id, row_number() OVER (
+                   PARTITION BY source
+                   ORDER BY (doc_id * 1103515245 + 12345) % 2147483648, doc_id) AS rn
+               FROM s3) WHERE rn <= 10)
+    SELECT * FROM (
+        SELECT CAST(0 AS BIGINT) AS stage, 'raw' AS stage_name,
+               CAST(count(*) AS BIGINT) AS n_docs FROM documents
+        UNION ALL SELECT 1, 'quality_rules', CAST(count(*) AS BIGINT) FROM s1
+        UNION ALL SELECT 2, 'exact_dedup', CAST(count(*) AS BIGINT) FROM s2
+        UNION ALL SELECT 3, 'near_dedup', CAST(count(*) AS BIGINT) FROM s3
+        UNION ALL SELECT 4, 'per_source_cap', CAST(count(*) AS BIGINT) FROM s4
+    )
+    """,
+)
+def curation_impact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The curation stack's survival funnel in ONE query: how many
+    documents remain after each stage — Gopher/C4 quality rules → exact
+    dedup (canonical-fingerprint min-id survivor) → near-dup removal
+    (blocked jaccard ≥ 0.95, pairwise greater-id loser; the
+    cluster-representative form is dedup_clusters — identical on
+    cliques, stricter on chains, documented) → per-source cap (≤10, LCG
+    order). This is the report a pipeline owner reads before committing
+    a config change: each stage's marginal removal rate, composed from
+    the SAME operator implementations the standalone entries use (one
+    divergence would break the oracle hash).
+
+    Scale shape: each stage consumes the previous survivor set — the
+    quality metrics pipeline is the only full-corpus token pass;
+    exact-dedup groups only quality survivors; the quadratic near-dup
+    verify runs only inside (source)-blocks of exact-survivors; the cap
+    windows only near-dup survivors. Five 1-row counts union at the
+    end."""
+    from .operators.dedup import ngram_jaccard_pairs
+    from .operators.text import quality_rule_flags, quality_rule_metrics
+
+    d = _t(spark, sf_dir, "documents")
+    s1 = d.join(
+        quality_rule_flags(quality_rule_metrics(d)).filter("passes").select("doc_id"),
+        "doc_id",
+        "left_semi",
+    )
+    keep2 = s1.groupBy(F.md5(F.lower(F.col("text"))).alias("fp")).agg(
+        F.min("doc_id").alias("doc_id")
+    )
+    s2 = s1.join(keep2.select("doc_id"), "doc_id", "left_semi")
+    losers = ngram_jaccard_pairs(s2, threshold=0.95).select(
+        F.col("doc_id_b").alias("doc_id")
+    )
+    s3 = s2.join(losers, "doc_id", "left_anti")
+    hk = (F.col("doc_id") * 1103515245 + 12345) % 2147483648
+    w = Window.partitionBy("source").orderBy(hk.asc(), F.col("doc_id").asc())
+    s4 = s3.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") <= 10)
+
+    def stage(i, name, df):
+        return df.agg(
+            F.lit(i).cast("long").alias("stage"),
+            F.lit(name).alias("stage_name"),
+            F.count("*").cast("long").alias("n_docs"),
+        )
+
+    return (
+        stage(0, "raw", d)
+        .unionByName(stage(1, "quality_rules", s1))
+        .unionByName(stage(2, "exact_dedup", s2))
+        .unionByName(stage(3, "near_dedup", s3))
+        .unionByName(stage(4, "per_source_cap", s4))
+    )

@@ -599,3 +599,17 @@ def test_seasonality_covers_all_events(spark):
     assert int(pdf["n_events"].sum()) == ev_n
     assert pdf["dow"].between(1, 7).all() and pdf["hour"].between(0, 23).all()
     assert len(pdf) <= 168
+
+
+def test_curation_impact_monotone_and_consistent(spark):
+    pdf = (
+        REGISTRY["curation_impact"].fn(spark, SF).toPandas().sort_values("stage")
+    )
+    n = pdf["n_docs"].tolist()
+    assert len(n) == 5
+    # survival is monotone non-increasing through the stack
+    assert all(a >= b for a, b in zip(n, n[1:]))
+    assert n[0] == spark.read.parquet(f"{SF}/documents.parquet").count()
+    # stage-1 count equals the standalone quality_rules pass count
+    q = REGISTRY["quality_rules"].fn(spark, SF).toPandas()
+    assert n[1] == int(q["passes"].sum())
