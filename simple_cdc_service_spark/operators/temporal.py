@@ -64,6 +64,46 @@ def asof_join(
     )
 
 
+def estimate_interval_join_pairs(
+    points: DataFrame,
+    intervals: DataFrame,
+    point_ts: str,
+    lo: str,
+    hi: str,
+    bucket_width: int,
+) -> int:
+    """Exact candidate-pair volume Σ_bucket |points_b| × |intervals_b| of
+    ``interval_join_bucketed`` at the same bucket_width — the number the
+    density guard compares against its cap. Cost: two partial-aggregated
+    per-bucket counts, a join of the two bucket-count frames (|buckets|
+    rows, NOT pairs), one 1-row sum — O(corpus scan), never O(pairs),
+    so the guard is safe to run even when the join itself would not be."""
+    iv = (
+        intervals.filter(F.col(hi) > F.col(lo))
+        .select(
+            F.explode(
+                F.sequence(
+                    F.floor(F.col(lo) / bucket_width),
+                    F.floor((F.col(hi) - 1) / bucket_width),
+                )
+            ).alias("__bkt")
+        )
+        .groupBy("__bkt")
+        .agg(F.count("*").alias("__ni"))
+    )
+    pb = (
+        points.select(F.floor(F.col(point_ts) / bucket_width).alias("__bkt"))
+        .groupBy("__bkt")
+        .agg(F.count("*").alias("__np"))
+    )
+    row = (
+        pb.join(iv, "__bkt")
+        .agg(F.sum(F.col("__np") * F.col("__ni")).alias("pairs"))
+        .collect()[0]
+    )
+    return int(row["pairs"] or 0)
+
+
 def interval_join_bucketed(
     points: DataFrame,
     intervals: DataFrame,
@@ -72,6 +112,7 @@ def interval_join_bucketed(
     hi: str,
     bucket_width: int,
     how: str = "inner",
+    max_candidate_pairs: "int | None" = None,
 ) -> DataFrame:
     """KEYLESS interval-containment join: every (point, interval) pair with
     ``lo <= point_ts < hi`` — the case with no equi-key for a hash join,
@@ -106,7 +147,28 @@ def interval_join_bucketed(
     per FINE bucket (B ≈ interval/10) once, answer interior buckets from
     that rollup, and join raw points only for the two edge buckets —
     enumerated rows drop to O(edge density); non-decomposable aggregates
-    (count DISTINCT) still need the pairs."""
+    (count DISTINCT) still need the pairs.
+
+    DENSITY GUARD: pass ``max_candidate_pairs`` to bound the quadratic —
+    the candidate volume is estimated first with
+    ``estimate_interval_join_pairs`` (an O(corpus) bucket-count pass,
+    never O(pairs)) and a ValueError names the measured volume and the
+    scale-safe alternatives (``interval_join_preagg`` for count/sum,
+    ``interval_join_distinct_hll`` for DISTINCT) when it exceeds the
+    cap. Default None preserves the unguarded diagnostic form; callers
+    on unbounded-density inputs should always set a cap."""
+    if max_candidate_pairs is not None:
+        est = estimate_interval_join_pairs(
+            points, intervals, point_ts, lo, hi, bucket_width
+        )
+        if est > max_candidate_pairs:
+            raise ValueError(
+                f"interval_join_bucketed would enumerate ~{est:,} candidate "
+                f"pairs (cap {max_candidate_pairs:,}). Dense inputs scale "
+                "quadratically here; use interval_join_preagg (count/sum) "
+                "or interval_join_distinct_hll (DISTINCT), or raise the cap "
+                "if pair enumeration is genuinely required."
+            )
     # Empty/inverted intervals (hi <= lo) match nothing, and would make the
     # bucket sequence DESCEND (Spark auto-negates the step) — unbounded
     # explode fan-out on malformed input. Drop them before the explode.
@@ -183,7 +245,11 @@ def interval_join_preagg(
     floor(lo/B) / floor((hi−1)/B) are kept only when NOT in that interior
     range, which also covers sub-bucket intervals where the interior is
     empty and both candidates collapse to one bucket). Returns one row
-    per interval: n_events, sum_value."""
+    per interval THAT CONTAINS AT LEAST ONE EVENT (n_events, sum_value);
+    empty intervals are absent, not n_events=0 — left-join back to the
+    intervals frame with coalesce-to-zero if the dense form is needed.
+    ``sum_value`` keeps ``value_col``'s own sum type (long for integral
+    inputs, double for double inputs)."""
     B = bucket_ms
 
     def fdiv(c):
@@ -242,9 +308,9 @@ def interval_join_preagg(
             (F.coalesce("__n1", F.lit(0)) + F.coalesce("__n2", F.lit(0)))
             .cast("long")
             .alias("n_events"),
-            (F.coalesce("__s1", F.lit(0)) + F.coalesce("__s2", F.lit(0)))
-            .cast("long")
-            .alias("sum_value"),
+            (F.coalesce("__s1", F.lit(0)) + F.coalesce("__s2", F.lit(0))).alias(
+                "sum_value"
+            ),
         )
     )
 
@@ -271,7 +337,9 @@ def interval_join_distinct_hll(
     in-query. Same exact-integer floordiv bucket algebra as the preagg
     (truncation/ulp-unsafe arithmetic would corrupt interior membership
     with no downstream filter to catch it). Returns one row per interval
-    with ``n_distinct_est`` (double)."""
+    THAT CONTAINS AT LEAST ONE EVENT with ``n_distinct_est`` (double);
+    empty intervals are absent, not 0 — left-join back to the intervals
+    frame with coalesce-to-zero if the dense form is needed."""
     B = bucket_ms
 
     def fdiv(c):

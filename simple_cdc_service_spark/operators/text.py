@@ -227,7 +227,9 @@ def wordpiece_vocab(
     )
     chars = (
         docs.select(F.explode(F.split(F.lower(F.col(text_col)), "")).alias("c"))
-        .filter(F.col("c") != " ")
+        # split('', -1) keeps a trailing '' element; without the filter the
+        # returned vocab carries latent '' / '##' noise entries
+        .filter((F.col("c") != " ") & (F.col("c") != ""))
         .distinct()
         .collect()
     )

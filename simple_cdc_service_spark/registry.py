@@ -39,17 +39,28 @@ class QuerySpec:
     fn: Callable[[SparkSession, str], DataFrame]
     oracle: str | None  # DuckDB SQL; None → driver does a rows-only check
     headline: bool = False  # include in bench.py
+    # Optional per-oracle DuckDB-connection setup (register Python UDFs /
+    # reference-implementation views the oracle SQL needs). Entries with a
+    # setup are hash-checked by tools/check_oracle.py (CORRECTNESS_FULL
+    # artifacts) but EXCLUDED from __spark_entry__.oracle_sql() — the
+    # driver's gate runs plain SQL on a vanilla connection.
+    oracle_setup: "Callable | None" = None
 
 
 REGISTRY: dict[str, QuerySpec] = {}
 
 
-def register(name: str, oracle: str | None, headline: bool = False):
+def register(
+    name: str,
+    oracle: str | None,
+    headline: bool = False,
+    oracle_setup: "Callable | None" = None,
+):
     def deco(fn):
         # a duplicate name would silently shadow the earlier entry (dict
         # assignment) while keeping its position — fail loudly instead
         assert name not in REGISTRY, f"duplicate registry entry: {name}"
-        REGISTRY[name] = QuerySpec(name, fn, oracle, headline)
+        REGISTRY[name] = QuerySpec(name, fn, oracle, headline, oracle_setup)
         return fn
 
     return deco
@@ -748,7 +759,55 @@ def dedup_minhash_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return minhash_dedup_pairs(_t(spark, sf_dir, "documents"), n=3, k=8, bands=4)
 
 
-@register("dedup_minhash_fast", oracle=None, headline=True)
+def _xx64_setup(con) -> None:
+    """Register the pure-Python XXH64 reference (functions/xxh64_py.py,
+    JVM-parity pinned in tests) as a DuckDB scalar UDF so the xxhash64
+    hash family becomes oracle-replicable."""
+    from .functions.xxh64_py import spark_xxhash64_int_str
+
+    try:
+        con.create_function(
+            "xx64", spark_xxhash64_int_str, ["INTEGER", "VARCHAR"], "BIGINT"
+        )
+    except Exception:  # noqa: BLE001 — already registered on this con
+        pass
+
+
+@register(
+    "dedup_minhash_fast",
+    # Mirrors the dedup_minhash md5 oracle with BIGINT xx64(i, s) minima —
+    # xx64 is the pure-Python XXH64 UDF registered by _xx64_setup
+    # (driver's vanilla gate still treats this entry as rows-only).
+    oracle="""
+    WITH w AS (SELECT doc_id, string_split(lower(text), ' ') AS ws FROM documents),
+    sh AS (SELECT doc_id,
+                  list_distinct(CASE WHEN len(ws) >= 3
+                       THEN list_transform(range(1, len(ws) - 1),
+                                           i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2])
+                       ELSE [] END) AS shingles
+           FROM w),
+    u AS (SELECT doc_id, unnest(shingles) AS s FROM sh),
+    mh AS (SELECT doc_id,
+                  [min(xx64(0, s)), min(xx64(1, s)), min(xx64(2, s)),
+                   min(xx64(3, s)), min(xx64(4, s)), min(xx64(5, s)),
+                   min(xx64(6, s)), min(xx64(7, s))] AS sig
+           FROM u GROUP BY doc_id),
+    banded AS (SELECT doc_id, unnest(range(0, 4)) AS band, sig FROM mh),
+    cand AS (SELECT DISTINCT a.doc_id AS doc_id_a, b.doc_id AS doc_id_b
+             FROM banded a JOIN banded b
+               ON a.band = b.band AND a.doc_id < b.doc_id
+              AND a.sig[CAST(a.band*2+1 AS INT)] = b.sig[CAST(b.band*2+1 AS INT)]
+              AND a.sig[CAST(a.band*2+2 AS INT)] = b.sig[CAST(b.band*2+2 AS INT)])
+    SELECT doc_id_a, doc_id_b,
+           round(len(list_intersect(sa.shingles, sb.shingles)) * 1.0
+                 / len(list_distinct(list_concat(sa.shingles, sb.shingles))), 4) AS jaccard
+    FROM cand
+    JOIN sh sa ON sa.doc_id = cand.doc_id_a
+    JOIN sh sb ON sb.doc_id = cand.doc_id_b
+    """,
+    headline=True,
+    oracle_setup=_xx64_setup,
+)
 def dedup_minhash_fast_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """E3 MinHash-LSH near-dup, xxhash64 family — the production-bench
     variant of dedup_minhash. Identical pipeline shape (3-gram shingles →
@@ -756,11 +815,11 @@ def dedup_minhash_fast_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     verify) but signatures cost one JVM xxhash64 per (function,
     shingle) instead of md5 hex + substring minima — md5 is ~half of
     dedup_minhash's wall time and the whole signature cost at corpus
-    scale (NOTES). Rows-only for the driver (DuckDB has no xxhash64);
-    pair-set equality with the md5 family on planted exact duplicates is
-    pinned in tests (exact dups collide under any hash family), and the
-    threshold-verified output differs from md5 only by banding recall on
-    borderline candidates."""
+    scale (NOTES). Hash-checked since r5 via a pure-Python XXH64 DuckDB
+    UDF with pinned JVM parity (functions/xxh64_py.py) — the driver's
+    vanilla-SQL gate still sees it rows-only; the md5-family pair-set
+    equivalence pin on planted exact duplicates stays as a second
+    independent check."""
     from .operators.dedup import minhash_dedup_pairs
 
     return minhash_dedup_pairs(
@@ -1018,11 +1077,51 @@ def knn_bruteforce_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("knn_ivf", oracle=None)
+@register(
+    "knn_ivf",
+    # The every-Nth centroid stand-in makes this IVF fully deterministic,
+    # so the WHOLE pipeline is SQL-expressible: centroid grid → nearest-
+    # centroid assignment (rank over UNROUNDED cosine — identical doubles
+    # on both engines, same fold order as the hash-matched knn_bruteforce
+    # oracle) → inverted-list equi-join → per-query top-k.
+    oracle="""
+    WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+               FROM embeddings),
+    corpus AS (SELECT vec_id, v FROM e WHERE vec_id >= 5),
+    q AS (SELECT vec_id, v FROM e WHERE vec_id < 5),
+    cents AS (SELECT vec_id // 100 AS centroid_id, v AS cv
+              FROM corpus WHERE vec_id % 100 = 0),
+    ca AS (SELECT vec_id AS neighbor_id, v AS cv2, centroid_id,
+                  row_number() OVER (PARTITION BY vec_id ORDER BY
+                      list_dot_product(v, cv)
+                      / (sqrt(list_dot_product(v, v)) * sqrt(list_dot_product(cv, cv)))
+                      DESC, centroid_id) AS rn
+           FROM corpus CROSS JOIN cents),
+    qa AS (SELECT vec_id AS query_id, v AS qv, centroid_id,
+                  row_number() OVER (PARTITION BY vec_id ORDER BY
+                      list_dot_product(v, cv)
+                      / (sqrt(list_dot_product(v, v)) * sqrt(list_dot_product(cv, cv)))
+                      DESC, centroid_id) AS rn
+           FROM q CROSS JOIN cents),
+    scored AS (SELECT query_id, neighbor_id,
+                      round(list_dot_product(qv, cv2)
+                            / (sqrt(list_dot_product(qv, qv)) * sqrt(list_dot_product(cv2, cv2))),
+                            6) AS cos_sim
+               FROM (SELECT * FROM ca WHERE rn = 1) c
+               JOIN (SELECT * FROM qa WHERE rn = 1) USING (centroid_id)),
+    r AS (SELECT *, CAST(row_number() OVER (
+              PARTITION BY query_id ORDER BY cos_sim DESC, neighbor_id) AS INT) AS rank
+          FROM scored)
+    SELECT query_id, neighbor_id, rank, cos_sim FROM r WHERE rank <= 10
+    """,
+)
 def knn_ivf_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """E4 scale path: IVF single-probe approximate top-k (deterministic
-    centroid sample standing in for k-means). Rows-only check: approximate
-    results have no SQL oracle; recall-vs-bruteforce is asserted in tests."""
+    centroid sample standing in for k-means). Hash-checked since r5: the
+    every-Nth centroid rule is engine-independent, so the full pipeline
+    (assignment ranks compare UNROUNDED cosines — bit-identical doubles,
+    the fold order both engines share) has an exact SQL oracle; recall-
+    vs-bruteforce stays asserted in tests."""
     from .operators.similarity import knn_ivf
 
     emb = _t(spark, sf_dir, "embeddings")
@@ -2994,16 +3093,57 @@ def embedding_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("sample_stratified", oracle=None)
+_STRATA = {"click": 0.5, "error": 1.0, "purchase": 0.1, "signup": 0.0, "view": 0.25}
+_STRATA_MOD = 1 << 20  # hash-space granularity for the keep thresholds
+
+
+@register(
+    "sample_stratified",
+    # same hash rule in SQL via the xx64 Python UDF (_xx64_setup); the
+    # driver's vanilla gate still records this entry rows-only
+    oracle=f"""
+    SELECT event_type, CAST(count(*) AS BIGINT) AS n_sampled
+    FROM events
+    WHERE (xx64(0, CAST(event_id AS VARCHAR)) % {_STRATA_MOD} + {_STRATA_MOD})
+          % {_STRATA_MOD}
+          < CASE event_type {' '.join(
+              f"WHEN '{t}' THEN {int(f * _STRATA_MOD)}" for t, f in _STRATA.items()
+          )} ELSE 0 END
+    GROUP BY event_type
+    """,
+    oracle_setup=_xx64_setup,
+)
 def sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Sampling operators: seeded uniform sample + stratified sampleBy
-    (per-event-type fractions). Rows-only: sampling algorithms are
-    engine-specific by nature; determinism under a fixed seed and
-    fraction bounds are asserted in tests."""
+    """Stratified Bernoulli sample with per-event-type fractions, decided
+    by a SEEDED HASH of the row id instead of an engine RNG — at 100 TB
+    this is the sampling rule that survives production: the keep/drop
+    decision is a pure function of the row, so it is reproducible across
+    retries, repartitionings, engines, and incremental reruns (a row
+    sampled today is sampled tomorrow), and two tables sampled by the
+    same key stay JOINABLE. Spark's rand()/sampleBy is none of those —
+    its draw depends on partition layout. Map-only: the hash predicate
+    evaluates JVM-side per row (xxhash64 — no UDF, no shuffle before the
+    tiny per-stratum count). Keep iff pmod(h, 2^20) < frac·2^20; strata
+    with fraction 0 drop out entirely, fraction 1 keeps every row.
+    Hash-checked since r5 via the pure-Python XXH64 DuckDB UDF (the r4
+    sampleBy form was engine-specific by nature and rows-only)."""
     ev = _t(spark, sf_dir, "events")
-    strata = {"click": 0.5, "error": 1.0, "purchase": 0.1, "signup": 0.0, "view": 0.25}
+    thresh = F.create_map(
+        *[
+            x
+            for t, f in _STRATA.items()
+            for x in (F.lit(t), F.lit(int(f * _STRATA_MOD)).cast("long"))
+        ]
+    )[F.col("event_type")]
+    keep = (
+        F.pmod(
+            F.xxhash64(F.lit(0), F.col("event_id").cast("string")),
+            F.lit(_STRATA_MOD),
+        )
+        < F.coalesce(thresh, F.lit(0))
+    )
     return (
-        ev.sampleBy("event_type", strata, seed=42)
+        ev.filter(keep)
         .groupBy("event_type")
         .agg(F.count("*").alias("n_sampled"))
     )
@@ -5105,6 +5245,16 @@ def interval_join_bucketed_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     distinct users and value (integer cents: a join result is a SET, so
     float accumulation order is engine-dependent; cents are order-free).
 
+    DIAGNOSTIC / pair-enumerating form — NOT the recommended scale path.
+    Candidate volume is density² (measured 33.5× wall at 10× data, NOTES
+    sf1 table); use interval_join_preagg for count/sum and
+    interval_join_distinct_hll for DISTINCT — both answer the same
+    windows in O(corpus). This entry exists for consumers that genuinely
+    need the (event, interval) rows, and it runs DENSITY-GUARDED: an
+    O(corpus) bucket-count estimate aborts with the alternatives named
+    when the pair volume exceeds the cap (2B here — generous enough for
+    the sf1 sweep, a hard stop before a runaway cluster job).
+
     The oracle is the naive theta join (fine for DuckDB at sf0.01); the
     Spark side uses interval_join_bucketed, which manufactures a hashable
     bucket key so the plan is an equi-join, never the
@@ -5127,7 +5277,13 @@ def interval_join_bucketed_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("ts_ms") + 600_000).alias("hi"),
     )
     pairs = interval_join_bucketed(
-        e.select("ts_ms", "user_id", "cents"), inc, "ts_ms", "lo", "hi", 600_000
+        e.select("ts_ms", "user_id", "cents"),
+        inc,
+        "ts_ms",
+        "lo",
+        "hi",
+        600_000,
+        max_candidate_pairs=2_000_000_000,
     )
     return pairs.groupBy("incident_id", "lo").agg(
         F.count("*").alias("n_events"),
@@ -6379,7 +6535,83 @@ def interval_join_distinct_hll_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("tokenize_wordpiece", oracle=None)
+def _wordpiece_oracle_setup(con) -> None:
+    """Register the expected wordpiece stats as a DuckDB view computed by
+    an INDEPENDENT reference implementation (plain Python over the same
+    parquet — written here, not imported from operators/text.py, so the
+    check is engine-vs-reimplementation, never self-vs-self)."""
+    from collections import Counter
+
+    import pandas as pd
+
+    docs = con.execute("SELECT doc_id, text FROM documents").df()
+    wc: Counter = Counter()
+    alphabet: set[str] = set()
+    for t in docs["text"]:
+        if t is None:
+            continue
+        lt = t.lower()
+        alphabet.update(c for c in lt if c not in (" ", ""))
+        wc.update(w for w in lt.split(" ") if w)
+    top = sorted(wc.items(), key=lambda kv: (-kv[1], kv[0]))[:20]
+    vocab = {w for w, _ in top} | alphabet | {"##" + c for c in alphabet}
+
+    def encode_len(word: str) -> "tuple[int, bool]":
+        # returns (n_pieces, is_unk) under greedy longest-match
+        pieces = 0
+        i, first = 0, True
+        while i < len(word):
+            j = next(
+                (
+                    j
+                    for j in range(len(word), i, -1)
+                    if (word[i:j] if first else "##" + word[i:j]) in vocab
+                ),
+                None,
+            )
+            if j is None:
+                return 1, True
+            pieces += 1
+            i, first = j, False
+        return pieces, False
+
+    rows = []
+    for did, t in zip(docs["doc_id"], docs["text"]):
+        if t is None:
+            rows.append((int(did), 0, 0, 0, None))
+            continue
+        ws = [w for w in t.lower().split(" ") if w]
+        n_sub = n_unk = 0
+        for w in ws:
+            k, unk = encode_len(w)
+            n_sub += k
+            n_unk += unk
+        rows.append(
+            (
+                int(did),
+                len(ws),
+                n_sub,
+                n_unk,
+                round(n_sub / len(ws), 4) if ws else None,
+            )
+        )
+    pdf = pd.DataFrame(
+        rows, columns=["doc_id", "n_words", "n_subwords", "n_unk_words", "fertility"]
+    )
+    con.register("wordpiece_expected", pdf)
+
+
+@register(
+    "tokenize_wordpiece",
+    oracle="""
+    SELECT CAST(doc_id AS BIGINT) AS doc_id, CAST(n_words AS BIGINT) AS n_words,
+           CAST(n_subwords AS BIGINT) AS n_subwords,
+           CAST(n_unk_words AS BIGINT) AS n_unk_words,
+           CAST(fertility AS DOUBLE) AS fertility
+    FROM wordpiece_expected
+    """,
+    oracle_setup=_wordpiece_oracle_setup,
+)
 def tokenize_wordpiece(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Subword tokenization statistics under a WordPiece-style greedy
     longest-match tokenizer whose vocab is derived deterministically from
@@ -6391,12 +6623,14 @@ def tokenize_wordpiece(spark: SparkSession, sf_dir: str) -> DataFrame:
     > 1); out-of-alphabet words collapse to [UNK] (counted, never
     silently dropped).
 
-    Rows-only: greedy longest-match is an iterative per-word loop no SQL
-    oracle expresses; correctness is pinned in pytest instead — golden
-    encodings, a round-trip property (stripping '##' reconstructs every
-    non-UNK word), fertility bounds, and determinism. Scale shape: two
-    tiny vocab aggregates, then ONE Arrow-batched map over the corpus —
-    no shuffle, closure-shipped vocab, O(batch) memory."""
+    Hash-checked since r5 against an INDEPENDENT plain-Python reference
+    implementation registered as a DuckDB view (no SQL expresses the
+    iterative greedy loop; the driver's vanilla gate still sees this
+    rows-only). The pytest pins stay — golden encodings, a round-trip
+    property (stripping '##' reconstructs every non-UNK word), fertility
+    bounds, determinism. Scale shape: two tiny vocab aggregates, then
+    ONE Arrow-batched map over the corpus — no shuffle, closure-shipped
+    vocab, O(batch) memory."""
     from .operators.text import wordpiece_stats, wordpiece_vocab
 
     d = _t(spark, sf_dir, "documents")
@@ -6497,32 +6731,79 @@ def user_activity_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
     whether per-key operators (collapse, funnel, sequences) face a
     uniform key space or a hot-key regime that needs salting/AQE skew
     handling. Gini = (2·Σ i·x_(i))/(n·Σx) − (n+1)/n over
-    ascending-sorted per-user counts (deterministic user_id tie-break).
+    ascending-sorted per-user counts.
 
-    Plan: per-user counts (one exchange), a rank over the USER frame
-    (distinct-user-sized — not the event stream; the single-partition
-    window is over users, recursable via the shard_plan segment trick if
-    even that is huge), a broadcast 1-row total, one final aggregate.
-    Spark forbids count(*) nested inside sum() (the oracle's
-    correlated form), so the totals ride a broadcast crossJoin instead —
-    same numbers, no nested aggregate."""
+    Fully distributed ranking — NO per-user rank is ever materialized
+    (the r4 form ran one global single-partition window over the user
+    frame; this one has no SinglePartition exchange at all). Gini is
+    tie-invariant, so users are grouped by activity level ``n``: a tie
+    group of ``c`` users spanning ranks (o, o+c] contributes exactly
+    n·(c·o + c(c+1)/2) to Σ i·x_(i), and the top-decile test
+    i > nu·0.9 admits max(0, (o+c) − max(o, floor(nu·0.9))) of them
+    (each worth n events) — identical doubles to the oracle's per-user
+    CASE. The frame shrinks |events| → |users| → |distinct activity
+    levels| (bounded by max events/user, ~10⁵ even at 100 TB); prefix
+    offsets ``o`` over that frame distribute via floor(log2(n))
+    segments — value-derived (deterministic) and order-aligned
+    (n₁<n₂ ⟹ seg₁≤seg₂), ≤64 of them, so the cumulative count is a
+    within-segment window plus a driver-side prefix-sum of the ≤64
+    segment totals shipped back as a literal map. Spark forbids
+    count(*) nested inside sum() (the oracle's correlated form), so
+    the totals ride a broadcast crossJoin instead."""
     e = _t(spark, sf_dir, "events")
     per_user = e.groupBy("user_id").agg(F.count("*").alias("n"))
-    w = Window.orderBy("n", "user_id")
-    ranked = per_user.withColumn("i", F.row_number().over(w))
-    tot = ranked.agg(
-        F.count("*").alias("nu"), F.sum("n").alias("te")
+    per_n = per_user.groupBy("n").agg(F.count("*").alias("c")).withColumn(
+        "seg", F.floor(F.log2("n")).cast("int")
+    )
+    seg_tot = {
+        r["seg"]: r["t"]
+        for r in per_n.groupBy("seg").agg(F.sum("c").alias("t")).collect()
+    }
+    off, acc = {}, 0
+    for s in sorted(seg_tot):
+        off[s] = acc
+        acc += seg_tot[s]
+    if off:
+        # explicit casts: F.lit picks int vs bigint by magnitude and
+        # create_map requires uniform key/value types
+        off_expr = F.create_map(
+            *[
+                x
+                for s, o in off.items()
+                for x in (F.lit(s).cast("int"), F.lit(o).cast("long"))
+            ]
+        )[F.col("seg")]
+    else:  # empty events: any expression works, zero rows flow through
+        off_expr = F.lit(0).cast("long")
+    w = (
+        Window.partitionBy("seg")
+        .orderBy("n")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    ranked = per_n.withColumn("cum", F.sum("c").over(w)).withColumn(
+        "o", off_expr + F.col("cum") - F.col("c")
+    )
+    tot = per_n.agg(
+        F.sum("c").alias("nu"), F.sum(F.col("n") * F.col("c")).alias("te")
     )
     j = ranked.crossJoin(F.broadcast(tot))
+    # Σ i·x over the tie group; c·(c+1) is always even so DIV 2 is exact
+    i_dot_x = F.col("n") * (
+        F.col("c") * F.col("o") + F.expr("c * (c + 1) DIV 2")
+    )
+    thresh = F.floor(F.col("nu") * 0.9)  # i > nu·0.9 ⟺ i ≥ floor(nu·0.9)+1
+    qual = F.greatest(
+        F.lit(0).cast("long"),
+        F.col("o") + F.col("c") - F.greatest(F.col("o"), thresh),
+    )
     return j.groupBy("nu", "te").agg(
         F.round(
-            (2.0 * F.sum(F.col("i") * F.col("n"))) / (F.col("nu") * F.col("te"))
+            (2.0 * F.sum(i_dot_x)) / (F.col("nu") * F.col("te"))
             - (F.col("nu") + 1.0) / F.col("nu"),
             6,
         ).alias("gini"),
         F.round(
-            F.sum(F.when(F.col("i") > F.col("nu") * 0.9, F.col("n")).otherwise(0))
-            / F.col("te"),
+            F.sum(F.col("n") * qual) / F.col("te"),
             6,
         ).alias("top10pct_share"),
     ).select(

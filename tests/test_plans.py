@@ -437,3 +437,19 @@ class TestRound4cPlans:
         plan = plan_string(q(spark, "quality_deciles"))
         assert "Window" not in plan
         assert "BroadcastExchange" in plan or "broadcast" in plan.lower()
+
+    def test_gini_rank_is_segmented_not_global(self, spark):
+        """The r4 form ranked all users in ONE unpartitioned row_number
+        window (Spark's 'moving all data to a single partition' warning).
+        The r5 form has no per-user rank at all: the only Window runs over
+        the distinct-activity-level frame PARTITIONED BY the log2 segment,
+        and the sole SinglePartition exchange feeds the broadcast 1-row
+        totals aggregate (the allowlisted pattern)."""
+        df = q(spark, "user_activity_gini")
+        plan = plan_string(df, "simple")
+        assert "row_number" not in plan
+        assert "windowspecdefinition(seg" in plan  # partitioned window
+        # every window in the plan is partitioned (no empty partition spec
+        # directly followed by the order spec over n/user_id)
+        assert "windowspecdefinition(n#" not in plan
+        assert "windowspecdefinition(user_id" not in plan
