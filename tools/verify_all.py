@@ -55,6 +55,7 @@ def main() -> int:
     steps = [
         ("pytest", [sys.executable, "-m", "pytest", "tests/", "-q"]),
         ("oracle sweep", [sys.executable, "tools/check_oracle.py", sf]),
+        ("plan invariants", [sys.executable, "tools/plan_invariants.py", sf]),
         ("driver sim", [sys.executable, "-c", SIM % {"root": ROOT, "sf": sf}]),
     ]
     for name, cmd in steps:
