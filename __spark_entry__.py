@@ -29,6 +29,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 
 def oracle_sql() -> dict[str, str]:
+    # oracle_setup-backed entries (Python-UDF / reference-implementation
+    # oracles) are excluded: the driver runs these SQL strings on a vanilla
+    # DuckDB connection with no UDFs registered. They are hash-checked by
+    # tools/check_oracle.py instead (CORRECTNESS_FULL artifacts).
     return {
-        name: spec.oracle for name, spec in REGISTRY.items() if spec.oracle is not None
+        name: spec.oracle
+        for name, spec in REGISTRY.items()
+        if spec.oracle is not None and spec.oracle_setup is None
     }

@@ -32,6 +32,8 @@ def _norm(df: pd.DataFrame) -> pd.DataFrame:
 def test_matches_oracle(spark, oracle, name):
     spec = REGISTRY[name]
     got = _norm(spec.fn(spark, SF_DIR).toPandas())
+    if spec.oracle_setup is not None:
+        spec.oracle_setup(oracle)
     want = _norm(oracle.execute(spec.oracle).df())
     assert list(got.columns) == list(want.columns)
     assert len(got) == len(want)

@@ -100,6 +100,8 @@ def main() -> int:
                              "note": "no_oracle (rows-only)"}
             continue
         try:
+            if spec.oracle_setup is not None:
+                spec.oracle_setup(con)
             odf = con.execute(spec.oracle).df()
         except Exception as e:  # noqa: BLE001
             print(f"FAIL {name}: oracle error: {e}")
@@ -117,6 +119,11 @@ def main() -> int:
             "oracle_rows": len(odf),
             "err": "; ".join(probs)[:300] or None,
         }
+        if spec.oracle_setup is not None:
+            # hash-checked against a Python-UDF / reference-implementation
+            # oracle my tool registers; the driver's vanilla-SQL gate
+            # still records these as no_oracle
+            results[name]["note"] = "udf_oracle"
         if probs:
             print(f"FAIL {name} ({len(sdf)} rows):")
             for p in probs:
