@@ -128,11 +128,16 @@ def minhash_candidates(
     bands: int = 4,
     id_col: str = "doc_id",
     family: str = "md5",
+    banded: DataFrame | None = None,
 ) -> DataFrame:
     """LSH candidate pairs: docs sharing at least one band of the MinHash
-    signature. Returns (doc_id_a, doc_id_b), a < b, distinct."""
+    signature. Returns (doc_id_a, doc_id_b), a < b, distinct. Pass an
+    already-banded frame via ``banded`` to skip signature computation
+    (callers that band once and reuse across collapse/probe/persist)."""
     return bucket_pairs(
-        minhash_banded(shingled, k, bands, id_col, family), id_col=id_col
+        banded if banded is not None
+        else minhash_banded(shingled, k, bands, id_col, family),
+        id_col=id_col,
     )
 
 
@@ -188,6 +193,8 @@ def minhash_dedup_pairs(
     id_col: str = "doc_id",
     stage_shingles: bool = True,
     family: str = "md5",
+    shingled: DataFrame | None = None,
+    banded: DataFrame | None = None,
 ) -> DataFrame:
     """Full MinHash-LSH pipeline: shingle → sign → band-join candidates →
     verify with TRUE Jaccard on the shingle sets → threshold.
@@ -221,11 +228,19 @@ def minhash_dedup_pairs(
     candidates whose arrays exceed the driver's broadcast budget
     (observed at sf0.1). AQE converts it to a broadcast join at runtime
     exactly when the actual size fits, and falls back to a shuffle join
-    when it doesn't — correctness unchanged either way."""
-    sh = shingle_docs(df, n, text_col, id_col)
-    if stage_shingles:
-        sh = sh.localCheckpoint(eager=False)
-    cand = minhash_candidates(sh, k, bands, id_col, family)
+    when it doesn't — correctness unchanged either way.
+
+    ``shingled``: pass an already-shingled (id, shingles) frame to skip
+    the shingle pass entirely — callers that shingle once and reuse the
+    frame across collapse/probe/verify (streaming admission) avoid the
+    per-batch re-shingling this function would otherwise pay."""
+    if shingled is not None:
+        sh = shingled
+    else:
+        sh = shingle_docs(df, n, text_col, id_col)
+        if stage_shingles:
+            sh = sh.localCheckpoint(eager=False)
+    cand = minhash_candidates(sh, k, bands, id_col, family, banded=banded)
     a = sh.select(F.col(id_col).alias("doc_id_a"), F.col("shingles").alias("__sh_a"))
     b = sh.select(F.col(id_col).alias("doc_id_b"), F.col("shingles").alias("__sh_b"))
     out = (
@@ -626,3 +641,55 @@ def dup_clusters(pairs: DataFrame, a_col: str = "doc_id_a", b_col: str = "doc_id
         if changed == 0:
             break
     return labels.select(F.col("node").alias("doc_id"), F.col("label").alias("cluster_id"))
+
+
+def dup_cluster_losers_capped(
+    pairs: DataFrame,
+    a_col: str = "doc_id_a",
+    b_col: str = "doc_id_b",
+    max_pairs: int = 200_000,
+) -> DataFrame:
+    """Non-representative members of each duplicate cluster (everything
+    except the component's min id) via DRIVER-SIDE union-find over the
+    collected pair list — the micro-batch companion to ``dup_clusters``.
+
+    Same semantics (min-root-wins union keeps every root the component
+    minimum, so losers ≡ dup_clusters' doc_id != cluster_id set —
+    equivalence pinned in tests), but ONE Spark action instead of the
+    label-propagation loop's ≥6 per call (edges+labels checkpoints, then
+    a checkpoint+count per round) — that fixed job count was the
+    measured per-batch floor of streaming admission (NOTES r4/r5), where
+    within-batch verified pairs are candidate-bounded and tiny. The
+    collect is CAPPED: past ``max_pairs`` the function falls back to the
+    distributed loop instead of growing the driver (same bounded-sample
+    discipline as kmeans_centroids)."""
+    rows = pairs.select(a_col, b_col).limit(max_pairs + 1).collect()
+    if len(rows) > max_pairs:
+        lab = dup_clusters(pairs, a_col, b_col)
+        return lab.filter(F.col("doc_id") != F.col("cluster_id")).select("doc_id")
+    spark = pairs.sparkSession
+    if not rows:
+        return spark.createDataFrame([], "doc_id long")
+    parent: dict = {}
+
+    def find(x):
+        r = x
+        while parent.get(r, r) != r:
+            r = parent[r]
+        while parent.get(x, x) != r:  # path compression
+            parent[x], x = r, parent[x]
+        return r
+
+    nodes = set()
+    for r in rows:
+        a, b = r[0], r[1]
+        nodes.add(a)
+        nodes.add(b)
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            if ra < rb:  # min root wins -> root is always the component min
+                parent[rb] = ra
+            else:
+                parent[ra] = rb
+    losers = sorted(x for x in nodes if find(x) != x)
+    return spark.createDataFrame([(int(x),) for x in losers], "doc_id long")

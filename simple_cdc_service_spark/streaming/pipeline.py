@@ -1013,6 +1013,8 @@ def probe_corpus_sigs(
     k: int = 8,
     bands: int = 4,
     family: str = "md5",
+    shingled: DataFrame | None = None,
+    banded: DataFrame | None = None,
 ) -> DataFrame | None:
     """Candidate (doc_id_new, dup_of) pairs: the incoming batch is
     shingled + signed fresh (O(batch) map work) and joined on (band, bv)
@@ -1027,9 +1029,15 @@ def probe_corpus_sigs(
     sigs = _read_sigs(spark, corpus_dir)
     if sigs is None:
         return None
-    banded_in = minhash_banded(
-        shingle_docs(docs, n), k, bands, family=family
-    ).withColumnRenamed("doc_id", "doc_id_new")
+    if banded is not None:
+        banded_in = banded.withColumnRenamed("doc_id", "doc_id_new")
+    else:
+        banded_in = minhash_banded(
+            shingled if shingled is not None else shingle_docs(docs, n),
+            k,
+            bands,
+            family=family,
+        ).withColumnRenamed("doc_id", "doc_id_new")
     return (
         banded_in.join(sigs.withColumnRenamed("doc_id", "dup_of"), ["band", "bv"])
         .select("doc_id_new", "dup_of")
@@ -1096,7 +1104,7 @@ def start_corpus_dedup_admission(
     representative). operators/text.filter_quality is the stock
     Gopher/C4 gate; any batch-safe transform fits."""
     from ..operators.dedup import (
-        dup_clusters,
+        dup_cluster_losers_capped,
         jaccard_verify_pairs,
         minhash_banded,
         minhash_dedup_pairs,
@@ -1114,22 +1122,36 @@ def start_corpus_dedup_admission(
             # store nor act as a dedup cluster representative
             docs = quality_filter(docs)
         docs = docs.localCheckpoint(eager=True)
+        # shingle ONCE, band ONCE per batch: collapse, probe, verify, and
+        # the final signature write all reuse these two checkpointed
+        # frames (the r4 form re-shingled the batch four times and
+        # re-signed it three times — measured as the dominant share of
+        # the ~5-6s/batch fixed floor, NOTES r5)
+        sh = shingle_docs(docs, n).localCheckpoint(eager=True)
+        banded = minhash_banded(sh, k, bands, family=family).localCheckpoint(
+            eager=True
+        )
         # 1. within-batch collapse: one survivor (min id) PER CONNECTED
         # COMPONENT of the verified-pair graph — cluster-representative
-        # semantics (see docstring), replacing the ad-hoc drop-greatest-
-        # of-each-pair rule. dup_clusters is cheap here: in-batch
-        # components are tiny and the edge list is candidate-bounded.
+        # semantics (see docstring). In-batch components are candidate-
+        # bounded and tiny, so the losers come from ONE collect +
+        # driver union-find (capped, falls back to the distributed
+        # dup_clusters loop) instead of paying label propagation's
+        # per-batch job count.
         pairs = minhash_dedup_pairs(
-            docs, n=n, k=k, bands=bands, threshold=threshold, family=family
+            docs, n=n, k=k, bands=bands, threshold=threshold, family=family,
+            shingled=sh, banded=banded,
         )
-        losers = (
-            dup_clusters(pairs)
-            .filter(F.col("doc_id") != F.col("cluster_id"))
-            .select("doc_id")
-        )
+        losers = dup_cluster_losers_capped(pairs)
         docs = docs.join(losers, "doc_id", "left_anti")
-        # 2. cross-batch probe against the accumulated store
-        cand0 = probe_corpus_sigs(spark, corpus_dir, docs, n, k, bands, family)
+        sh_live = sh.join(losers, "doc_id", "left_anti")
+        banded_live = banded.join(losers, "doc_id", "left_anti")
+        # 2. cross-batch probe against the accumulated store; probe,
+        # verify, and the admission anti-join stay one fused lazy plan
+        # materialized by the pre-write checkpoint below
+        cand0 = probe_corpus_sigs(
+            spark, corpus_dir, docs, n, k, bands, family, banded=banded_live
+        )
         corpus = read_corpus(spark, corpus_dir)
         if cand0 is not None and corpus is not None:
             cand = cand0.localCheckpoint(eager=False)
@@ -1139,15 +1161,18 @@ def start_corpus_dedup_admission(
                 "left_semi",
             )
             dupped = jaccard_verify_pairs(
-                shingle_docs(docs, n), shingle_docs(matched, n), cand, threshold
+                sh_live, shingle_docs(matched, n), cand, threshold
             ).select(F.col("doc_id")).distinct()
             docs = docs.join(dupped, "doc_id", "left_anti")
         docs = docs.localCheckpoint(eager=True)
-        # 3. idempotent versioned append: docs first, sigs (+marker) last
+        # 3. idempotent versioned append: docs first, sigs (+marker) last;
+        # signatures are the admitted subset of the already-staged banded
+        # frame (semi-join against the CHECKPOINTED admitted set — the
+        # write re-runs no shingling, no signing, no verify chain)
         docs.write.mode("overwrite").parquet(
             os.path.join(corpus_dir, "docs", f"v{batch_id}")
         )
-        minhash_banded(shingle_docs(docs, n), k, bands, family=family).write.mode(
+        banded.join(docs.select("doc_id"), "doc_id", "left_semi").write.mode(
             "overwrite"
         ).parquet(os.path.join(corpus_dir, "sigs", f"v{batch_id}"))
 

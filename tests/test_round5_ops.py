@@ -116,3 +116,56 @@ class TestGiniDistributedEquivalence:
         assert r.n_users == n and r.n_events == total
         assert abs(r.gini - round(gini, 6)) <= 1e-9
         assert abs(r.top10pct_share - round(top, 6)) <= 1e-9
+
+
+class TestCappedUnionFind:
+    def _random_pairs(self, spark, seed, n_nodes=40, n_edges=35):
+        import random
+
+        rng = random.Random(seed)
+        rows = [
+            (rng.randrange(n_nodes), rng.randrange(n_nodes)) for _ in range(n_edges)
+        ]
+        rows = [(a, b) for a, b in rows if a != b]
+        return spark.createDataFrame(rows, "doc_id_a long, doc_id_b long")
+
+    @pytest.mark.parametrize("seed", [1, 2, 3, 4, 5])
+    def test_losers_equal_dup_clusters(self, spark, seed):
+        """Driver union-find must reproduce dup_clusters' non-representative
+        set exactly (min-of-component survivor semantics) on random graphs
+        with chains, cycles, and singleton edges."""
+        from simple_cdc_service_spark.operators.dedup import (
+            dup_cluster_losers_capped,
+            dup_clusters,
+        )
+
+        pairs = self._random_pairs(spark, seed)
+        expected = sorted(
+            r.doc_id
+            for r in dup_clusters(pairs)
+            .filter(F.col("doc_id") != F.col("cluster_id"))
+            .collect()
+        )
+        got = sorted(r.doc_id for r in dup_cluster_losers_capped(pairs).collect())
+        assert got == expected
+
+    def test_empty_pairs(self, spark):
+        from simple_cdc_service_spark.operators.dedup import (
+            dup_cluster_losers_capped,
+        )
+
+        pairs = spark.createDataFrame([], "doc_id_a long, doc_id_b long")
+        assert dup_cluster_losers_capped(pairs).count() == 0
+
+    def test_cap_falls_back_to_distributed(self, spark):
+        from simple_cdc_service_spark.operators.dedup import (
+            dup_cluster_losers_capped,
+        )
+
+        pairs = self._random_pairs(spark, 9, n_nodes=30, n_edges=25)
+        # cap below the pair count forces the dup_clusters fallback path
+        got = sorted(
+            r.doc_id for r in dup_cluster_losers_capped(pairs, max_pairs=5).collect()
+        )
+        full = sorted(r.doc_id for r in dup_cluster_losers_capped(pairs).collect())
+        assert got == full

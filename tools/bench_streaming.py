@@ -192,7 +192,12 @@ def bench_scd2(n_events: int = 50_000, chunks: int = 5) -> None:
 
 if __name__ == "__main__":
     if len(sys.argv) > 1 and sys.argv[1] == "admission":
-        bench_admission()
+        # admission [n_docs] [chunks] — e.g. the 10× batch-size point:
+        #   SPARK_GRAFT_SF_DIR=/tmp/sf1 python tools/bench_streaming.py admission 50000 5
+        bench_admission(
+            n_docs=int(sys.argv[2]) if len(sys.argv) > 2 else 5_000,
+            chunks=int(sys.argv[3]) if len(sys.argv) > 3 else 5,
+        )
     elif len(sys.argv) > 1 and sys.argv[1] == "scd2":
         bench_scd2()
     else:
