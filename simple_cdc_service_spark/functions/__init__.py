@@ -87,8 +87,10 @@ def minhash_signature(shingles: Column, k: int) -> Column:
     hex STRING ordering, which is byte-wise identical in every engine — no
     integer conversion to diverge on.
 
-    Empty shingle sets get NULL mins → such docs never collide into a band
-    bucket (array equality with a NULL element is never true in the join).
+    Empty shingle sets get NULL mins; downstream banding
+    (operators/dedup.py minhash_banded) NULLs the whole band value when
+    the minima are NULL so such docs never collide into a band bucket —
+    concat_ws alone would skip the NULLs and emit a shared '' bucket.
     """
 
     # NB: each lambda must take exactly ONE parameter — PySpark treats a
@@ -115,8 +117,9 @@ def minhash_signature_xx(shingles: Column, k: int) -> Column:
     ALONGSIDE the md5 family (not replacing it) because DuckDB has no
     xxhash64, so oracle-parity entries must stay on md5.
 
-    Empty shingle sets → NULL minima → never collide into a band bucket
-    (same property as the md5 family)."""
+    Empty shingle sets → NULL minima → band value NULLed by
+    minhash_banded's guard → never collide into a band bucket (same
+    property as the md5 family)."""
     return F.array(
         *[
             F.array_min(

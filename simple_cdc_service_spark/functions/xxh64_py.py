@@ -11,7 +11,8 @@ running hash starts at the seed (42 for ``F.xxhash64``) and each input
 column's hash becomes the seed for the next. IntegerType inputs hash as
 their 4-byte little-endian encoding, LongType as 8-byte LE, StringType
 as UTF-8 bytes. Parity with the JVM expression is pinned in
-tests/test_round5_ops.py over multi-stripe/empty/unicode inputs.
+tests/test_round6_ops.py (TestXxh64Parity) over multi-stripe/empty/
+unicode inputs and several int seeds.
 """
 
 from __future__ import annotations
@@ -98,3 +99,13 @@ def spark_xxhash64_int_str(i: int, s: str) -> int:
     the SIGNED 64-bit value Spark emits."""
     h = xxh64((i & 0xFFFFFFFF).to_bytes(4, "little"), 42)
     return _signed(xxh64(s.encode("utf-8"), h))
+
+
+def spark_xxhash64_long_int(v: int, i: int) -> int:
+    """Replicates ``F.xxhash64(col, F.lit(i))`` for LongType col and
+    IntegerType i — the seeded-sample ranking key used by
+    kmeans_centroids / pq_train_codebooks (operators/similarity.py).
+    Long hashes as its 8-byte little-endian encoding with seed 42; that
+    hash seeds the int literal's 4-byte hash. SIGNED 64-bit out."""
+    h = xxh64((v & _M).to_bytes(8, "little"), 42)
+    return _signed(xxh64((i & 0xFFFFFFFF).to_bytes(4, "little"), h))

@@ -64,7 +64,16 @@ def minhash_banded(
     ~2× cheaper signatures — the production-bench path; no SQL oracle).
     Exact duplicates collide under EITHER family (identical shingle sets
     → identical signatures); near-dup candidate sets differ only through
-    ordinary per-family banding randomness."""
+    ordinary per-family banding randomness.
+
+    Empty shingle sets (docs shorter than the shingle width) have NULL
+    signature minima; concat_ws would silently SKIP them and emit bv=''
+    — one shared bucket holding every short doc in the corpus, a
+    quadratic hot bucket of meaningless pairs. The band value is
+    therefore NULLed whenever its first signature element is NULL (all k
+    minima are NULL together), and bucket_pairs drops NULL buckets —
+    contentless docs never collide, matching the oracle SQL whose
+    element-wise sig[i]=sig[i] join is never true on NULL."""
     r = k // bands
     if family == "xxhash64":
         from ..functions import minhash_signature_xx
@@ -72,38 +81,25 @@ def minhash_banded(
         sig = shingled.select(
             F.col(id_col), minhash_signature_xx(F.col("shingles"), k).alias("sig")
         )
-        return sig.select(
-            id_col,
-            F.explode(
-                F.array(
-                    *[
-                        F.struct(
-                            F.lit(b).alias("band"),
-                            F.concat_ws(
-                                "|", *[F.col("sig")[b * r + j] for j in range(r)]
-                            ).alias("bv"),
-                        )
-                        for b in range(bands)
-                    ]
-                )
-            ).alias("bb"),
-        ).select(id_col, "bb.band", "bb.bv")
-    # Stage the per-group md5 arrays as real columns so each md5 pass runs
-    # ONCE per row; the four 32-bit chunk minima per group are then cheap
-    # substring scans. (CollapseProject keeps the staging: the hashed
-    # arrays are non-cheap and referenced 4×, so the optimizer does not
-    # inline them back into duplicated md5 calls.)
-    from ..functions import _chunk_min, _md5_array
+    else:
+        # Stage the per-group md5 arrays as real columns so each md5 pass
+        # runs ONCE per row; the four 32-bit chunk minima per group are then
+        # cheap substring scans. (CollapseProject keeps the staging: the
+        # hashed arrays are non-cheap and referenced 4×, so the optimizer
+        # does not inline them back into duplicated md5 calls.)
+        from ..functions import _chunk_min, _md5_array
 
-    staged = shingled
-    for g in range((k + 3) // 4):
-        staged = staged.withColumn(f"__h{g}", _md5_array(F.col("shingles"), f"{g}|"))
-    sig = staged.select(
-        F.col(id_col),
-        F.array(
-            *[_chunk_min(F.col(f"__h{i // 4}"), i % 4) for i in range(k)]
-        ).alias("sig"),
-    )
+        staged = shingled
+        for g in range((k + 3) // 4):
+            staged = staged.withColumn(
+                f"__h{g}", _md5_array(F.col("shingles"), f"{g}|")
+            )
+        sig = staged.select(
+            F.col(id_col),
+            F.array(
+                *[_chunk_min(F.col(f"__h{i // 4}"), i % 4) for i in range(k)]
+            ).alias("sig"),
+        )
     return sig.select(
         id_col,
         F.explode(
@@ -111,9 +107,16 @@ def minhash_banded(
                 *[
                     F.struct(
                         F.lit(b).alias("band"),
-                        F.concat_ws(
-                            "|", *[F.col("sig")[b * r + j] for j in range(r)]
-                        ).alias("bv"),
+                        F.when(
+                            F.col("sig")[b * r].isNull(),
+                            F.lit(None).cast("string"),
+                        )
+                        .otherwise(
+                            F.concat_ws(
+                                "|", *[F.col("sig")[b * r + j] for j in range(r)]
+                            )
+                        )
+                        .alias("bv"),
                     )
                     for b in range(bands)
                 ]
@@ -663,13 +666,21 @@ def dup_cluster_losers_capped(
     collect is CAPPED: past ``max_pairs`` the function falls back to the
     distributed loop instead of growing the driver (same bounded-sample
     discipline as kmeans_centroids)."""
+    from pyspark.sql.types import StructField, StructType
+
+    # Output schema is derived from the input id column so non-long doc
+    # ids (string hashes, decimals) round-trip identically through the
+    # capped path and the dup_clusters fallback.
+    out_schema = StructType(
+        [StructField("doc_id", pairs.schema[a_col].dataType, True)]
+    )
     rows = pairs.select(a_col, b_col).limit(max_pairs + 1).collect()
     if len(rows) > max_pairs:
         lab = dup_clusters(pairs, a_col, b_col)
         return lab.filter(F.col("doc_id") != F.col("cluster_id")).select("doc_id")
     spark = pairs.sparkSession
     if not rows:
-        return spark.createDataFrame([], "doc_id long")
+        return spark.createDataFrame([], out_schema)
     parent: dict = {}
 
     def find(x):
@@ -692,4 +703,4 @@ def dup_cluster_losers_capped(
             else:
                 parent[ra] = rb
     losers = sorted(x for x in nodes if find(x) != x)
-    return spark.createDataFrame([(int(x),) for x in losers], "doc_id long")
+    return spark.createDataFrame([(x,) for x in losers], out_schema)

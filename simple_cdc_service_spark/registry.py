@@ -987,14 +987,57 @@ def dedup_ngram_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("dedup_embedding_lsh", oracle=None)
+def _ref_lsh_setup(con) -> None:
+    from .functions.ref_oracle import setup_dedup_embedding_lsh
+
+    setup_dedup_embedding_lsh(con)
+
+
+@register(
+    "dedup_embedding_lsh",
+    # The RandomState(42) hyperplanes are registered as a DuckDB table by
+    # oracle_setup (functions/ref_oracle.py); sign buckets, bucket pairs,
+    # and cosine verification are pure SQL — list_dot_product shares the
+    # engine's sequential fold (parity proven by knn_bruteforce).
+    oracle="""
+    WITH src AS (
+        SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+        FROM embeddings
+        UNION ALL
+        SELECT vec_id + 1000000 AS vec_id,
+               list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+        FROM embeddings WHERE vec_id < 50),
+    banded AS (
+        SELECT vec_id, band,
+               string_agg(CASE WHEN list_dot_product(v, p) >= 0
+                               THEN '1' ELSE '0' END, '' ORDER BY j) AS bv
+        FROM src CROSS JOIN ref_lsh_planes
+        GROUP BY vec_id, band),
+    cand AS (
+        SELECT DISTINCT a.vec_id AS vec_id_a, b.vec_id AS vec_id_b
+        FROM banded a JOIN banded b
+          ON a.band = b.band AND a.bv = b.bv AND a.vec_id < b.vec_id)
+    SELECT vec_id_a, vec_id_b,
+           round(list_dot_product(sa.v, sb.v)
+                 / (sqrt(list_dot_product(sa.v, sa.v))
+                    * sqrt(list_dot_product(sb.v, sb.v))), 6) AS cos_sim
+    FROM cand
+    JOIN src sa ON sa.vec_id = cand.vec_id_a
+    JOIN src sb ON sb.vec_id = cand.vec_id_b
+    WHERE round(list_dot_product(sa.v, sb.v)
+                / (sqrt(list_dot_product(sa.v, sa.v))
+                   * sqrt(list_dot_product(sb.v, sb.v))), 6) >= 0.98
+    """,
+    oracle_setup=_ref_lsh_setup,
+)
 def dedup_embedding_lsh_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding near-dup via random-hyperplane LSH blocking — the
     metadata-free production path. The driver corpus is uniform random (no
     true near-dups at a meaningful threshold), so the query plants exact
     duplicates (vec_id + 1_000_000) and must recover every planted pair at
-    cos ≥ 0.98 — asserted in tests. Rows-only for the driver: the seeded
-    hyperplane buckets are not SQL-replicable."""
+    cos ≥ 0.98 — asserted in tests. Hash-checked since r6 via a
+    registered-hyperplane oracle (functions/ref_oracle.py); still
+    rows-only in the driver's vanilla-SQL gate."""
     from .operators.dedup import embedding_dup_pairs_lsh
 
     emb = _t(spark, sf_dir, "embeddings").select("vec_id", "embedding")
@@ -1004,13 +1047,28 @@ def dedup_embedding_lsh_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return embedding_dup_pairs_lsh(emb.unionByName(planted), threshold=0.98)
 
 
-@register("knn_ivfpq", oracle=None)
+def _ref_ivfpq_setup(con) -> None:
+    from .functions.ref_oracle import setup_knn_ivfpq
+
+    setup_knn_ivfpq(con)
+
+
+@register(
+    "knn_ivfpq",
+    # Expected-result oracle: the full IVF+PQ pipeline (seeded centroids,
+    # probe sets, codes, ADC shortlist, exact re-rank) re-run in
+    # numpy/Python with the engine's exact op order and registered as a
+    # table — functions/ref_oracle.py::_expected_pq_result.
+    oracle="SELECT * FROM ref_knn_ivfpq",
+    oracle_setup=_ref_ivfpq_setup,
+)
 def knn_ivfpq_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """E4 production ANN composition: IVF coarse lists bound which vectors
     are scored (nprobe=8 of 16), PQ codes bound bytes per scored vector,
     exact cosine re-rank over the 50-candidate shortlist restores ranking.
-    Rows-only: approximate by construction; recall floor vs brute force is
-    pinned in tests (same protocol as knn_ivf_kmeans / knn_pq)."""
+    Hash-checked since r6 vs an independent numpy reference
+    (functions/ref_oracle.py) in check_oracle; rows-only in the driver's
+    vanilla gate; recall floor vs brute force stays pinned in tests."""
     from .operators.similarity import knn_ivfpq
 
     emb = _t(spark, sf_dir, "embeddings")
@@ -1021,15 +1079,55 @@ def knn_ivfpq_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("dedup_semantic", oracle=None)
+def _ref_sem_setup(con) -> None:
+    from .functions.ref_oracle import setup_dedup_semantic
+
+    setup_dedup_semantic(con)
+
+
+@register(
+    "dedup_semantic",
+    # k-means centroids (the only non-SQL piece) come from the registered
+    # numpy reference table; nearest-centroid blocking + within-cluster
+    # cosine verification are pure SQL with the shared fold order.
+    # Assignment ranks compare UNROUNDED cosines (same protocol as the
+    # hash-matched knn_ivf oracle), tie-broken by centroid_id.
+    oracle="""
+    WITH src AS (
+        SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+        FROM embeddings
+        UNION ALL
+        SELECT vec_id + 1000000 AS vec_id,
+               list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+        FROM embeddings WHERE vec_id < 50),
+    ca AS (SELECT vec_id, v, centroid_id,
+                  row_number() OVER (PARTITION BY vec_id ORDER BY
+                      list_dot_product(v, cv)
+                      / (sqrt(list_dot_product(v, v)) * sqrt(list_dot_product(cv, cv)))
+                      DESC, centroid_id) AS rn
+           FROM src CROSS JOIN (SELECT centroid_id, cv FROM ref_cents_sem16)),
+    asg AS (SELECT vec_id, v, centroid_id FROM ca WHERE rn = 1)
+    SELECT a.vec_id AS vec_id_a, b.vec_id AS vec_id_b,
+           round(list_dot_product(a.v, b.v)
+                 / (sqrt(list_dot_product(a.v, a.v))
+                    * sqrt(list_dot_product(b.v, b.v))), 6) AS cos_sim
+    FROM asg a JOIN asg b
+      ON a.centroid_id = b.centroid_id AND a.vec_id < b.vec_id
+    WHERE round(list_dot_product(a.v, b.v)
+                / (sqrt(list_dot_product(a.v, a.v))
+                   * sqrt(list_dot_product(b.v, b.v))), 6) >= 0.98
+    """,
+    oracle_setup=_ref_sem_setup,
+)
 def dedup_semantic_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SemDeDup-style semantic dedup: seeded k-means clusters block the
     pairwise cosine (quadratic term bounded by the largest cluster, not
     the corpus). Same planted-duplicate protocol as dedup_embedding_lsh:
     exact copies of vec_id < 50 at +1e6 must all be recovered at
     cos ≥ 0.98 — asserted in tests (an exact copy always lands in its
-    original's cluster). Rows-only for the driver: seeded k-means
-    blocking is not SQL-replicable."""
+    original's cluster). Hash-checked since r6 via the registered
+    centroid-reference oracle (functions/ref_oracle.py); rows-only in
+    the driver's vanilla gate."""
     from .operators.dedup import semantic_dup_pairs
 
     emb = _t(spark, sf_dir, "embeddings").select("vec_id", "embedding")
@@ -1128,17 +1226,60 @@ def knn_ivf_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return knn_ivf(emb.filter(F.col("vec_id") >= 5), emb.filter(F.col("vec_id") < 5), k=10, every=100)
 
 
-@register("knn_ivf_kmeans", oracle=None)
+def _ref_ivfk_setup(con) -> None:
+    from .functions.ref_oracle import setup_knn_ivf_kmeans
+
+    setup_knn_ivf_kmeans(con)
+
+
+@register(
+    "knn_ivf_kmeans",
+    # Same SQL shape as the hash-matched knn_ivf oracle, with the
+    # every-Nth centroid grid replaced by the registered numpy-Lloyd
+    # reference centroids (functions/ref_oracle.py) and nprobe=8.
+    oracle="""
+    WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+               FROM embeddings),
+    corpus AS (SELECT vec_id, v FROM e WHERE vec_id >= 5),
+    q AS (SELECT vec_id, v FROM e WHERE vec_id < 5),
+    cents AS (SELECT centroid_id, cv FROM ref_cents_ivf16),
+    ca AS (SELECT vec_id AS neighbor_id, v AS cv2, centroid_id,
+                  row_number() OVER (PARTITION BY vec_id ORDER BY
+                      list_dot_product(v, cv)
+                      / (sqrt(list_dot_product(v, v)) * sqrt(list_dot_product(cv, cv)))
+                      DESC, centroid_id) AS rn
+           FROM corpus CROSS JOIN cents),
+    qa AS (SELECT vec_id AS query_id, v AS qv, centroid_id,
+                  row_number() OVER (PARTITION BY vec_id ORDER BY
+                      list_dot_product(v, cv)
+                      / (sqrt(list_dot_product(v, v)) * sqrt(list_dot_product(cv, cv)))
+                      DESC, centroid_id) AS rn
+           FROM q CROSS JOIN cents),
+    scored AS (SELECT query_id, neighbor_id,
+                      round(list_dot_product(qv, cv2)
+                            / (sqrt(list_dot_product(qv, qv)) * sqrt(list_dot_product(cv2, cv2))),
+                            6) AS cos_sim
+               FROM (SELECT * FROM ca WHERE rn = 1) c
+               JOIN (SELECT * FROM qa WHERE rn <= 8) USING (centroid_id)),
+    r AS (SELECT *, CAST(row_number() OVER (
+              PARTITION BY query_id ORDER BY cos_sim DESC, neighbor_id) AS INT) AS rank
+          FROM scored)
+    SELECT query_id, neighbor_id, rank, cos_sim FROM r WHERE rank <= 10
+    """,
+    oracle_setup=_ref_ivfk_setup,
+)
 def knn_ivf_kmeans_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """E4 scale path, production centroids: seeded KMeans-trained inverted
-    lists with multi-probe. Rows-only; recall ≥ 0.8 vs knn_bruteforce
-    pinned in tests — a materially higher bar than the deterministic-
-    sample variant's floor. nprobe=8 of 16 lists here because the test
-    embeddings are UNIFORM random (no cluster structure, so true cosine
-    neighbors scatter across lists — measured recall: 0.62 at nprobe=4,
-    0.88 at 8); real embedding corpora cluster and reach the same recall
-    probing far fewer lists. The cost model is the point: each query
-    scores nprobe/n_centroids of the corpus, tunable per workload."""
+    lists with multi-probe. Hash-checked since r6 via the registered
+    centroid-reference oracle (rows-only in the driver's vanilla gate);
+    recall ≥ 0.8 vs knn_bruteforce pinned in tests — a materially higher
+    bar than the deterministic-sample variant's floor. nprobe=8 of 16
+    lists here because the test embeddings are UNIFORM random (no cluster
+    structure, so true cosine neighbors scatter across lists — measured
+    recall: 0.62 at nprobe=4, 0.88 at 8); real embedding corpora cluster
+    and reach the same recall probing far fewer lists. The cost model is
+    the point: each query scores nprobe/n_centroids of the corpus,
+    tunable per workload."""
     from .operators.similarity import kmeans_centroids, knn_ivf
 
     emb = _t(spark, sf_dir, "embeddings")
@@ -4401,15 +4542,29 @@ def fuzzy_pair_edit(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pairs.orderBy("edit_dist", "doc_id_a", "doc_id_b").limit(20)
 
 
-@register("knn_pq", oracle=None)
+def _ref_pq_setup(con) -> None:
+    from .functions.ref_oracle import setup_knn_pq
+
+    setup_knn_pq(con)
+
+
+@register(
+    "knn_pq",
+    # Expected-result oracle: codebooks, codes, ADC shortlist, and exact
+    # re-rank re-run in numpy/Python with the engine's exact op order —
+    # functions/ref_oracle.py::_expected_pq_result.
+    oracle="SELECT * FROM ref_knn_pq",
+    oracle_setup=_ref_pq_setup,
+)
 def knn_pq_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """E4 memory-bound scale path: product-quantization ANN (asymmetric
     distance over seeded per-subspace codebooks) with the standard exact
-    rerank second stage over the ADC shortlist. Rows-only check:
-    quantized shortlists have no SQL oracle; recall vs knn_bruteforce is
-    pinned in tests. At 100 TB PQ is the variant that fits in memory —
-    m bytes per vector instead of 4·d — and the rerank touches only
-    O(queries × shortlist) full vectors."""
+    rerank second stage over the ADC shortlist. Hash-checked since r6 vs
+    an independent numpy reference (functions/ref_oracle.py) in
+    check_oracle; rows-only in the driver's vanilla gate; recall vs
+    knn_bruteforce stays pinned in tests. At 100 TB PQ is the variant
+    that fits in memory — m bytes per vector instead of 4·d — and the
+    rerank touches only O(queries × shortlist) full vectors."""
     from .operators.similarity import knn_pq
 
     emb = _t(spark, sf_dir, "embeddings")

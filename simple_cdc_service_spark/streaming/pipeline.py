@@ -1015,6 +1015,7 @@ def probe_corpus_sigs(
     family: str = "md5",
     shingled: DataFrame | None = None,
     banded: DataFrame | None = None,
+    sigs: DataFrame | None = None,
 ) -> DataFrame | None:
     """Candidate (doc_id_new, dup_of) pairs: the incoming batch is
     shingled + signed fresh (O(batch) map work) and joined on (band, bv)
@@ -1023,10 +1024,12 @@ def probe_corpus_sigs(
     broadcasts it onto the store scan: the store side (the 100 TB-scaled
     side, base included post-compaction) never shuffles — pinned in
     test_sinks.py against a compacted+vacuumed layout. Returns None when
-    no store exists yet (first batch)."""
+    no store exists yet (first batch). Pass ``sigs`` (e.g. the
+    _cached_store frame) to skip the per-batch disk read."""
     from ..operators.dedup import minhash_banded, shingle_docs
 
-    sigs = _read_sigs(spark, corpus_dir)
+    if sigs is None:
+        sigs = _read_sigs(spark, corpus_dir)
     if sigs is None:
         return None
     if banded is not None:
@@ -1045,6 +1048,138 @@ def probe_corpus_sigs(
     )
 
 
+# ---------------------------------------------------------------------------
+# Cross-batch store cache for admission: the committed signature store and
+# the corpus SHINGLE sets served from executor storage (localCheckpoint =
+# MEMORY_AND_DISK) instead of re-read + re-shingled from parquet every
+# micro-batch. Keyed by corpus_dir; survives stream restarts within a
+# SparkSession (the availableNow re-start harness included). Correctness
+# does not depend on it: the cache key is the exact committed layout
+# (base dir, delta ids, newest commit-marker mtime), so an external
+# compaction, a foreign writer, or a recreated directory all miss and
+# trigger a rebuild from disk — the cache can only ever serve frames
+# content-equal to _read_sigs / shingle_docs(read_corpus).
+# ---------------------------------------------------------------------------
+
+_STORE_CACHE: dict[str, dict] = {}
+
+
+def _store_layout_key(corpus_dir: str):
+    """(sigs base, committed delta ids, newest marker mtime) — changes on
+    every commit, compaction, vacuum, or directory recreation."""
+    base, through = _latest_base(corpus_dir, "sigs")
+    deltas = _committed_versions(corpus_dir, through, "sigs")
+    mtime = None
+    if deltas:
+        mtime = os.path.getmtime(
+            os.path.join(corpus_dir, "sigs", f"v{deltas[-1][0]}", "_SUCCESS")
+        )
+    elif base:
+        mtime = os.path.getmtime(os.path.join(base, "_THROUGH"))
+    return base, tuple(i for i, _ in deltas), mtime
+
+
+def _cached_store(spark: SparkSession, corpus_dir: str, n: int):
+    """(sigs, shingles) DataFrames equal to the committed store, or
+    (None, None) when no store exists. Frames are unions of
+    lazily-localCheckpointed legs — first use scans parquet once, later
+    batches read executor storage. The shingle side re-derives
+    shingle_docs over each docs leg exactly once per leg, which is what
+    fuses probe+verify: the verify join hits stored shingle sets instead
+    of re-reading + re-shingling matched corpus text every batch.
+
+    Memory honesty at 100 TB: legs spill to executor disk
+    (MEMORY_AND_DISK); a deployment whose store exceeds cluster storage
+    runs with cache_store=False and keeps the plain parquet probe —
+    the cache is an optimization, never a correctness dependency."""
+    from ..operators.dedup import shingle_docs
+
+    key = _store_layout_key(corpus_dir)
+    base, ids, _ = key
+    if base is None and not ids:
+        return None, None
+    ent = _STORE_CACHE.get(corpus_dir)
+    if ent is not None and ent["key"] == key:
+        return ent["sigs"], ent["sh"]
+    if (
+        ent is not None
+        and ent["key"][0] == base
+        and set(ent["key"][1]) <= set(ids)
+        and ent["key"][2] is not None
+    ):
+        # commits landed since the cache entry (normally our own appends
+        # already covered them; this path heals a miss) — top up the legs
+        have = set(ent["key"][1])
+        sig_legs, sh_legs = list(ent["sig_legs"]), list(ent["sh_legs"])
+        new = [i for i in ids if i not in have]
+    else:
+        sig_legs, sh_legs = [], []
+        new = list(ids)
+        if base:
+            sig_legs.append(spark.read.parquet(base).localCheckpoint(eager=False))
+            doc_base, _ = _latest_base(corpus_dir, "docs")
+            if doc_base:
+                sh_legs.append(
+                    shingle_docs(spark.read.parquet(doc_base), n).localCheckpoint(
+                        eager=False
+                    )
+                )
+    for i in new:
+        sig_legs.append(
+            spark.read.parquet(
+                os.path.join(corpus_dir, "sigs", f"v{i}")
+            ).localCheckpoint(eager=False)
+        )
+        sh_legs.append(
+            shingle_docs(
+                spark.read.parquet(os.path.join(corpus_dir, "docs", f"v{i}")), n
+            ).localCheckpoint(eager=False)
+        )
+    return _store_cache_put(corpus_dir, key, sig_legs, sh_legs)
+
+
+def _store_cache_put(corpus_dir: str, key, sig_legs, sh_legs):
+    """Store legs under ``key``; collapse to one leg per side past 24
+    (bounds both the union plan width and the per-leg storage entries;
+    the collapse itself is one O(store) job every ~24 commits)."""
+    from functools import reduce
+
+    from pyspark.sql import DataFrame as _DF
+
+    if len(sig_legs) > 24:
+        sig_legs = [
+            reduce(_DF.unionByName, sig_legs).localCheckpoint(eager=True)
+        ]
+        sh_legs = [reduce(_DF.unionByName, sh_legs).localCheckpoint(eager=True)]
+    sigs = reduce(_DF.unionByName, sig_legs)
+    sh = reduce(_DF.unionByName, sh_legs)
+    _STORE_CACHE[corpus_dir] = {
+        "key": key, "sigs": sigs, "sh": sh,
+        "sig_legs": sig_legs, "sh_legs": sh_legs,
+    }
+    return sigs, sh
+
+
+def _store_cache_append(corpus_dir: str, batch_id: int, sig_leg, sh_leg) -> None:
+    """After a batch commits, extend the cache with the batch's own
+    in-memory admitted frames (no disk round-trip). No-op when the cache
+    entry is stale/absent — the next _cached_store syncs from disk."""
+    ent = _STORE_CACHE.get(corpus_dir)
+    if ent is None:
+        return
+    base, ids, _ = ent["key"]
+    marker = os.path.join(corpus_dir, "sigs", f"v{batch_id}", "_SUCCESS")
+    if not os.path.exists(marker):
+        return
+    key = (base, ids + (batch_id,), os.path.getmtime(marker))
+    _store_cache_put(
+        corpus_dir,
+        key,
+        list(ent["sig_legs"]) + [sig_leg.localCheckpoint(eager=False)],
+        list(ent["sh_legs"]) + [sh_leg.localCheckpoint(eager=False)],
+    )
+
+
 def start_corpus_dedup_admission(
     stream: DataFrame,
     corpus_dir: str,
@@ -1056,6 +1191,7 @@ def start_corpus_dedup_admission(
     trigger_available_now: bool = True,
     family: str = "md5",
     quality_filter=None,
+    cache_store: bool = True,
 ):
     """Streaming corpus admission with incremental near-dup gating.
 
@@ -1102,7 +1238,15 @@ def start_corpus_dedup_admission(
     for shingling, never enter the signature store, and never suppress a
     later GOOD near-duplicate (a rejected doc must not become a cluster
     representative). operators/text.filter_quality is the stock
-    Gopher/C4 gate; any batch-safe transform fits."""
+    Gopher/C4 gate; any batch-safe transform fits.
+
+    ``cache_store`` serves the committed signature store and corpus
+    shingle sets from executor storage across batches (and across
+    availableNow restarts in the same session) instead of re-reading +
+    re-shingling parquet every batch — see _cached_store for the
+    layout-keyed invalidation contract. Set False when the store
+    exceeds cluster storage; results are identical either way (pinned
+    in tests)."""
     from ..operators.dedup import (
         dup_cluster_losers_capped,
         jaccard_verify_pairs,
@@ -1148,20 +1292,31 @@ def start_corpus_dedup_admission(
         banded_live = banded.join(losers, "doc_id", "left_anti")
         # 2. cross-batch probe against the accumulated store; probe,
         # verify, and the admission anti-join stay one fused lazy plan
-        # materialized by the pre-write checkpoint below
+        # materialized by the pre-write checkpoint below. With
+        # cache_store the store's signatures AND shingle sets come from
+        # executor storage (_cached_store) — the probe skips the per-
+        # batch parquet scan and the verify joins STORED shingles
+        # instead of re-reading + re-shingling matched corpus text
+        # (probe+verify fusion, NOTES r6).
+        store_sigs = store_sh = None
+        if cache_store:
+            store_sigs, store_sh = _cached_store(spark, corpus_dir, n)
         cand0 = probe_corpus_sigs(
-            spark, corpus_dir, docs, n, k, bands, family, banded=banded_live
+            spark, corpus_dir, docs, n, k, bands, family, banded=banded_live,
+            sigs=store_sigs,
         )
-        corpus = read_corpus(spark, corpus_dir)
-        if cand0 is not None and corpus is not None:
+        if cand0 is not None:
             cand = cand0.localCheckpoint(eager=False)
-            matched = corpus.join(
-                cand.select(F.col("dup_of").alias("doc_id")).distinct(),
-                "doc_id",
-                "left_semi",
-            )
+            matched_ids = cand.select(F.col("dup_of").alias("doc_id")).distinct()
+            if store_sh is not None:
+                sh_matched = store_sh.join(matched_ids, "doc_id", "left_semi")
+            else:
+                corpus = read_corpus(spark, corpus_dir)
+                sh_matched = shingle_docs(
+                    corpus.join(matched_ids, "doc_id", "left_semi"), n
+                )
             dupped = jaccard_verify_pairs(
-                sh_live, shingle_docs(matched, n), cand, threshold
+                sh_live, sh_matched, cand, threshold
             ).select(F.col("doc_id")).distinct()
             docs = docs.join(dupped, "doc_id", "left_anti")
         docs = docs.localCheckpoint(eager=True)
@@ -1175,6 +1330,15 @@ def start_corpus_dedup_admission(
         banded.join(docs.select("doc_id"), "doc_id", "left_semi").write.mode(
             "overwrite"
         ).parquet(os.path.join(corpus_dir, "sigs", f"v{batch_id}"))
+        if cache_store:
+            # extend the cache with this batch's own in-memory admitted
+            # frames — the next batch probes them without a disk read
+            _store_cache_append(
+                corpus_dir,
+                batch_id,
+                banded.join(docs.select("doc_id"), "doc_id", "left_semi"),
+                sh.join(docs.select("doc_id"), "doc_id", "left_semi"),
+            )
 
     writer = stream.writeStream.foreachBatch(handle).option(
         "checkpointLocation", checkpoint

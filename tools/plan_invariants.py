@@ -147,9 +147,15 @@ _GLOBAL_AGG = re.compile(r"keys?=\[\]")  # HashAggregate keys=[] / SortAggregate
 
 def _tiny_evidence(side: list[str]) -> bool:
     """True if a subtree is provably small: a global (key(s)=[]) aggregate,
-    a TakeOrdered/Limit, or driver-built LocalTableScan data with no
-    distributed FileScan feeding it."""
-    if any(_GLOBAL_AGG.search(s) or "TakeOrderedAndProject" in s or "Limit" in s
+    a TakeOrdered/GLOBAL limit, or driver-built LocalTableScan data with no
+    distributed FileScan feeding it.
+
+    Only GlobalLimit/CollectLimit count as limit evidence — a LocalLimit
+    bounds each PARTITION, so an unbounded frame with a per-partition
+    limit is not small and must not be excused from the BNLJ/Cartesian
+    rules."""
+    if any(_GLOBAL_AGG.search(s) or "TakeOrderedAndProject" in s
+           or "GlobalLimit" in s or "CollectLimit" in s
            for s in side):
         return True
     # driver-built data (createDataFrame / parallelize of a collected k-row
