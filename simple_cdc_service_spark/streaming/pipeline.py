@@ -1049,16 +1049,16 @@ def probe_corpus_sigs(
 
 
 # ---------------------------------------------------------------------------
-# Cross-batch store cache for admission: the committed signature store and
-# the corpus SHINGLE sets served from executor storage (localCheckpoint =
-# MEMORY_AND_DISK) instead of re-read + re-shingled from parquet every
-# micro-batch. Keyed by corpus_dir; survives stream restarts within a
-# SparkSession (the availableNow re-start harness included). Correctness
-# does not depend on it: the cache key is the exact committed layout
-# (base dir, delta ids, newest commit-marker mtime), so an external
-# compaction, a foreign writer, or a recreated directory all miss and
-# trigger a rebuild from disk — the cache can only ever serve frames
-# content-equal to _read_sigs / shingle_docs(read_corpus).
+# Cross-batch store cache for admission (OPT-IN, see cache_store): the
+# committed signature store and corpus docs served from executor storage
+# (localCheckpoint = MEMORY_AND_DISK) instead of re-read from parquet
+# every micro-batch. Keyed by corpus_dir; survives stream restarts within
+# a SparkSession (the availableNow re-start harness included).
+# Correctness does not depend on it: the cache key is the exact committed
+# layout (base dir, delta ids, newest commit-marker mtime), so an
+# external compaction, a foreign writer, or a recreated directory all
+# miss and trigger a rebuild from disk — the cache can only ever serve
+# frames content-equal to _read_sigs / read_corpus.
 # ---------------------------------------------------------------------------
 
 _STORE_CACHE: dict[str, dict] = {}
@@ -1079,28 +1079,28 @@ def _store_layout_key(corpus_dir: str):
     return base, tuple(i for i, _ in deltas), mtime
 
 
-def _cached_store(spark: SparkSession, corpus_dir: str, n: int):
-    """(sigs, shingles) DataFrames equal to the committed store, or
+def _cached_store(spark: SparkSession, corpus_dir: str):
+    """(sigs, docs) DataFrames equal to the committed store, or
     (None, None) when no store exists. Frames are unions of
     lazily-localCheckpointed legs — first use scans parquet once, later
-    batches read executor storage. The shingle side re-derives
-    shingle_docs over each docs leg exactly once per leg, which is what
-    fuses probe+verify: the verify join hits stored shingle sets instead
-    of re-reading + re-shingling matched corpus text every batch.
+    batches read executor storage. The docs side caches TEXT, not
+    shingle sets: verify shingles only the candidate-MATCHED rows each
+    batch (bounded by collisions), so caching full-corpus shingle
+    arrays would cost strictly more compute+memory than it saves —
+    measured, NOTES r6; the win is eliminating the per-batch parquet
+    scans of both sides.
 
     Memory honesty at 100 TB: legs spill to executor disk
     (MEMORY_AND_DISK); a deployment whose store exceeds cluster storage
     runs with cache_store=False and keeps the plain parquet probe —
     the cache is an optimization, never a correctness dependency."""
-    from ..operators.dedup import shingle_docs
-
     key = _store_layout_key(corpus_dir)
     base, ids, _ = key
     if base is None and not ids:
         return None, None
     ent = _STORE_CACHE.get(corpus_dir)
     if ent is not None and ent["key"] == key:
-        return ent["sigs"], ent["sh"]
+        return ent["sigs"], ent["docs"]
     if (
         ent is not None
         and ent["key"][0] == base
@@ -1110,19 +1110,17 @@ def _cached_store(spark: SparkSession, corpus_dir: str, n: int):
         # commits landed since the cache entry (normally our own appends
         # already covered them; this path heals a miss) — top up the legs
         have = set(ent["key"][1])
-        sig_legs, sh_legs = list(ent["sig_legs"]), list(ent["sh_legs"])
+        sig_legs, doc_legs = list(ent["sig_legs"]), list(ent["doc_legs"])
         new = [i for i in ids if i not in have]
     else:
-        sig_legs, sh_legs = [], []
+        sig_legs, doc_legs = [], []
         new = list(ids)
         if base:
             sig_legs.append(spark.read.parquet(base).localCheckpoint(eager=False))
             doc_base, _ = _latest_base(corpus_dir, "docs")
             if doc_base:
-                sh_legs.append(
-                    shingle_docs(spark.read.parquet(doc_base), n).localCheckpoint(
-                        eager=False
-                    )
+                doc_legs.append(
+                    spark.read.parquet(doc_base).localCheckpoint(eager=False)
                 )
     for i in new:
         sig_legs.append(
@@ -1130,15 +1128,15 @@ def _cached_store(spark: SparkSession, corpus_dir: str, n: int):
                 os.path.join(corpus_dir, "sigs", f"v{i}")
             ).localCheckpoint(eager=False)
         )
-        sh_legs.append(
-            shingle_docs(
-                spark.read.parquet(os.path.join(corpus_dir, "docs", f"v{i}")), n
+        doc_legs.append(
+            spark.read.parquet(
+                os.path.join(corpus_dir, "docs", f"v{i}")
             ).localCheckpoint(eager=False)
         )
-    return _store_cache_put(corpus_dir, key, sig_legs, sh_legs)
+    return _store_cache_put(corpus_dir, key, sig_legs, doc_legs)
 
 
-def _store_cache_put(corpus_dir: str, key, sig_legs, sh_legs):
+def _store_cache_put(corpus_dir: str, key, sig_legs, doc_legs):
     """Store legs under ``key``; collapse to one leg per side past 24
     (bounds both the union plan width and the per-leg storage entries;
     the collapse itself is one O(store) job every ~24 commits)."""
@@ -1150,17 +1148,17 @@ def _store_cache_put(corpus_dir: str, key, sig_legs, sh_legs):
         sig_legs = [
             reduce(_DF.unionByName, sig_legs).localCheckpoint(eager=True)
         ]
-        sh_legs = [reduce(_DF.unionByName, sh_legs).localCheckpoint(eager=True)]
+        doc_legs = [reduce(_DF.unionByName, doc_legs).localCheckpoint(eager=True)]
     sigs = reduce(_DF.unionByName, sig_legs)
-    sh = reduce(_DF.unionByName, sh_legs)
+    docs = reduce(_DF.unionByName, doc_legs)
     _STORE_CACHE[corpus_dir] = {
-        "key": key, "sigs": sigs, "sh": sh,
-        "sig_legs": sig_legs, "sh_legs": sh_legs,
+        "key": key, "sigs": sigs, "docs": docs,
+        "sig_legs": sig_legs, "doc_legs": doc_legs,
     }
-    return sigs, sh
+    return sigs, docs
 
 
-def _store_cache_append(corpus_dir: str, batch_id: int, sig_leg, sh_leg) -> None:
+def _store_cache_append(corpus_dir: str, batch_id: int, sig_leg, doc_leg) -> None:
     """After a batch commits, extend the cache with the batch's own
     in-memory admitted frames (no disk round-trip). No-op when the cache
     entry is stale/absent — the next _cached_store syncs from disk."""
@@ -1176,7 +1174,7 @@ def _store_cache_append(corpus_dir: str, batch_id: int, sig_leg, sh_leg) -> None
         corpus_dir,
         key,
         list(ent["sig_legs"]) + [sig_leg.localCheckpoint(eager=False)],
-        list(ent["sh_legs"]) + [sh_leg.localCheckpoint(eager=False)],
+        list(ent["doc_legs"]) + [doc_leg.localCheckpoint(eager=False)],
     )
 
 
@@ -1191,7 +1189,7 @@ def start_corpus_dedup_admission(
     trigger_available_now: bool = True,
     family: str = "md5",
     quality_filter=None,
-    cache_store: bool = True,
+    cache_store: bool = False,
 ):
     """Streaming corpus admission with incremental near-dup gating.
 
@@ -1241,12 +1239,17 @@ def start_corpus_dedup_admission(
     Gopher/C4 gate; any batch-safe transform fits.
 
     ``cache_store`` serves the committed signature store and corpus
-    shingle sets from executor storage across batches (and across
-    availableNow restarts in the same session) instead of re-reading +
-    re-shingling parquet every batch — see _cached_store for the
-    layout-keyed invalidation contract. Set False when the store
-    exceeds cluster storage; results are identical either way (pinned
-    in tests)."""
+    docs from executor storage across batches (and across availableNow
+    restarts in the same session) instead of re-reading parquet every
+    batch — see _cached_store for the layout-keyed invalidation
+    contract. Default OFF by measurement: on local disk the OS page
+    cache absorbs the re-read, and the cache's per-batch leg
+    materializations measured 8-15% SLOWER at both 1× and 10× batch
+    sizes (A/B in NOTES r6) — the steady-state floor is the fixed
+    per-batch job count, not store I/O. Turn ON only when the store
+    lives on genuinely slow/remote storage (object store with
+    per-request latency) AND fits cluster storage memory; results are
+    identical either way (pinned in tests)."""
     from ..operators.dedup import (
         dup_cluster_losers_capped,
         jaccard_verify_pairs,
@@ -1293,14 +1296,14 @@ def start_corpus_dedup_admission(
         # 2. cross-batch probe against the accumulated store; probe,
         # verify, and the admission anti-join stay one fused lazy plan
         # materialized by the pre-write checkpoint below. With
-        # cache_store the store's signatures AND shingle sets come from
-        # executor storage (_cached_store) — the probe skips the per-
-        # batch parquet scan and the verify joins STORED shingles
-        # instead of re-reading + re-shingling matched corpus text
-        # (probe+verify fusion, NOTES r6).
-        store_sigs = store_sh = None
+        # cache_store both store sides come from executor storage
+        # (_cached_store) — the probe and the matched-docs verify read
+        # skip their per-batch parquet scans; shingling still runs only
+        # over candidate-MATCHED corpus rows (caching full-corpus
+        # shingle sets measured strictly worse, NOTES r6).
+        store_sigs = store_docs = None
         if cache_store:
-            store_sigs, store_sh = _cached_store(spark, corpus_dir, n)
+            store_sigs, store_docs = _cached_store(spark, corpus_dir)
         cand0 = probe_corpus_sigs(
             spark, corpus_dir, docs, n, k, bands, family, banded=banded_live,
             sigs=store_sigs,
@@ -1308,13 +1311,14 @@ def start_corpus_dedup_admission(
         if cand0 is not None:
             cand = cand0.localCheckpoint(eager=False)
             matched_ids = cand.select(F.col("dup_of").alias("doc_id")).distinct()
-            if store_sh is not None:
-                sh_matched = store_sh.join(matched_ids, "doc_id", "left_semi")
-            else:
-                corpus = read_corpus(spark, corpus_dir)
-                sh_matched = shingle_docs(
-                    corpus.join(matched_ids, "doc_id", "left_semi"), n
-                )
+            corpus = (
+                store_docs
+                if store_docs is not None
+                else read_corpus(spark, corpus_dir)
+            )
+            sh_matched = shingle_docs(
+                corpus.join(matched_ids, "doc_id", "left_semi"), n
+            )
             dupped = jaccard_verify_pairs(
                 sh_live, sh_matched, cand, threshold
             ).select(F.col("doc_id")).distinct()
@@ -1337,7 +1341,7 @@ def start_corpus_dedup_admission(
                 corpus_dir,
                 batch_id,
                 banded.join(docs.select("doc_id"), "doc_id", "left_semi"),
-                sh.join(docs.select("doc_id"), "doc_id", "left_semi"),
+                docs,
             )
 
     writer = stream.writeStream.foreachBatch(handle).option(
