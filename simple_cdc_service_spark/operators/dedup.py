@@ -160,28 +160,34 @@ def bucket_pairs(
     BOTH sides) and one shuffle keyed on (band, band-value). Hot buckets
     (near-identical corpus slices) are the skew risk — their pair count
     is quadratic in bucket size, which is the inherent LSH cost, not a
-    join artifact."""
+    join artifact.
+
+    TWO-STAGE explode: first one row per (bucket, left index i) — each
+    carrying the O(n) ids array — then the i-th row emits only its
+    (n-1-i) partners. Peak per-row memory is O(bucket), never
+    O(bucket²): the single-stage form (flatten over all i×j structs)
+    materialized the whole quadratic pair array inside ONE row and
+    OOMed the executor on a ~10k-member template-family bucket at sf1
+    (NOTES r6) — the pair COUNT is inherent to LSH, but it must stream
+    through the generator, not sit in an array."""
     buckets = (
         banded.groupBy(band_col, bv_col)
         .agg(F.array_sort(F.collect_list(F.col(id_col))).alias("ids"))
         .filter((F.size("ids") > 1) & F.col(bv_col).isNotNull())
     )
     n = F.size(F.col("ids"))
-    pairs = F.flatten(
-        F.transform(
-            F.sequence(F.lit(0), n - 2),
-            lambda i: F.transform(
-                F.sequence(i + 1, n - 1),
-                lambda j: F.struct(
-                    F.element_at(F.col("ids"), (i + 1).cast("int")).alias(a_col),
-                    F.element_at(F.col("ids"), (j + 1).cast("int")).alias(b_col),
-                ),
-            ),
-        )
+    lefts = buckets.select(
+        "ids", F.explode(F.sequence(F.lit(0), n - 2)).alias("i")
+    )
+    partners = F.transform(
+        F.sequence(F.col("i") + 1, F.size("ids") - 1),
+        lambda j: F.element_at(F.col("ids"), (j + 1).cast("int")),
     )
     return (
-        buckets.select(F.explode(pairs).alias("p"))
-        .select(F.col(f"p.{a_col}"), F.col(f"p.{b_col}"))
+        lefts.select(
+            F.element_at(F.col("ids"), (F.col("i") + 1).cast("int")).alias(a_col),
+            F.explode(partners).alias(b_col),
+        )
         .distinct()
     )
 
@@ -406,10 +412,21 @@ def ngram_jaccard_pairs(
     metadata block (which for a skewed corpus — one dominant source — is
     the whole corpus). A metadata ``block_col`` remains useful when the
     domain GUARANTEES duplicates never cross blocks and blocks are
-    uniformly small; it is the oracle-replicable mode."""
+    uniformly small; it is the oracle-replicable mode.
+
+    Banding is k=32 / 4 bands of r=8 — THRESHOLD-APPROPRIATE for 0.95:
+    P(candidate | j) = 1-(1-j^8)^4 ≈ 0.99 at j=0.95 but 0.015 at j=0.5.
+    The earlier r=2 banding (P=0.83 at j=0.5!) made band values collide
+    corpus-wide over a vocabulary-limited corpus: the max bucket held
+    ~6.6% of docs at EVERY scale (330 → 3,185 → 31,850 docs at
+    sf0.01/0.1/1), i.e. candidates grew QUADRATICALLY with the corpus
+    (215k → 21M → 2.1B pairs) — measured, NOTES r6. r=8 buckets only
+    genuinely-similar docs, so the quadratic term tracks true duplicate
+    families. The r=2 setting remains correct for dedup_minhash's 0.6
+    threshold over 3-gram shingles (a far bigger shingle space)."""
     if block_col is None:
         return minhash_dedup_pairs(
-            df, n=1, k=8, bands=4, threshold=threshold, text_col=text_col, id_col=id_col
+            df, n=1, k=32, bands=4, threshold=threshold, text_col=text_col, id_col=id_col
         )
     w = df.select(
         F.col(id_col),

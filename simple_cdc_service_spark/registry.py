@@ -70,6 +70,22 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return load_table(spark, name, sf_dir)
 
 
+def _dsum(col: Column, scale: int) -> Column:
+    """Cross-engine-exact rounded money sum. The inputs are exact
+    multiples of 10^-scale (2dp prices × 2dp rates …), so the per-row
+    DECIMAL(18, scale) cast recovers the exact decimal value; DECIMAL
+    accumulation is associative — no shuffle-order last-ulp wobble — and
+    the half-up round to cents is exact decimal arithmetic on BOTH
+    engines. A double sum instead rounds a ±1-ulp-noisy value that sits
+    ON the .005 boundary one group in ten (exact-cents group sums end in
+    half a cent with p=0.1), which is the cross-engine coin-flip the sf1
+    sweep caught in q5 (NOTES r6). Oracle twin:
+    CAST(round(sum(CAST(expr AS DECIMAL(18,scale))), 2) AS DOUBLE).
+    Spark widens the accumulator to DECIMAL(28, scale) — 10^24 capacity,
+    comfortably beyond any 100 TB group sum."""
+    return F.round(F.sum(col.cast(f"decimal(18,{scale})")), 2).cast("double")
+
+
 # ===========================================================================
 # CDC queries [REF] — the reference's core computation over a changelog
 # deterministically derived from the driver's `events` table
@@ -247,12 +263,12 @@ def topk_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT l_returnflag, l_linestatus,
            round(sum(l_quantity), 2)                                      AS sum_qty,
-           round(sum(l_extendedprice), 2)                                 AS sum_base_price,
-           round(sum(l_extendedprice * (1 - l_discount)), 2)              AS sum_disc_price,
-           round(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2) AS sum_charge,
+           CAST(round(sum(CAST(l_extendedprice AS DECIMAL(18,2))), 2) AS DOUBLE) AS sum_base_price,
+           CAST(round(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))), 2) AS DOUBLE) AS sum_disc_price,
+           CAST(round(sum(CAST(l_extendedprice * (1 - l_discount) * (1 + l_tax) AS DECIMAL(18,6))), 2) AS DOUBLE) AS sum_charge,
            round(avg(l_quantity), 2)                                      AS avg_qty,
-           round(avg(l_extendedprice), 2)                                 AS avg_price,
-           round(avg(l_discount), 2)                                      AS avg_disc,
+           round(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) / count(*), 2) AS avg_price,
+           round(CAST(sum(CAST(l_discount AS DECIMAL(18,2))) AS DOUBLE) / count(*), 2)      AS avg_disc,
            count(*)                                                       AS count_order
     FROM lineitem
     WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
@@ -266,7 +282,14 @@ def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     rows — the plan that must survive 100 TB unchanged).
 
     Date columns are TIMESTAMP_NTZ (parquet micros, not UTC-adjusted);
-    comparisons use NTZ literals so no session-timezone cast sneaks in."""
+    comparisons use NTZ literals so no session-timezone cast sneaks in.
+
+    Money sums/avgs accumulate in DECIMAL (the _dsum pattern, q11 / NOTES
+    r6): per-row values are exact multiples of 10^-{2,4,6}, so the cast
+    recovers the exact decimal, decimal addition is associative across
+    shuffle orders, and the round-to-cents cannot sit on a noisy .005
+    boundary — the class of flake the sf1 sweep caught in q5. Quantity
+    is integral (doubles sum exactly); only the count divides the avg."""
     li = _t(spark, sf_dir, "lineitem")
     disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
     return (
@@ -274,12 +297,20 @@ def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("l_returnflag", "l_linestatus")
         .agg(
             F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
-            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
-            F.round(F.sum(disc_price), 2).alias("sum_disc_price"),
-            F.round(F.sum(disc_price * (1 + F.col("l_tax"))), 2).alias("sum_charge"),
+            _dsum(F.col("l_extendedprice"), 2).alias("sum_base_price"),
+            _dsum(disc_price, 4).alias("sum_disc_price"),
+            _dsum(disc_price * (1 + F.col("l_tax")), 6).alias("sum_charge"),
             F.round(F.avg("l_quantity"), 2).alias("avg_qty"),
-            F.round(F.avg("l_extendedprice"), 2).alias("avg_price"),
-            F.round(F.avg("l_discount"), 2).alias("avg_disc"),
+            F.round(
+                F.sum(F.col("l_extendedprice").cast("decimal(18,2)")).cast("double")
+                / F.count(F.lit(1)),
+                2,
+            ).alias("avg_price"),
+            F.round(
+                F.sum(F.col("l_discount").cast("decimal(18,2)")).cast("double")
+                / F.count(F.lit(1)),
+                2,
+            ).alias("avg_disc"),
             F.count("*").alias("count_order"),
         )
     )
@@ -289,7 +320,7 @@ def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q3_shipping_priority",
     oracle="""
     SELECT l.l_orderkey,
-           round(sum(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue,
+           CAST(round(sum(CAST(l.l_extendedprice * (1 - l.l_discount) AS DECIMAL(18,4))), 2) AS DOUBLE) AS revenue,
            strftime(o.o_orderdate, '%Y-%m-%d') AS o_orderdate_str
     FROM customer c
     JOIN orders o ON c.c_custkey = o.o_custkey
@@ -319,7 +350,7 @@ def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(l, F.col("l_orderkey") == F.col("o_orderkey"))
         .groupBy("l_orderkey", "o_orderdate")
         .agg(
-            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
+            _dsum(F.col("l_extendedprice") * (1 - F.col("l_discount")), 4).alias(
                 "revenue"
             )
         )
@@ -338,7 +369,7 @@ def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q5_region_revenue",
     oracle="""
     SELECT n.n_name,
-           round(sum(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue
+           CAST(round(sum(CAST(l.l_extendedprice * (1 - l.l_discount) AS DECIMAL(18,4))), 2) AS DOUBLE) AS revenue
     FROM region r
     JOIN nation n   ON n.n_regionkey = r.r_regionkey
     JOIN customer c ON c.c_nationkey = n.n_nationkey
@@ -378,7 +409,7 @@ def q5_region_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .groupBy("n_name")
         .agg(
-            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
+            _dsum(F.col("l_extendedprice") * (1 - F.col("l_discount")), 4).alias(
                 "revenue"
             )
         )
@@ -396,7 +427,7 @@ def q5_region_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT (epoch_ms(ts) // 3600000) * 3600000 AS win_start,
            event_type,
            count(*) AS n,
-           round(sum(value), 2) AS sum_value
+           CAST(round(sum(CAST(value AS DECIMAL(18,2))), 2) AS DOUBLE) AS sum_value
     FROM events GROUP BY 1, 2
     """,
     headline=True,
@@ -412,7 +443,7 @@ def window_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         _t(spark, sf_dir, "events")
         .groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
-        .agg(F.count("*").alias("n"), F.round(F.sum("value"), 2).alias("sum_value"))
+        .agg(F.count("*").alias("n"), _dsum(F.col("value"), 2).alias("sum_value"))
         .select(
             F.unix_millis(F.col("w.start")).alias("win_start"),
             "event_type",
@@ -428,7 +459,7 @@ def window_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT CAST((epoch_ms(ts) // 900000 - k) * 900000 AS BIGINT) AS win_start,
            event_type,
            count(*) AS n,
-           round(sum(value), 2) AS sum_value
+           CAST(round(sum(CAST(value AS DECIMAL(18,2))), 2) AS DOUBLE) AS sum_value
     FROM events CROSS JOIN (SELECT unnest(range(0, 4)) AS k)
     GROUP BY 1, 2
     """,
@@ -447,7 +478,7 @@ def window_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         _t(spark, sf_dir, "events")
         .groupBy(F.window("ts", "1 hour", "15 minutes").alias("w"), "event_type")
-        .agg(F.count("*").alias("n"), F.round(F.sum("value"), 2).alias("sum_value"))
+        .agg(F.count("*").alias("n"), _dsum(F.col("value"), 2).alias("sum_value"))
         .select(
             F.unix_millis(F.col("w.start")).alias("win_start"),
             "event_type",
@@ -550,7 +581,7 @@ def running_total(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT user_id, session_id,
            count(*) AS n_events,
-           round(sum(value), 2) AS sum_value,
+           CAST(round(sum(CAST(value AS DECIMAL(18,2))), 2) AS DOUBLE) AS sum_value,
            min(ts_ms) AS session_start,
            max(ts_ms) AS session_end
     FROM s GROUP BY user_id, session_id
@@ -579,7 +610,7 @@ def sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("user_id", "session_id")
         .agg(
             F.count("*").alias("n_events"),
-            F.round(F.sum("value"), 2).alias("sum_value"),
+            _dsum(F.col("value"), 2).alias("sum_value"),
             F.min("ts_ms").alias("session_start"),
             F.max("ts_ms").alias("session_end"),
         )
@@ -734,12 +765,14 @@ def dedup_exact_q(spark: SparkSession, sf_dir: str) -> DataFrame:
                    list_min(list_transform(h1, x -> substr(x, 17, 8))),
                    list_min(list_transform(h1, x -> substr(x, 25, 8)))] AS sig
            FROM hx),
-    banded AS (SELECT doc_id, unnest(range(0, 4)) AS band, sig FROM mh),
+    banded AS (SELECT doc_id, bnd.band,
+                      CASE WHEN sig[1] IS NULL THEN NULL
+                           ELSE sig[CAST(bnd.band*2+1 AS INT)] || '|'
+                                || sig[CAST(bnd.band*2+2 AS INT)] END AS bv
+               FROM mh, (SELECT unnest(range(0, 4)) AS band) bnd),
     cand AS (SELECT DISTINCT a.doc_id AS doc_id_a, b.doc_id AS doc_id_b
              FROM banded a JOIN banded b
-               ON a.band = b.band AND a.doc_id < b.doc_id
-              AND a.sig[CAST(a.band*2+1 AS INT)] = b.sig[CAST(b.band*2+1 AS INT)]
-              AND a.sig[CAST(a.band*2+2 AS INT)] = b.sig[CAST(b.band*2+2 AS INT)])
+               ON a.band = b.band AND a.bv = b.bv AND a.doc_id < b.doc_id)
     SELECT doc_id_a, doc_id_b,
            round(len(list_intersect(sa.shingles, sb.shingles)) * 1.0
                  / len(list_distinct(list_concat(sa.shingles, sb.shingles))), 4) AS jaccard
@@ -792,12 +825,14 @@ def _xx64_setup(con) -> None:
                    min(xx64(3, s)), min(xx64(4, s)), min(xx64(5, s)),
                    min(xx64(6, s)), min(xx64(7, s))] AS sig
            FROM u GROUP BY doc_id),
-    banded AS (SELECT doc_id, unnest(range(0, 4)) AS band, sig FROM mh),
+    banded AS (SELECT doc_id, bnd.band,
+                      CASE WHEN sig[1] IS NULL THEN NULL
+                           ELSE sig[CAST(bnd.band*2+1 AS INT)] || '|'
+                                || sig[CAST(bnd.band*2+2 AS INT)] END AS bv
+               FROM mh, (SELECT unnest(range(0, 4)) AS band) bnd),
     cand AS (SELECT DISTINCT a.doc_id AS doc_id_a, b.doc_id AS doc_id_b
              FROM banded a JOIN banded b
-               ON a.band = b.band AND a.doc_id < b.doc_id
-              AND a.sig[CAST(a.band*2+1 AS INT)] = b.sig[CAST(b.band*2+1 AS INT)]
-              AND a.sig[CAST(a.band*2+2 AS INT)] = b.sig[CAST(b.band*2+2 AS INT)])
+               ON a.band = b.band AND a.bv = b.bv AND a.doc_id < b.doc_id)
     SELECT doc_id_a, doc_id_b,
            round(len(list_intersect(sa.shingles, sb.shingles)) * 1.0
                  / len(list_distinct(list_concat(sa.shingles, sb.shingles))), 4) AS jaccard
@@ -853,13 +888,15 @@ def dedup_minhash_fast_q(spark: SparkSession, sf_dir: str) -> DataFrame:
                    list_min(list_transform(h1, x -> substr(x, 17, 8))),
                    list_min(list_transform(h1, x -> substr(x, 25, 8)))] AS sig
            FROM hx),
-    banded AS (SELECT doc_id, unnest(range(0, 4)) AS band, sig FROM mh),
+    banded AS (SELECT doc_id, bnd.band,
+                      CASE WHEN sig[1] IS NULL THEN NULL
+                           ELSE sig[CAST(bnd.band*2+1 AS INT)] || '|'
+                                || sig[CAST(bnd.band*2+2 AS INT)] END AS bv
+               FROM mh, (SELECT unnest(range(0, 4)) AS band) bnd),
     cand AS (SELECT DISTINCT i.doc_id AS doc_id, c.doc_id AS dup_of
              FROM banded i JOIN banded c
-               ON i.band = c.band
-              AND i.doc_id % 5 = 0 AND c.doc_id % 5 <> 0
-              AND i.sig[CAST(i.band*2+1 AS INT)] = c.sig[CAST(c.band*2+1 AS INT)]
-              AND i.sig[CAST(i.band*2+2 AS INT)] = c.sig[CAST(c.band*2+2 AS INT)])
+               ON i.band = c.band AND i.bv = c.bv
+              AND i.doc_id % 5 = 0 AND c.doc_id % 5 <> 0)
     SELECT cand.doc_id, cand.dup_of,
            round(len(list_intersect(sa.shingles, sb.shingles)) * 1.0
                  / len(list_distinct(list_concat(sa.shingles, sb.shingles))), 4) AS jaccard
@@ -939,31 +976,40 @@ def dedup_embedding_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "dedup_ngram_lsh",
     # Oracle replicates the n=1 (unigram-set) MinHash banding exactly —
-    # same md5 hash family as dedup_minhash, shingle = distinct word.
+    # same md5 hash family as dedup_minhash but k=32 / 4 bands of 8
+    # (threshold-appropriate for 0.95; see ngram_jaccard_pairs). Hash
+    # h_{4g+j}(s) = substr(md5(g || '|' || s), 8j+1, 8); band b's value
+    # concatenates sig[b*8+1 .. b*8+8].
     oracle="""
     WITH w AS (SELECT doc_id,
                       list_distinct(string_split(lower(text), ' ')) AS shingles
                FROM documents),
     hx AS (SELECT doc_id, shingles,
-                  list_transform(shingles, s -> md5('0|' || s)) AS h0,
-                  list_transform(shingles, s -> md5('1|' || s)) AS h1
+                  [list_transform(shingles, s -> md5('0|' || s)),
+                   list_transform(shingles, s -> md5('1|' || s)),
+                   list_transform(shingles, s -> md5('2|' || s)),
+                   list_transform(shingles, s -> md5('3|' || s)),
+                   list_transform(shingles, s -> md5('4|' || s)),
+                   list_transform(shingles, s -> md5('5|' || s)),
+                   list_transform(shingles, s -> md5('6|' || s)),
+                   list_transform(shingles, s -> md5('7|' || s))] AS hs
            FROM w),
     mh AS (SELECT doc_id,
-                  [list_min(list_transform(h0, x -> substr(x, 1, 8))),
-                   list_min(list_transform(h0, x -> substr(x, 9, 8))),
-                   list_min(list_transform(h0, x -> substr(x, 17, 8))),
-                   list_min(list_transform(h0, x -> substr(x, 25, 8))),
-                   list_min(list_transform(h1, x -> substr(x, 1, 8))),
-                   list_min(list_transform(h1, x -> substr(x, 9, 8))),
-                   list_min(list_transform(h1, x -> substr(x, 17, 8))),
-                   list_min(list_transform(h1, x -> substr(x, 25, 8)))] AS sig
+                  flatten(list_transform(hs, h ->
+                      [list_min(list_transform(h, x -> substr(x, 1, 8))),
+                       list_min(list_transform(h, x -> substr(x, 9, 8))),
+                       list_min(list_transform(h, x -> substr(x, 17, 8))),
+                       list_min(list_transform(h, x -> substr(x, 25, 8)))])) AS sig
            FROM hx),
-    banded AS (SELECT doc_id, unnest(range(0, 4)) AS band, sig FROM mh),
+    banded AS (SELECT doc_id, bnd.band,
+                      CASE WHEN sig[1] IS NULL THEN NULL
+                           ELSE list_aggregate(sig[CAST(bnd.band*8+1 AS INT)
+                                                   : CAST(bnd.band*8+8 AS INT)],
+                                               'string_agg', '|') END AS bv
+               FROM mh, (SELECT unnest(range(0, 4)) AS band) bnd),
     cand AS (SELECT DISTINCT a.doc_id AS doc_id_a, b.doc_id AS doc_id_b
              FROM banded a JOIN banded b
-               ON a.band = b.band AND a.doc_id < b.doc_id
-              AND a.sig[CAST(a.band*2+1 AS INT)] = b.sig[CAST(b.band*2+1 AS INT)]
-              AND a.sig[CAST(a.band*2+2 AS INT)] = b.sig[CAST(b.band*2+2 AS INT)])
+               ON a.band = b.band AND a.bv = b.bv AND a.doc_id < b.doc_id)
     SELECT doc_id_a, doc_id_b,
            round(len(list_intersect(sa.shingles, sb.shingles)) * 1.0
                  / len(list_distinct(list_concat(sa.shingles, sb.shingles))), 4) AS jaccard
@@ -979,7 +1025,9 @@ def dedup_ngram_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     the production path with NO metadata-column dependence: the quadratic
     term is bounded by the largest LSH bucket (genuinely similar docs),
     not by the largest metadata block, which a skewed corpus makes the
-    whole corpus. Same banding math as dedup_minhash at n=1."""
+    whole corpus. k=32 / 4 bands of 8 — the 0.95-threshold S-curve
+    (r=2 banding measured corpus-quadratic; see ngram_jaccard_pairs +
+    NOTES r6)."""
     from .operators.dedup import ngram_jaccard_pairs
 
     return ngram_jaccard_pairs(
@@ -1408,7 +1456,7 @@ def set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
     "rollup_revenue",
     oracle="""
     SELECT l_returnflag, l_linestatus,
-           round(sum(l_extendedprice), 2) AS sum_base, count(*) AS n
+           CAST(round(sum(CAST(l_extendedprice AS DECIMAL(18,2))), 2) AS DOUBLE) AS sum_base, count(*) AS n
     FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
     """,
 )
@@ -1418,7 +1466,7 @@ def rollup_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         _t(spark, sf_dir, "lineitem")
         .rollup("l_returnflag", "l_linestatus")
-        .agg(F.round(F.sum("l_extendedprice"), 2).alias("sum_base"), F.count("*").alias("n"))
+        .agg(_dsum(F.col("l_extendedprice"), 2).alias("sum_base"), F.count("*").alias("n"))
     )
 
 
@@ -1683,7 +1731,7 @@ def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     "cube_revenue",
     oracle="""
     SELECT l_returnflag, l_linestatus,
-           round(sum(l_extendedprice), 2) AS sum_base, count(*) AS n
+           CAST(round(sum(CAST(l_extendedprice AS DECIMAL(18,2))), 2) AS DOUBLE) AS sum_base, count(*) AS n
     FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)
     """,
 )
@@ -1693,7 +1741,7 @@ def cube_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         _t(spark, sf_dir, "lineitem")
         .cube("l_returnflag", "l_linestatus")
-        .agg(F.round(F.sum("l_extendedprice"), 2).alias("sum_base"), F.count("*").alias("n"))
+        .agg(_dsum(F.col("l_extendedprice"), 2).alias("sum_base"), F.count("*").alias("n"))
     )
 
 
@@ -1795,7 +1843,7 @@ def json_extract_props(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "skew_salted_agg",
     oracle="""
-    SELECT event_type, count(*) AS n, round(sum(value), 2) AS sum_value
+    SELECT event_type, count(*) AS n, CAST(round(sum(CAST(value AS DECIMAL(18,2))), 2) AS DOUBLE) AS sum_value
     FROM events GROUP BY event_type
     """,
 )
@@ -2152,7 +2200,7 @@ def text_tokens_bpe(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "q6_forecast_revenue",
     oracle="""
-    SELECT round(sum(l_extendedprice * l_discount), 2) AS revenue
+    SELECT CAST(round(sum(CAST(l_extendedprice * l_discount AS DECIMAL(18,4))), 2) AS DOUBLE) AS revenue
     FROM lineitem
     WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
       AND l_shipdate <  TIMESTAMP '1997-01-01 00:00:00'
@@ -2174,7 +2222,7 @@ def q6_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
             & (F.col("l_discount") <= 0.07)
             & (F.col("l_quantity") < 24)
         )
-        .agg(F.round(F.sum(F.col("l_extendedprice") * F.col("l_discount")), 2).alias("revenue"))
+        .agg(_dsum(F.col("l_extendedprice") * F.col("l_discount"), 4).alias("revenue"))
     )
 
 
@@ -2271,7 +2319,7 @@ def lateral_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     "grouping_sets_revenue",
     oracle="""
     SELECT l_returnflag, l_linestatus,
-           round(sum(l_extendedprice), 2) AS sum_base,
+           CAST(round(sum(CAST(l_extendedprice AS DECIMAL(18,2))), 2) AS DOUBLE) AS sum_base,
            CAST(grouping(l_returnflag) * 2 + grouping(l_linestatus) AS BIGINT)
                AS grp_id
     FROM lineitem
@@ -2286,7 +2334,7 @@ def grouping_sets_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.sql(
         """
         SELECT l_returnflag, l_linestatus,
-               round(sum(l_extendedprice), 2) AS sum_base,
+               CAST(round(sum(CAST(l_extendedprice AS DECIMAL(18,2))), 2) AS DOUBLE) AS sum_base,
                CAST(grouping(l_returnflag) * 2 + grouping(l_linestatus) AS BIGINT)
                    AS grp_id
         FROM lineitem_v
@@ -2377,7 +2425,7 @@ def q4_order_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
            CAST(year(l.l_shipdate) AS BIGINT) AS l_year,
-           round(sum(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue
+           CAST(round(sum(CAST(l.l_extendedprice * (1 - l.l_discount) AS DECIMAL(18,4))), 2) AS DOUBLE) AS revenue
     FROM supplier s
     JOIN lineitem l ON s.s_suppkey = l.l_suppkey
     JOIN orders o   ON o.o_orderkey = l.l_orderkey
@@ -2417,7 +2465,7 @@ def q7_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .groupBy("supp_nation", "cust_nation", F.year("l_shipdate").cast("long").alias("l_year"))
         .agg(
-            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
+            _dsum(F.col("l_extendedprice") * (1 - F.col("l_discount")), 4).alias(
                 "revenue"
             )
         )
@@ -2444,8 +2492,9 @@ def q7_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
           AND o.o_orderdate <  TIMESTAMP '1998-01-01 00:00:00'
     )
     SELECT o_year,
-           round(sum(CASE WHEN supp_nation = 'NATION_3' THEN volume ELSE 0 END)
-                 / sum(volume), 4) AS mkt_share
+           round(CAST(sum(CAST(CASE WHEN supp_nation = 'NATION_3' THEN volume
+                                    ELSE 0 END AS DECIMAL(18,4))) AS DOUBLE)
+                 / CAST(sum(CAST(volume AS DECIMAL(18,4))) AS DOUBLE), 4) AS mkt_share
     FROM all_nations GROUP BY o_year
     """,
     headline=True,
@@ -2474,9 +2523,13 @@ def q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n_nationkey").alias("supp_nkey"), F.col("n_name").alias("supp_nation")
     )
     vol = F.col("l_extendedprice") * (1 - F.col("l_discount"))
-    share = F.sum(F.when(F.col("supp_nation") == "NATION_3", F.col("volume")).otherwise(0.0)) / F.sum(
-        "volume"
-    )
+    # both ratio legs sum in DECIMAL then cast to double (the _dsum
+    # pattern, unrounded): identical exact sums → identical ratio doubles
+    share = F.sum(
+        F.when(F.col("supp_nation") == "NATION_3", F.col("volume"))
+        .otherwise(0.0)
+        .cast("decimal(18,4)")
+    ).cast("double") / F.sum(F.col("volume").cast("decimal(18,4)")).cast("double")
     return (
         l.join(o, F.col("o_orderkey") == F.col("l_orderkey"))
         .join(p, F.col("p_partkey") == F.col("l_partkey"))
@@ -2499,7 +2552,7 @@ def q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT n.n_name AS nation,
            CAST(year(o.o_orderdate) AS BIGINT) AS o_year,
-           round(sum(l.l_extendedprice * (1 - l.l_discount)), 2) AS profit
+           CAST(round(sum(CAST(l.l_extendedprice * (1 - l.l_discount) AS DECIMAL(18,4))), 2) AS DOUBLE) AS profit
     FROM part p
     JOIN lineitem l ON l.l_partkey = p.p_partkey
     JOIN supplier s ON s.s_suppkey = l.l_suppkey
@@ -2534,7 +2587,7 @@ def q9_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(n), F.col("n_nationkey") == F.col("s_nationkey"))
         .groupBy("nation", F.year("o_orderdate").cast("long").alias("o_year"))
         .agg(
-            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
+            _dsum(F.col("l_extendedprice") * (1 - F.col("l_discount")), 4).alias(
                 "profit"
             )
         )
@@ -2545,7 +2598,7 @@ def q9_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q10_returned_items",
     oracle="""
     SELECT c.c_custkey, c.c_name, n.n_name,
-           round(sum(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue
+           CAST(round(sum(CAST(l.l_extendedprice * (1 - l.l_discount) AS DECIMAL(18,4))), 2) AS DOUBLE) AS revenue
     FROM customer c
     JOIN orders o   ON o.o_custkey = c.c_custkey
     JOIN lineitem l ON l.l_orderkey = o.o_orderkey
@@ -2577,7 +2630,7 @@ def q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(n), F.col("n_nationkey") == F.col("c_nationkey"))
         .groupBy("c_custkey", "c_name", "n_name")
         .agg(
-            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
+            _dsum(F.col("l_extendedprice") * (1 - F.col("l_discount")), 4).alias(
                 "revenue"
             )
         )
@@ -2589,10 +2642,11 @@ def q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "q14_promo_revenue",
     oracle="""
-    SELECT round(100.0 * sum(CASE WHEN p.p_type = 'PROMO'
+    SELECT round(100.0 * CAST(sum(CAST(CASE WHEN p.p_type = 'PROMO'
                                   THEN l.l_extendedprice * (1 - l.l_discount)
-                                  ELSE 0 END)
-                 / sum(l.l_extendedprice * (1 - l.l_discount)), 4) AS promo_pct
+                                  ELSE 0 END AS DECIMAL(18,4))) AS DOUBLE)
+                 / CAST(sum(CAST(l.l_extendedprice * (1 - l.l_discount)
+                                 AS DECIMAL(18,4))) AS DOUBLE), 4) AS promo_pct
     FROM lineitem l
     JOIN part p ON p.p_partkey = l.l_partkey
     WHERE l.l_shipdate >= TIMESTAMP '1996-03-01 00:00:00'
@@ -2613,7 +2667,14 @@ def q14_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     promo = F.when(F.col("p_type") == "PROMO", rev).otherwise(0.0)
     return (
         l.join(p, F.col("p_partkey") == F.col("l_partkey"))
-        .agg(F.round(100.0 * F.sum(promo) / F.sum(rev), 4).alias("promo_pct"))
+        .agg(
+            F.round(
+                100.0
+                * F.sum(promo.cast("decimal(18,4)")).cast("double")
+                / F.sum(rev.cast("decimal(18,4)")).cast("double"),
+                4,
+            ).alias("promo_pct")
+        )
     )
 
 
@@ -2650,7 +2711,7 @@ def q13_customer_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     WITH revenue AS (
         SELECT l_suppkey AS supplier_no,
-               round(sum(l_extendedprice * (1 - l_discount)), 2) AS total_revenue
+               CAST(round(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))), 2) AS DOUBLE) AS total_revenue
         FROM lineitem
         WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
           AND l_shipdate <  TIMESTAMP '1996-04-01 00:00:00'
@@ -2670,7 +2731,7 @@ def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
         & (F.col("l_shipdate") < F.lit("1996-04-01 00:00:00").cast("timestamp_ntz"))
     )
     rev = l.groupBy(F.col("l_suppkey").alias("supplier_no")).agg(
-        F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
+        _dsum(F.col("l_extendedprice") * (1 - F.col("l_discount")), 4).alias(
             "total_revenue"
         )
     )
@@ -2687,7 +2748,7 @@ def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "q17_small_quantity",
     oracle="""
-    SELECT round(sum(l.l_extendedprice) / 7.0, 2) AS avg_yearly
+    SELECT round(CAST(sum(CAST(l.l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) / 7.0, 2) AS avg_yearly
     FROM lineitem l
     JOIN part p ON p.p_partkey = l.l_partkey
     WHERE p.p_brand = 'Brand#1'
@@ -2715,7 +2776,7 @@ def q17_small_quantity(spark: SparkSession, sf_dir: str) -> DataFrame:
         l.join(p, F.col("p_partkey") == F.col("l_partkey"))
         .join(avg_q, F.col("avg_pk") == F.col("l_partkey"))
         .filter(F.col("l_quantity") < F.col("qty_cut"))
-        .agg(F.round(F.sum("l_extendedprice") / 7.0, 2).alias("avg_yearly"))
+        .agg(F.round(F.sum(F.col("l_extendedprice").cast("decimal(18,2)")).cast("double") / 7.0, 2).alias("avg_yearly"))
     )
 
 
@@ -2825,7 +2886,7 @@ def window_lead_lag(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "q19_disjunctive_filters",
     oracle="""
-    SELECT round(sum(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue
+    SELECT CAST(round(sum(CAST(l.l_extendedprice * (1 - l.l_discount) AS DECIMAL(18,4))), 2) AS DOUBLE) AS revenue
     FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
     WHERE (p.p_brand = 'Brand#1' AND p.p_size BETWEEN 1 AND 5
            AND l.l_quantity BETWEEN 1 AND 11)
@@ -2853,7 +2914,7 @@ def q19_disjunctive_filters(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         j.filter(b("Brand#1", 5, 1, 11) | b("Brand#2", 10, 10, 20) | b("Brand#3", 15, 20, 30))
         .agg(
-            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
+            _dsum(F.col("l_extendedprice") * (1 - F.col("l_discount")), 4).alias(
                 "revenue"
             )
         )
@@ -2864,7 +2925,7 @@ def q19_disjunctive_filters(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q22_idle_customers",
     oracle="""
     WITH avg_bal AS (SELECT avg(c_acctbal) AS a FROM customer WHERE c_acctbal > 0)
-    SELECT c.c_nationkey, count(*) AS numcust, round(sum(c.c_acctbal), 2) AS totacctbal
+    SELECT c.c_nationkey, count(*) AS numcust, CAST(round(sum(CAST(c.c_acctbal AS DECIMAL(18,2))), 2) AS DOUBLE) AS totacctbal
     FROM customer c CROSS JOIN avg_bal
     WHERE c.c_acctbal > avg_bal.a
       AND NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey
@@ -2893,7 +2954,7 @@ def q22_idle_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("c_nationkey")
         .agg(
             F.count("*").alias("numcust"),
-            F.round(F.sum("c_acctbal"), 2).alias("totacctbal"),
+            _dsum(F.col("c_acctbal"), 2).alias("totacctbal"),
         )
     )
 
