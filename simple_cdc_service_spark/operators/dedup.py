@@ -423,20 +423,170 @@ def ngram_jaccard_pairs(
     (215k → 21M → 2.1B pairs) — measured, NOTES r6. r=8 buckets only
     genuinely-similar docs, so the quadratic term tracks true duplicate
     families. The r=2 setting remains correct for dedup_minhash's 0.6
-    threshold over 3-gram shingles (a far bigger shingle space)."""
+    threshold over 3-gram shingles (a far bigger shingle space).
+
+    SCALE (the metadata-blocked mode): a corpus with few distinct blocks
+    hashes each whole block onto ONE reducer — at 10× bench scale (20
+    sources × 2.5k docs) that is ~62M O(|words|) jaccards on a handful
+    of straggler tasks (measured multi-hour hang, NOTES r6). Two
+    semantics-free fixes: (1) LENGTH-RATIO PRUNE — j(A,B) ≥ t implies
+    |A∩B| ≤ min(|A|,|B|) and |A∪B| ≥ max(|A|,|B|), hence min/max ≥ t,
+    so an O(1) size check in the join residual skips the O(|words|)
+    intersect for every length-dissimilar pair; (2) SALTED self-join —
+    the left side gets a deterministic xxhash64(id) % SALT key, the
+    right side is replicated SALT times, and the join key becomes
+    (block, salt): each block's quadratic pair enumeration spreads over
+    SALT tasks instead of one, for an O(SALT × corpus) replication cost
+    that stays linear in data. Every (a, b) pair still meets on exactly
+    one salt value, so the output is provably unchanged.
+
+    For HIGH thresholds (≥ 0.8) even the pruned enumeration verifies too
+    much — the length prune keeps ~18% of a uniform-length corpus and
+    each survivor pays an O(|words|) JVM set intersection (~150 µs
+    measured; 11.5M survivors at 10× bench scale ≈ a multi-minute tail).
+    There the EXACT prefix-filter path (``prefix_jaccard_pairs``, the
+    Bayardo/Chaudhuri all-pairs technique) replaces enumeration — it is
+    lossless for jaccard ≥ t, so the brute-force blocked oracle is
+    unchanged."""
     if block_col is None:
         return minhash_dedup_pairs(
             df, n=1, k=32, bands=4, threshold=threshold, text_col=text_col, id_col=id_col
         )
+    if threshold >= 0.8:
+        return prefix_jaccard_pairs(
+            df,
+            threshold=threshold,
+            block_col=block_col,
+            text_col=text_col,
+            id_col=id_col,
+        )
+    SALT = 32
     w = df.select(
         F.col(id_col),
         F.col(block_col).alias("blk"),
         F.array_distinct(words(F.col(text_col))).alias("ws"),
+    ).withColumn("nw", F.size("ws"))
+    a = w.select(
+        F.col(id_col).alias("doc_id_a"),
+        F.col("blk"),
+        F.col("ws").alias("ws_a"),
+        F.col("nw").alias("nw_a"),
+        F.pmod(F.xxhash64(F.col(id_col)), F.lit(SALT)).alias("salt_a"),
     )
-    a = w.select(F.col(id_col).alias("doc_id_a"), F.col("blk"), F.col("ws").alias("ws_a"))
-    b = w.select(F.col(id_col).alias("doc_id_b"), F.col("blk").alias("blk_b"), F.col("ws").alias("ws_b"))
+    b = w.select(
+        F.col(id_col).alias("doc_id_b"),
+        F.col("blk").alias("blk_b"),
+        F.col("ws").alias("ws_b"),
+        F.col("nw").alias("nw_b"),
+        F.explode(F.sequence(F.lit(0).cast("long"), F.lit(SALT - 1).cast("long"))).alias(
+            "salt_b"
+        ),
+    )
     return (
-        a.join(b, (F.col("blk") == F.col("blk_b")) & (F.col("doc_id_a") < F.col("doc_id_b")))
+        a.join(
+            b,
+            (F.col("blk") == F.col("blk_b"))
+            & (F.col("salt_a") == F.col("salt_b"))
+            & (F.col("doc_id_a") < F.col("doc_id_b"))
+            # length-ratio prune: implied by jaccard >= threshold, O(1)
+            # in the join residual, evaluated before the intersect
+            & (F.col("nw_a") >= F.col("nw_b") * threshold)
+            & (F.col("nw_b") >= F.col("nw_a") * threshold),
+        )
+        .select(
+            "doc_id_a",
+            "doc_id_b",
+            F.round(jaccard(F.col("ws_a"), F.col("ws_b")), 4).alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= threshold)
+    )
+
+
+def prefix_jaccard_pairs(
+    df: DataFrame,
+    threshold: float = 0.95,
+    block_col: str = "source",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """EXACT set-similarity self-join via prefix filtering (the all-pairs
+    technique of Bayardo et al., WWW'07 / PPJoin) — same result set as
+    the brute-force blocked jaccard join, near-linear cost at high
+    thresholds.
+
+    Order the vocabulary by ascending document frequency (ties by token
+    string). A doc's PREFIX is its first ``p = |X| - ceil(t·|X|) + 1``
+    tokens in that order. Lossless-candidate proof: if j(A,B) ≥ t then
+    o = |A∩B| ≥ ceil(t·max(|A|,|B|)); let x be the SMALLEST shared token
+    — every token of A ordered before x lies in A\\B, and
+    |A\\B| ≤ |A| - o ≤ |A| - ceil(t·|A|) = p_A - 1, so x sits within A's
+    prefix, and symmetrically within B's. Hence every qualifying pair
+    shares an indexed token, and indexing only prefixes is exact.
+
+    Cost shape: the inverted index holds ~(1-t)·|X|+1 tokens per doc
+    (11 of ~200 at t=0.95) and those are each doc's RAREST tokens, so
+    posting lists are short; candidate pairs ≈ true-duplicate families
+    + a thin fringe, and the O(|words|) jaccard verify runs only on
+    those — measured 62M → ~100k verifications at 10× bench scale.
+    Every stage is a hash shuffle on a high-cardinality key (token,
+    doc id) — no few-key reducer, no broadcast requirement (the
+    doc-frequency join is a plain equi-join Spark may broadcast when
+    small; at corpus scale it degrades gracefully to shuffle).
+
+    The ceil uses a 1e-9 guard: t·|X| computed in doubles can land one
+    ulp ABOVE an exact integer (0.95×180 → 171.000…002), which would
+    shorten the prefix and break the losslessness proof; subtracting the
+    guard only ever LENGTHENS the prefix (safe direction)."""
+    from pyspark.sql.window import Window
+
+    w = df.select(
+        F.col(id_col),
+        F.col(block_col).alias("blk"),
+        F.array_distinct(words(F.col(text_col))).alias("ws"),
+    ).withColumn("nw", F.size("ws"))
+    tok = w.select(id_col, "blk", "nw", F.explode("ws").alias("w"))
+    dfreq = tok.groupBy("w").agg(F.count("*").alias("df_"))
+    prefix_len = F.col("nw") - F.ceil(F.col("nw") * threshold - 1e-9) + 1
+    prefix = (
+        tok.join(dfreq, "w")
+        .withColumn(
+            "rn",
+            F.row_number().over(
+                Window.partitionBy(id_col).orderBy("df_", "w")
+            ),
+        )
+        .filter(F.col("rn") <= prefix_len)
+    )
+    pa = prefix.select(
+        F.col(id_col).alias("doc_id_a"),
+        "blk",
+        "w",
+        F.col("nw").alias("nw_a"),
+    )
+    pb = prefix.select(
+        F.col(id_col).alias("doc_id_b"),
+        F.col("blk").alias("blk_b"),
+        F.col("w").alias("w_b"),
+        F.col("nw").alias("nw_b"),
+    )
+    cand = (
+        pa.join(
+            pb,
+            (F.col("blk") == F.col("blk_b"))
+            & (F.col("w") == F.col("w_b"))
+            & (F.col("doc_id_a") < F.col("doc_id_b"))
+            # length-ratio prune: j >= t forces min/max set size >= t
+            & (F.col("nw_a") >= F.col("nw_b") * threshold)
+            & (F.col("nw_b") >= F.col("nw_a") * threshold),
+        )
+        .select("doc_id_a", "doc_id_b")
+        .distinct()
+    )
+    sa = w.select(F.col(id_col).alias("doc_id_a"), F.col("ws").alias("ws_a"))
+    sb = w.select(F.col(id_col).alias("doc_id_b"), F.col("ws").alias("ws_b"))
+    return (
+        cand.join(sa, "doc_id_a")
+        .join(sb, "doc_id_b")
         .select(
             "doc_id_a",
             "doc_id_b",

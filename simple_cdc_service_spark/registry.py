@@ -936,7 +936,10 @@ def dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
            round(len(list_intersect(a.ws, b.ws)) * 1.0
                  / len(list_distinct(list_concat(a.ws, b.ws))), 4) AS jaccard
     FROM w a JOIN w b ON a.source = b.source AND a.doc_id < b.doc_id
-    WHERE round(len(list_intersect(a.ws, b.ws)) * 1.0
+    -- length-ratio prune (implied by jaccard >= 0.95: min/max set size
+    -- must be >= the threshold) mirrors the engine's O(1) join residual
+    WHERE len(a.ws) >= 0.95 * len(b.ws) AND len(b.ws) >= 0.95 * len(a.ws)
+      AND round(len(list_intersect(a.ws, b.ws)) * 1.0
                 / len(list_distinct(list_concat(a.ws, b.ws))), 4) >= 0.95
     """,
 )

@@ -262,3 +262,81 @@ class TestCappedLosersGenericIds:
         out = dup_cluster_losers_capped(empty)
         assert out.count() == 0
         assert dict(out.dtypes) == {"doc_id": "string"}
+
+
+class TestPrefixJaccard:
+    """prefix_jaccard_pairs (Bayardo all-pairs prefix filter) must emit
+    the EXACT brute-force blocked-jaccard pair set — it is the t>=0.8
+    path of ngram_jaccard_pairs, whose few-key metadata blocks made the
+    enumerated join a single-reducer straggler at 10x bench scale."""
+
+    @pytest.fixture(scope="class")
+    def corpus(self, spark):
+        base = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+        rows = [
+            (1, "s1", base),
+            (2, "s1", base),                         # exact dup of 1
+            (3, "s1", base + " extra"),              # j = 10/11 = 0.909
+            (4, "s1", "totally different words here about nothing at all"),
+            (5, "s2", base),                         # same text, other block
+            (6, "s2", base),                         # dup of 5 within s2
+            (7, "s1", "alpha beta gamma"),           # short: length-pruned
+            (8, "s1", ""),                           # empty word set
+        ]
+        return spark.createDataFrame(rows, "doc_id long, source string, text string")
+
+    def _brute(self, spark, corpus, t):
+        from simple_cdc_service_spark.functions import jaccard, words
+
+        w = corpus.select(
+            "doc_id", F.col("source").alias("blk"),
+            F.array_distinct(words(F.col("text"))).alias("ws"),
+        )
+        a = w.select(F.col("doc_id").alias("doc_id_a"), "blk", F.col("ws").alias("wa"))
+        b = w.select(F.col("doc_id").alias("doc_id_b"), F.col("blk").alias("bb"), F.col("ws").alias("wb"))
+        return (
+            a.join(b, (F.col("blk") == F.col("bb")) & (F.col("doc_id_a") < F.col("doc_id_b")))
+            .select("doc_id_a", "doc_id_b",
+                    F.round(jaccard(F.col("wa"), F.col("wb")), 4).alias("jaccard"))
+            .filter(F.col("jaccard") >= t)
+        )
+
+    @pytest.mark.parametrize("t", [0.8, 0.9, 0.95])
+    def test_matches_bruteforce(self, spark, corpus, t):
+        from simple_cdc_service_spark.operators.dedup import prefix_jaccard_pairs
+
+        got = sorted(map(tuple, prefix_jaccard_pairs(corpus, threshold=t).collect()))
+        want = sorted(map(tuple, self._brute(spark, corpus, t).collect()))
+        assert got == want and len(got) > 0
+
+    def test_integral_t_times_n_boundary(self, spark):
+        """t*|X| exactly integral (0.9 x 10-word docs): the 1e-9 ceil
+        guard must keep the prefix long enough — a dropped prefix token
+        here silently loses the j=0.9 boundary pair."""
+        from simple_cdc_service_spark.operators.dedup import prefix_jaccard_pairs
+
+        # |A|=|B|=10, overlap 9 of union 10? Need j exactly 0.9: 9/10 —
+        # |A u B|=10 with |A n B|=9 requires |A|=10,|B|=9 (ratio 0.9, on
+        # the length-prune boundary too).
+        a = "w1 w2 w3 w4 w5 w6 w7 w8 w9 w10"
+        b = "w1 w2 w3 w4 w5 w6 w7 w8 w9"
+        df = spark.createDataFrame(
+            [(1, "s", a), (2, "s", b)], "doc_id long, source string, text string"
+        )
+        got = prefix_jaccard_pairs(df, threshold=0.9).collect()
+        assert [(r.doc_id_a, r.doc_id_b, r.jaccard) for r in got] == [(1, 2, 0.9)]
+
+    def test_registry_entry_uses_prefix_path(self, spark):
+        """ngram_jaccard_pairs at t=0.95 must route to the prefix filter
+        (no block-keyed quadratic join in the plan: the join keys are
+        (blk, token), not (blk, salt))."""
+        from simple_cdc_service_spark.operators.dedup import ngram_jaccard_pairs
+
+        df = spark.createDataFrame(
+            [(1, "s", "a b c d e"), (2, "s", "a b c d e")],
+            "doc_id long, source string, text string",
+        )
+        plan = ngram_jaccard_pairs(df, threshold=0.95)._jdf.queryExecution().toString()
+        assert "salt" not in plan
+        rows = ngram_jaccard_pairs(df, threshold=0.95).collect()
+        assert [(r.doc_id_a, r.doc_id_b) for r in rows] == [(1, 2)]
