@@ -31,6 +31,23 @@ def dot(a: Column, b: Column) -> Column:
     )
 
 
+def dot_unrolled(a: Column, b: Column, dim: int) -> Column:
+    """Dot product unrolled to ``dim`` explicit multiply-adds.
+
+    BIT-IDENTICAL to ``dot``: Python's left-assoc ``+`` builds
+    (((0+x₁)+x₂)+…) — the exact fold order of ``F.aggregate``'s
+    accumulator (and DuckDB's list_dot_product), so round()-compared
+    oracles can't diverge. ~10× faster in the pairwise hot path: the
+    higher-order-function form allocates a zipped array and interprets a
+    lambda per element per PAIR, while this is straight-line
+    whole-stage-codegen arithmetic on array reads. Use when the
+    dimension is known (probe one row); fall back to ``dot`` otherwise."""
+    acc: Column = F.lit(0.0)
+    for i in range(1, dim + 1):
+        acc = acc + F.element_at(a, i) * F.element_at(b, i)
+    return acc
+
+
 def norm(a: Column) -> Column:
     return F.sqrt(dot(a, a))
 

@@ -23,8 +23,10 @@ from pyspark.sql import functions as F
 from ..functions import (
     as_double_array,
     cosine,
+    dot,
     jaccard,
     minhash_signature,
+    norm,
     word_ngrams,
     words,
 )
@@ -685,20 +687,62 @@ def embedding_dup_pairs(
     """Embedding-cosine near-dup within metadata blocks — the oracle-
     replicable mode (DuckDB can reproduce the blocking exactly). The
     production path with no metadata dependence is
-    embedding_dup_pairs_lsh (random-hyperplane buckets)."""
+    embedding_dup_pairs_lsh (random-hyperplane buckets).
+
+    SCALE (NOTES r6): few distinct blocks → few join keys → one reducer
+    per block computing O(block²) cosines (20M pairs on ≤10 tasks at 10×
+    bench scale). Two semantics-free fixes, same family as
+    ``ngram_jaccard_pairs``: (1) NORM HOISTING — ‖v‖ is computed once
+    per ROW, not once per pair; cosine stays dot/(nₐ·n_b) on the same
+    doubles, so every rounded value is bit-identical to the per-pair
+    form (pre-NORMALIZING instead would change the float op order and
+    flip round(...,6) boundary values against the oracle); (2) SALTED
+    self-join on (block, xxhash64(id)%32) spreading each block's pair
+    enumeration over 32 tasks — every pair still meets exactly once;
+    (3) UNROLLED per-pair dot (``dot_unrolled``: same left-fold order,
+    straight-line codegen instead of a per-pair zip+lambda fold)."""
+    from ..functions import dot_unrolled
+
+    SALT = 32
+    probe = df.select(vec_col).first()
+    dim = len(probe[0]) if probe is not None and probe[0] is not None else None
+    pair_dot = (
+        (lambda x, y: dot_unrolled(x, y, dim)) if dim is not None else dot
+    )
     e = df.select(
         F.col(id_col),
         F.col(block_col).alias("blk"),
         as_double_array(F.col(vec_col)).alias("v"),
+    ).withColumn("nrm", norm(F.col("v")))
+    a = e.select(
+        F.col(id_col).alias("vec_id_a"),
+        F.col("blk"),
+        F.col("v").alias("va"),
+        F.col("nrm").alias("na"),
+        F.pmod(F.xxhash64(F.col(id_col)), F.lit(SALT)).alias("salt_a"),
     )
-    a = e.select(F.col(id_col).alias("vec_id_a"), F.col("blk"), F.col("v").alias("va"))
-    b = e.select(F.col(id_col).alias("vec_id_b"), F.col("blk").alias("blk_b"), F.col("v").alias("vb"))
+    b = e.select(
+        F.col(id_col).alias("vec_id_b"),
+        F.col("blk").alias("blk_b"),
+        F.col("v").alias("vb"),
+        F.col("nrm").alias("nb"),
+        F.explode(F.sequence(F.lit(0).cast("long"), F.lit(SALT - 1).cast("long"))).alias(
+            "salt_b"
+        ),
+    )
     return (
-        a.join(b, (F.col("blk") == F.col("blk_b")) & (F.col("vec_id_a") < F.col("vec_id_b")))
+        a.join(
+            b,
+            (F.col("blk") == F.col("blk_b"))
+            & (F.col("salt_a") == F.col("salt_b"))
+            & (F.col("vec_id_a") < F.col("vec_id_b")),
+        )
         .select(
             "vec_id_a",
             "vec_id_b",
-            F.round(cosine(F.col("va"), F.col("vb")), 6).alias("cos_sim"),
+            F.round(
+                pair_dot(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb")), 6
+            ).alias("cos_sim"),
         )
         .filter(F.col("cos_sim") >= threshold)
     )

@@ -92,15 +92,25 @@ def fingerprint(text: Column) -> Column:
     return F.md5(F.lower(text))
 
 
-def simhash_bits(ws: Column, n_bits: int = 32) -> Column:
+def simhash_bits(ws: Column, n_bits: int = 64) -> Column:
     """SimHash over the word multiset: per-document locality-sensitive
     fingerprint where near-identical texts differ in few bits.
 
-    Hash family: bit_i of word w = (hex digit i of md5(w)) >= 8 — i.e. the
-    top bit of each md5 hex digit, giving up to 32 independent-ish bits per
-    single md5 call. The document bit is the sign of the +1/-1 vote sum
-    over its words. Emitted as a '0'/'1' string (byte-identical across
-    engines; no 64-bit signed/unsigned divergence to worry about).
+    Hash family (one md5 per word serves up to 64 bits): bit_i for
+    i < 32 is the TOP bit of md5 hex digit i+1 (value ≥ 8); bit_i for
+    i ≥ 32 is the SECOND bit of hex digit i-31 (value & 4, i.e. digit in
+    {4,5,6,7,c,d,e,f}). The document bit is the sign of the +1/−1 vote
+    sum over its words. Emitted as a '0'/'1' string (byte-identical
+    across engines; no 64-bit signed/unsigned divergence to worry
+    about).
+
+    WIDTH MATTERS AT SCALE (NOTES r6): same-distribution documents have
+    strongly biased simhash bits, so the mean pairwise distance sits at
+    only ~27% of the width — at 32 bits a hamming ≤ 6 dedup threshold
+    captured 29% of ALL doc pairs (measured; ~360M "near-dup" pairs at
+    10× bench scale), while at 64 bits the same threshold is a ~1e-4
+    left-tail. 64 is the default; 32 remains available for
+    compatibility experiments.
 
     Plan shape: ONE md5 per word (staged), then n_bits cheap aggregate()
     folds over the hashed array — map-only, no shuffle.
@@ -108,12 +118,15 @@ def simhash_bits(ws: Column, n_bits: int = 32) -> Column:
     hashed = F.transform(ws, lambda w: F.md5(w))
 
     def vote(i: int) -> Column:
-        pos = i + 1
+        if i < 32:
+            pos, digits = i + 1, "89abcdef"
+        else:
+            pos, digits = i - 31, "4567cdef"
         return F.aggregate(
             hashed,
             F.lit(0),
             lambda acc, h: acc
-            + F.when(F.substring(h, pos, 1).isin(*"89abcdef"), F.lit(1)).otherwise(
+            + F.when(F.substring(h, pos, 1).isin(*digits), F.lit(1)).otherwise(
                 F.lit(-1)
             ),
         )

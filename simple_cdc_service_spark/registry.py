@@ -957,15 +957,14 @@ def dedup_ngram_jaccard_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     "dedup_embedding",
     oracle="""
     WITH e AS (SELECT vec_id, label, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
-               FROM embeddings)
+               FROM embeddings),
+    -- norm hoisted per ROW (sqrt of the same dot → bit-identical to the
+    -- per-pair form; mirrors the engine's hoisting)
+    en AS (SELECT vec_id, label, v, sqrt(list_dot_product(v, v)) AS nrm FROM e)
     SELECT a.vec_id AS vec_id_a, b.vec_id AS vec_id_b,
-           round(list_dot_product(a.v, b.v)
-                 / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))),
-                 6) AS cos_sim
-    FROM e a JOIN e b ON a.label = b.label AND a.vec_id < b.vec_id
-    WHERE round(list_dot_product(a.v, b.v)
-                / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))),
-                6) >= 0.4
+           round(list_dot_product(a.v, b.v) / (a.nrm * b.nrm), 6) AS cos_sim
+    FROM en a JOIN en b ON a.label = b.label AND a.vec_id < b.vec_id
+    WHERE round(list_dot_product(a.v, b.v) / (a.nrm * b.nrm), 6) >= 0.4
     """,
 )
 def dedup_embedding_q(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1754,11 +1753,27 @@ def dedup_minhash_ml(spark: SparkSession, sf_dir: str) -> DataFrame:
     approxSimilarityJoin) — the library counterpart of the hand-rolled
     md5 MinHash pipeline (dedup_minhash). Rows-only: the ml hash family
     is seeded differently from any SQL oracle could replicate; recall
-    against the exact pipeline is asserted in tests."""
+    against the exact pipeline is asserted in tests.
+
+    DIAGNOSTIC, DENSITY-GUARDED (NOTES r6): MLlib's MinHashLSH has no
+    AND-amplification — each of the 4 hash tables is a single MinHash
+    (r=1), so P(candidate | j) = 1-(1-j)⁴ ≈ 4j even for unrelated docs
+    sharing vocabulary. On a high-overlap corpus approxSimilarityJoin's
+    candidate join approaches all-pairs (measured: exhausted ~80 GB of
+    shuffle at 10× bench scale before dying). The guard estimates the
+    bucket-pair count in one O(corpus) pass over the hashed keys (the
+    interval_join density-estimator technique, temporal.py) and, past
+    MAX_ML_CANDIDATES, deterministically thins docs by
+    xxhash64(doc_id) % k — candidates shrink ~k², parity diagnostics
+    stay valid on the sample. The PRODUCTION near-dup path is
+    dedup_minhash / dedup_minhash_fast (banded r≥2 AND-amplification,
+    no explosion by construction)."""
     from pyspark.ml.feature import HashingTF, MinHashLSH
+    from pyspark.ml.functions import vector_to_array
 
     from .sources.tables import spread
 
+    MAX_ML_CANDIDATES = 2_000_000
     d = spread(_t(spark, sf_dir, "documents"))
     # null-text docs have no tokens to hash (HashingTF throws on null
     # arrays) and nothing to dedup -- drop them at the boundary
@@ -1769,6 +1784,21 @@ def dedup_minhash_ml(spark: SparkSession, sf_dir: str) -> DataFrame:
     feats = tf.transform(tokens)
     lsh = MinHashLSH(inputCol="features", outputCol="hashes", numHashTables=4, seed=42)
     model = lsh.fit(feats)
+    est_row = (
+        model.transform(feats)
+        .select(F.posexplode("hashes").alias("t", "h"))
+        .select("t", vector_to_array(F.col("h"))[0].alias("hv"))
+        .groupBy("t", "hv")
+        .count()
+        .agg(F.sum(F.col("count") * (F.col("count") - 1) / 2).alias("est"))
+        .first()
+    )
+    est = int(est_row["est"] or 0)
+    if est > MAX_ML_CANDIDATES:
+        import math
+
+        k = math.ceil(math.sqrt(est / MAX_ML_CANDIDATES))
+        feats = feats.filter(F.pmod(F.xxhash64("doc_id"), F.lit(k)) == 0)
     # distance threshold 0.35 ⇒ token-set jaccard ≥ 0.65; the corpus's
     # small shared vocabulary makes looser thresholds explode into
     # ~all-pairs output.
@@ -2045,16 +2075,21 @@ def cdc_incremental_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "text_simhash",
+    # 64-bit family: bits 1-32 = top bit of md5 hex digit i; bits 33-64 =
+    # second bit (value & 4) of hex digit i-32 — one md5 per word serves
+    # all 64 bits (mirrors operators/text.py::simhash_bits).
     oracle="""
     WITH w AS (SELECT doc_id, string_split(lower(text), ' ') AS ws FROM documents),
     hx AS (SELECT doc_id, list_transform(ws, w -> md5(w)) AS hashed FROM w),
     bits AS (
         SELECT doc_id,
                list_aggregate(
-                   list_transform(range(1, 33),
+                   list_transform(range(1, 65),
                        i -> CASE WHEN list_sum(list_transform(hashed,
-                                h -> CASE WHEN substr(h, CAST(i AS INT), 1)
-                                          IN ('8','9','a','b','c','d','e','f')
+                                h -> CASE WHEN (i <= 32 AND substr(h, CAST(i AS INT), 1)
+                                          IN ('8','9','a','b','c','d','e','f'))
+                                          OR (i > 32 AND substr(h, CAST(i - 32 AS INT), 1)
+                                          IN ('4','5','6','7','c','d','e','f'))
                                      THEN 1 ELSE -1 END)) >= 0
                             THEN '1' ELSE '0' END),
                    'string_agg', '') AS simhash
@@ -2064,8 +2099,9 @@ def cdc_incremental_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def text_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SimHash document fingerprint (32-bit, md5-digit hash family) —
-    the third near-dup scheme alongside MinHash-LSH and n-gram Jaccard."""
+    """SimHash document fingerprint (64-bit, md5-digit hash family; width
+    rationale in simhash_bits) — the third near-dup scheme alongside
+    MinHash-LSH and n-gram Jaccard."""
     from .operators import text as T
     from .sources.tables import spread
 
@@ -2083,10 +2119,12 @@ def text_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     bits AS (
         SELECT doc_id,
                list_aggregate(
-                   list_transform(range(1, 33),
+                   list_transform(range(1, 65),
                        i -> CASE WHEN list_sum(list_transform(hashed,
-                                h -> CASE WHEN substr(h, CAST(i AS INT), 1)
-                                          IN ('8','9','a','b','c','d','e','f')
+                                h -> CASE WHEN (i <= 32 AND substr(h, CAST(i AS INT), 1)
+                                          IN ('8','9','a','b','c','d','e','f'))
+                                          OR (i > 32 AND substr(h, CAST(i - 32 AS INT), 1)
+                                          IN ('4','5','6','7','c','d','e','f'))
                                      THEN 1 ELSE -1 END)) >= 0
                             THEN '1' ELSE '0' END),
                    'string_agg', '') AS simhash
@@ -2094,7 +2132,7 @@ def text_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     ),
     banded AS (
         SELECT doc_id, simhash, unnest(range(0, 4)) AS band,
-               substr(simhash, CAST(unnest(range(0, 4)) * 8 + 1 AS INT), 8) AS bv
+               substr(simhash, CAST(unnest(range(0, 4)) * 16 + 1 AS INT), 16) AS bv
         FROM bits
     ),
     cand AS (
@@ -2104,62 +2142,73 @@ def text_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
           ON a.band = b.band AND a.bv = b.bv AND a.doc_id < b.doc_id
     )
     SELECT doc_id_a, doc_id_b,
-           CAST(len(list_filter(range(1, 33),
+           CAST(len(list_filter(range(1, 65),
                i -> substr(sh_a, CAST(i AS INT), 1) <> substr(sh_b, CAST(i AS INT), 1)))
                AS INT) AS hamming
     FROM cand
-    WHERE len(list_filter(range(1, 33),
+    WHERE len(list_filter(range(1, 65),
           i -> substr(sh_a, CAST(i AS INT), 1) <> substr(sh_b, CAST(i AS INT), 1))) <= 6
     """,
 )
 def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SimHash near-dup pairs: 4 bands of 8 bits block the candidates
-    (same bucket-pair pattern as MinHash-LSH — a pair within hamming
-    distance 6 of 32 bits must agree on at least one 8-bit band by
-    pigeonhole when distance < 4 bands), then exact hamming ≤ 6 verify."""
-    from .operators import text as T
+    """SimHash near-dup pairs over the 64-bit fingerprint: 4 bands of 16
+    bits block the candidates (bucket-pair pattern; pigeonhole guarantees
+    recall for hamming < 4, LSH-probabilistic above), then exact
+    hamming ≤ 6 verify. Width rationale (NOTES r6): at 32 bits the
+    biased-bit corpus put 65% of docs into ONE 8-bit band bucket and 29%
+    of ALL pairs under the threshold — both the candidate set and the
+    TRUE OUTPUT were quadratic; at 64 bits the same threshold is a thin
+    left-tail and band buckets are 65536-ary.
 
-    sh = text_simhash(spark, sf_dir)
-    banded = sh.select(
+    Verify path packs the 64 bits into two longs ONCE PER DOC (map-side
+    conv) so per-pair hamming is two xor+bit_count ops instead of a
+    64-element string zip (~100 µs → ~ns; same integer result the
+    oracle computes from the strings), and the shuffle carries 16 bytes
+    per doc instead of the 64-char fingerprint."""
+    sh = text_simhash(spark, sf_dir).select(
         "doc_id",
-        "simhash",
+        F.conv(F.substring("simhash", 1, 32), 2, 10).cast("long").alias("h1"),
+        F.conv(F.substring("simhash", 33, 32), 2, 10).cast("long").alias("h2"),
         F.explode(
             F.array(
                 *[
                     F.struct(
                         F.lit(b).alias("band"),
-                        F.substring("simhash", b * 8 + 1, 8).alias("bv"),
+                        F.substring("simhash", b * 16 + 1, 16).alias("bv"),
                     )
                     for b in range(4)
                 ]
             )
         ).alias("bb"),
-    ).select("doc_id", "simhash", "bb.band", "bb.bv")
+    ).select("doc_id", "h1", "h2", "bb.band", "bb.bv")
     buckets = (
-        banded.groupBy("band", "bv")
-        .agg(F.array_sort(F.collect_list(F.struct("doc_id", "simhash"))).alias("ds"))
+        sh.groupBy("band", "bv")
+        .agg(F.array_sort(F.collect_list(F.struct("doc_id", "h1", "h2"))).alias("ds"))
         .filter(F.size("ds") > 1)
     )
+    # Two-stage explode (the bucket_pairs pattern, NOTES r6): one row per
+    # (bucket, left index), then that row emits only its partners — peak
+    # per-row memory O(bucket), never the O(bucket²) flattened pair array
+    # (which OOMed the executor on the old 8-bit band space at 10× bench
+    # scale).
     n = F.size(F.col("ds"))
-    pairs = F.flatten(
-        F.transform(
-            F.sequence(F.lit(0), n - 2),
-            lambda i: F.transform(
-                F.sequence(i + 1, n - 1),
-                lambda j: F.struct(
-                    F.element_at(F.col("ds"), (i + 1).cast("int")).alias("a"),
-                    F.element_at(F.col("ds"), (j + 1).cast("int")).alias("b"),
-                ),
-            ),
-        )
+    lefts = buckets.select("ds", F.explode(F.sequence(F.lit(0), n - 2)).alias("i"))
+    partners = F.transform(
+        F.sequence(F.col("i") + 1, F.size("ds") - 1),
+        lambda j: F.element_at(F.col("ds"), (j + 1).cast("int")),
     )
     cand = (
-        buckets.select(F.explode(pairs).alias("p"))
+        lefts.select(
+            F.element_at(F.col("ds"), (F.col("i") + 1).cast("int")).alias("a"),
+            F.explode(partners).alias("b"),
+        )
         .select(
-            F.col("p.a.doc_id").alias("doc_id_a"),
-            F.col("p.b.doc_id").alias("doc_id_b"),
-            F.col("p.a.simhash").alias("sh_a"),
-            F.col("p.b.simhash").alias("sh_b"),
+            F.col("a.doc_id").alias("doc_id_a"),
+            F.col("b.doc_id").alias("doc_id_b"),
+            F.col("a.h1").alias("a1"),
+            F.col("a.h2").alias("a2"),
+            F.col("b.h1").alias("b1"),
+            F.col("b.h2").alias("b2"),
         )
         .distinct()
     )
@@ -2167,7 +2216,10 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
         cand.select(
             "doc_id_a",
             "doc_id_b",
-            T.hamming_bits(F.col("sh_a"), F.col("sh_b")).cast("int").alias("hamming"),
+            (
+                F.bit_count(F.col("a1").bitwiseXOR(F.col("b1")))
+                + F.bit_count(F.col("a2").bitwiseXOR(F.col("b2")))
+            ).cast("int").alias("hamming"),
         )
         .filter(F.col("hamming") <= 6)
     )

@@ -32,6 +32,11 @@ def get_spark(
         # local-mode driver hosts all 32 executor threads; the 1g default
         # heap is far too small for that (must be set before JVM launch)
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
+        # Verification harnesses collect full query results to compare
+        # against the oracle; at 10x bench scale a genuine near-dup pair
+        # list alone exceeds the 1g default. Execution plans are
+        # unaffected — this only permits larger driver-side collects.
+        .config("spark.driver.maxResultSize", os.environ.get("SPARK_GRAFT_MAX_RESULT", "8g"))
         # AQE: runtime coalescing of small shuffle partitions, dynamic
         # broadcast-join conversion, and skew-join splitting. Essential at
         # scale, harmless locally.

@@ -340,3 +340,63 @@ class TestPrefixJaccard:
         assert "salt" not in plan
         rows = ngram_jaccard_pairs(df, threshold=0.95).collect()
         assert [(r.doc_id_a, r.doc_id_b) for r in rows] == [(1, 2)]
+
+
+class TestEmbeddingPairsSalted:
+    """embedding_dup_pairs after the r6 salt + norm-hoist + unrolled-dot
+    rework: results must be bit-identical to the naive per-pair cosine
+    join (same left-fold accumulation order), and dot_unrolled must equal
+    the higher-order-function fold exactly."""
+
+    def test_dot_unrolled_bit_parity(self, spark):
+        import random
+
+        from simple_cdc_service_spark.functions import dot, dot_unrolled
+
+        rng = random.Random(7)
+        rows = [
+            ([rng.uniform(-1, 1) for _ in range(16)],
+             [rng.uniform(-1, 1) for _ in range(16)])
+            for _ in range(50)
+        ]
+        df = spark.createDataFrame(rows, "a array<double>, b array<double>")
+        got = df.select(
+            dot(F.col("a"), F.col("b")).alias("hof"),
+            dot_unrolled(F.col("a"), F.col("b"), 16).alias("unr"),
+        ).collect()
+        for r in got:
+            assert r.hof == r.unr  # exact, not approx: same fold order
+
+    def test_matches_naive_blocked_cosine(self, spark):
+        import random
+
+        from simple_cdc_service_spark.functions import cosine
+        from simple_cdc_service_spark.operators.dedup import embedding_dup_pairs
+
+        rng = random.Random(11)
+        rows = [
+            (i, f"lbl{i % 3}", [rng.uniform(-1, 1) for _ in range(8)])
+            for i in range(40)
+        ]
+        df = spark.createDataFrame(rows, "vec_id long, label string, embedding array<double>")
+        got = sorted(map(tuple, embedding_dup_pairs(df, threshold=0.1).collect()))
+        e = df.select("vec_id", F.col("label").alias("blk"), F.col("embedding").alias("v"))
+        a = e.select(F.col("vec_id").alias("vec_id_a"), "blk", F.col("v").alias("va"))
+        b = e.select(F.col("vec_id").alias("vec_id_b"), F.col("blk").alias("bb"), F.col("v").alias("vb"))
+        want = sorted(
+            map(
+                tuple,
+                a.join(b, (F.col("blk") == F.col("bb")) & (F.col("vec_id_a") < F.col("vec_id_b")))
+                .select("vec_id_a", "vec_id_b",
+                        F.round(cosine(F.col("va"), F.col("vb")), 6).alias("cos_sim"))
+                .filter(F.col("cos_sim") >= 0.1)
+                .collect(),
+            )
+        )
+        assert got == want and len(got) > 0
+
+    def test_empty_corpus(self, spark):
+        from simple_cdc_service_spark.operators.dedup import embedding_dup_pairs
+
+        df = spark.createDataFrame([], "vec_id long, label string, embedding array<double>")
+        assert embedding_dup_pairs(df).count() == 0
