@@ -230,44 +230,123 @@ def minhash_dedup_pairs(
     4.4s sf0.1 run for only ~750 pairs). With staged arrays the join
     condition is a plain array intersect/union over attribute refs.
 
-    Join shape: candidate pairs (two longs per row — small even when
-    banding over-generates) are broadcast onto the a-side shingles. The
-    second join is deliberately UNHINTED: its left side carries shingle
-    ARRAYS per candidate row, so its size is candidate-count × document
-    breadth — fine to broadcast for 3-gram shingles (few candidates), but
-    unigram banding on a shared-vocabulary corpus can produce 100k+
-    candidates whose arrays exceed the driver's broadcast budget
-    (observed at sf0.1). AQE converts it to a broadcast join at runtime
-    exactly when the actual size fits, and falls back to a shuffle join
-    when it doesn't — correctness unchanged either way.
+    Join shape: BOTH verify joins are deliberately UNHINTED (AQE decides
+    from measured runtime sizes). The candidate side is two longs per
+    row — AQE broadcasts it whenever it actually fits — but a forced
+    broadcast() hint here died at 10× bench scale trying to build an
+    8.5 GB hash relation out of a clone-heavy corpus's tens of millions
+    of candidate pairs (NOTES r6): a hint asserts a SIZE INVARIANT the
+    data doesn't guarantee; AQE checks it at runtime for free. The
+    second join's left side carries shingle ARRAYS per candidate row
+    (candidate-count × document breadth — exceeded the broadcast budget
+    already at sf0.1); same rule, same mechanism.
 
     ``shingled``: pass an already-shingled (id, shingles) frame to skip
     the shingle pass entirely — callers that shingle once and reuse the
     frame across collapse/probe/verify (streaming admission) avoid the
-    per-batch re-shingling this function would otherwise pay."""
-    if shingled is not None:
-        sh = shingled
-    else:
-        sh = shingle_docs(df, n, text_col, id_col)
-        if stage_shingles:
-            sh = sh.localCheckpoint(eager=False)
-    cand = minhash_candidates(sh, k, bands, id_col, family, banded=banded)
-    a = sh.select(F.col(id_col).alias("doc_id_a"), F.col("shingles").alias("__sh_a"))
-    b = sh.select(F.col(id_col).alias("doc_id_b"), F.col("shingles").alias("__sh_b"))
-    out = (
-        a.join(F.broadcast(cand), "doc_id_a")
-        .join(b, "doc_id_b")
+    per-batch re-shingling this function would otherwise pay.
+
+    SET-IDENTITY FACTORIZATION (batch path only, NOTES r6): MinHash,
+    banding, and Jaccard are all functions of the DISTINCT shingle SET —
+    so documents with identical sets are interchangeable. The batch path
+    therefore (1) groups docs by a set key (md5 over the sorted shingle
+    array), (2) runs the signature/banding/verify pipeline on ONE
+    representative per distinct set, and (3) expands rep-level pairs
+    back through group membership, adding within-group pairs at
+    jaccard = 1.0. Output is provably bit-identical to the direct
+    pipeline (every member shares its rep's signature, buckets, and
+    pairwise jaccard; empty-set groups are excluded exactly like the
+    NULL-band guard excludes them). On a clone-heavy corpus this is the
+    difference between verifying 503M candidate pairs and verifying
+    ~200k rep pairs (10× bench scale, measured) — expansion is pure id
+    joins, no shingle arrays in any wide shuffle. Streaming callers
+    (shingled=/banded=) keep the direct path: their batches are small
+    and their job-count floor matters more than factorization."""
+    if shingled is not None or banded is not None:
+        sh = shingled if shingled is not None else df
+        cand = minhash_candidates(sh, k, bands, id_col, family, banded=banded)
+        a = sh.select(F.col(id_col).alias("doc_id_a"), F.col("shingles").alias("__sh_a"))
+        b = sh.select(F.col(id_col).alias("doc_id_b"), F.col("shingles").alias("__sh_b"))
+        out = (
+            a.join(cand, "doc_id_a")
+            .join(b, "doc_id_b")
+            .select(
+                "doc_id_a",
+                "doc_id_b",
+                F.round(jaccard(F.col("__sh_a"), F.col("__sh_b")), 4).alias("jaccard"),
+            )
+        )
+        # threshold 0 keeps every candidate — skipping the no-op filter
+        # keeps the jaccard expression out of the join condition (where
+        # Catalyst would inline it and evaluate it once for the
+        # predicate and again for the projection).
+        return out.filter(F.col("jaccard") >= threshold) if threshold > 0 else out
+
+    from ..sources.tables import spread
+
+    # Shingling + k hash passes are CPU-bound map work: a small parquet
+    # file scans as 2-3 partitions and would pin the whole signature
+    # computation to as many cores (NOTES r6).
+    sh = shingle_docs(spread(df), n, text_col, id_col)
+    # Set key: NULL for empty shingle sets (they can never pair — the
+    # same contract as the NULL-band guard). chr(0) delimiter cannot
+    # occur inside space-split tokens.
+    gm = sh.select(
+        F.col(id_col),
+        F.col("shingles"),
+        F.when(
+            F.size("shingles") > 0,
+            F.md5(F.concat_ws("\x00", F.array_sort("shingles"))),
+        ).alias("__k"),
+    )
+    if stage_shingles:
+        gm = gm.localCheckpoint(eager=False)
+    grouped = gm.filter(F.col("__k").isNotNull())
+    reps = grouped.groupBy("__k").agg(
+        F.min(id_col).alias("__rid"), F.first("shingles").alias("shingles")
+    )
+    rep_sh = reps.select(F.col("__rid").alias(id_col), "shingles").localCheckpoint(
+        eager=False
+    )
+    cand = minhash_candidates(rep_sh, k, bands, id_col, family)
+    ra = rep_sh.select(F.col(id_col).alias("doc_id_a"), F.col("shingles").alias("__sh_a"))
+    rb = rep_sh.select(F.col(id_col).alias("doc_id_b"), F.col("shingles").alias("__sh_b"))
+    rep_pairs = (
+        ra.join(cand, "doc_id_a")
+        .join(rb, "doc_id_b")
         .select(
             "doc_id_a",
             "doc_id_b",
             F.round(jaccard(F.col("__sh_a"), F.col("__sh_b")), 4).alias("jaccard"),
         )
     )
-    # threshold 0 keeps every candidate — skipping the no-op filter keeps
-    # the jaccard expression out of the join condition (where Catalyst
-    # would inline it and evaluate it once for the predicate and again
-    # for the projection).
-    return out.filter(F.col("jaccard") >= threshold) if threshold > 0 else out
+    if threshold > 0:
+        rep_pairs = rep_pairs.filter(F.col("jaccard") >= threshold)
+    key_of_rep = reps.select("__rid", "__k")
+    rp = rep_pairs.join(
+        key_of_rep.select(F.col("__rid").alias("doc_id_a"), F.col("__k").alias("__ka")),
+        "doc_id_a",
+    ).join(
+        key_of_rep.select(F.col("__rid").alias("doc_id_b"), F.col("__k").alias("__kb")),
+        "doc_id_b",
+    )
+    ma = grouped.select(F.col("__k").alias("__ka"), F.col(id_col).alias("__xa"))
+    mb = grouped.select(F.col("__k").alias("__kb"), F.col(id_col).alias("__xb"))
+    cross = (
+        rp.join(ma, "__ka")
+        .join(mb, "__kb")
+        .select(
+            F.least("__xa", "__xb").alias("doc_id_a"),
+            F.greatest("__xa", "__xb").alias("doc_id_b"),
+            "jaccard",
+        )
+    )
+    within = bucket_pairs(
+        grouped.select(F.col(id_col), F.lit(0).alias("band"), F.col("__k").alias("bv"))
+    ).withColumn("jaccard", F.lit(1.0))
+    if threshold > 0:
+        within = within.filter(F.col("jaccard") >= threshold)
+    return cross.unionByName(within)
 
 
 def incremental_dedup_pairs(
@@ -462,8 +541,10 @@ def ngram_jaccard_pairs(
             text_col=text_col,
             id_col=id_col,
         )
+    from ..sources.tables import spread
+
     SALT = 32
-    w = df.select(
+    w = spread(df).select(
         F.col(id_col),
         F.col(block_col).alias("blk"),
         F.array_distinct(words(F.col(text_col))).alias("ws"),
@@ -541,7 +622,9 @@ def prefix_jaccard_pairs(
     guard only ever LENGTHENS the prefix (safe direction)."""
     from pyspark.sql.window import Window
 
-    w = df.select(
+    from ..sources.tables import spread
+
+    w = spread(df).select(
         F.col(id_col),
         F.col(block_col).alias("blk"),
         F.array_distinct(words(F.col(text_col))).alias("ws"),
@@ -690,59 +773,83 @@ def embedding_dup_pairs(
     embedding_dup_pairs_lsh (random-hyperplane buckets).
 
     SCALE (NOTES r6): few distinct blocks → few join keys → one reducer
-    per block computing O(block²) cosines (20M pairs on ≤10 tasks at 10×
-    bench scale). Two semantics-free fixes, same family as
-    ``ngram_jaccard_pairs``: (1) NORM HOISTING — ‖v‖ is computed once
-    per ROW, not once per pair; cosine stays dot/(nₐ·n_b) on the same
-    doubles, so every rounded value is bit-identical to the per-pair
-    form (pre-NORMALIZING instead would change the float op order and
-    flip round(...,6) boundary values against the oracle); (2) SALTED
-    self-join on (block, xxhash64(id)%32) spreading each block's pair
-    enumeration over 32 tasks — every pair still meets exactly once;
-    (3) UNROLLED per-pair dot (``dot_unrolled``: same left-fold order,
-    straight-line codegen instead of a per-pair zip+lambda fold)."""
-    from ..functions import dot_unrolled
+    per block computing O(block²) per-pair cosine EXPRESSIONS (20M pairs
+    × a ~µs-scale fold each at 10× bench scale; an unrolled-expression
+    attempt blew the codegen method budget and ran interpreted). The
+    enumerate-join is replaced by ``applyInPandas`` per block with
+    PER-DIMENSION vectorized accumulation:
 
-    SALT = 32
-    probe = df.select(vec_col).first()
-    dim = len(probe[0]) if probe is not None and probe[0] is not None else None
-    pair_dot = (
-        (lambda x, y: dot_unrolled(x, y, dim)) if dim is not None else dot
-    )
-    e = df.select(
+        acc = zeros((n, n)); for i in dims: acc += outer(M[:,i], M[:,i])
+
+    Each acc element is built by the SAME left-fold addition order as
+    F.aggregate's accumulator and DuckDB's list_dot_product —
+    ((0+x₁y₁)+x₂y₂)+… — so cos = acc/(nₐ·n_b) is bit-identical to the
+    per-pair expression and round(...,6) can never diverge from the
+    oracle (norms are likewise hoisted per row, not recomputed per
+    pair; a numpy matmul/BLAS path would reorder the sum and flip
+    boundary values). Python-side filtering uses a LOOSE margin
+    (t − 1e-6); the EXACT half-up round + threshold happens in Spark
+    after return. O(block²) memory per task is the operator's inherent
+    cost — this is the oracle-replicable diagnostic; production is
+    embedding_dup_pairs_lsh."""
+    import pandas as pd
+
+    from pyspark.sql.types import DoubleType, StructField, StructType
+
+    from ..sources.tables import spread
+
+    e = spread(df).select(
         F.col(id_col),
         F.col(block_col).alias("blk"),
         as_double_array(F.col(vec_col)).alias("v"),
     ).withColumn("nrm", norm(F.col("v")))
-    a = e.select(
-        F.col(id_col).alias("vec_id_a"),
-        F.col("blk"),
-        F.col("v").alias("va"),
-        F.col("nrm").alias("na"),
-        F.pmod(F.xxhash64(F.col(id_col)), F.lit(SALT)).alias("salt_a"),
+    id_type = df.schema[id_col].dataType
+    out_schema = StructType(
+        [
+            StructField("vec_id_a", id_type, True),
+            StructField("vec_id_b", id_type, True),
+            StructField("cos_raw", DoubleType(), True),
+        ]
     )
-    b = e.select(
-        F.col(id_col).alias("vec_id_b"),
-        F.col("blk").alias("blk_b"),
-        F.col("v").alias("vb"),
-        F.col("nrm").alias("nb"),
-        F.explode(F.sequence(F.lit(0).cast("long"), F.lit(SALT - 1).cast("long"))).alias(
-            "salt_b"
-        ),
-    )
-    return (
-        a.join(
-            b,
-            (F.col("blk") == F.col("blk_b"))
-            & (F.col("salt_a") == F.col("salt_b"))
-            & (F.col("vec_id_a") < F.col("vec_id_b")),
+    loose = threshold - 1e-6
+
+    def block_pairs(pdf: "pd.DataFrame") -> "pd.DataFrame":
+        import numpy as np
+
+        pdf = pdf[pdf["v"].notna()].sort_values(id_col)
+        n = len(pdf)
+        empty = pd.DataFrame({"vec_id_a": [], "vec_id_b": [], "cos_raw": []})
+        if n < 2:
+            return empty
+        ids = pdf[id_col].to_numpy()
+        # None elements inside a vector become NaN → NaN cosine → fails
+        # the keep filter, matching the join form's null-propagation.
+        M = np.stack(pdf["v"].to_numpy()).astype(np.float64)
+        nr = pdf["nrm"].to_numpy()
+        acc = np.zeros((n, n))
+        for i in range(M.shape[1]):
+            col = np.ascontiguousarray(M[:, i])
+            acc += np.multiply.outer(col, col)
+        cos = acc / np.multiply.outer(nr, nr)
+        ia, ib = np.triu_indices(n, 1)
+        keep = cos[ia, ib] >= loose
+        if not keep.any():
+            return empty
+        return pd.DataFrame(
+            {
+                "vec_id_a": ids[ia[keep]],
+                "vec_id_b": ids[ib[keep]],
+                "cos_raw": cos[ia[keep], ib[keep]],
+            }
         )
+
+    return (
+        e.groupBy("blk")
+        .applyInPandas(block_pairs, out_schema)
         .select(
             "vec_id_a",
             "vec_id_b",
-            F.round(
-                pair_dot(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb")), 6
-            ).alias("cos_sim"),
+            F.round(F.col("cos_raw"), 6).alias("cos_sim"),
         )
         .filter(F.col("cos_sim") >= threshold)
     )

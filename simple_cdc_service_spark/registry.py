@@ -981,12 +981,26 @@ def dedup_embedding_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     # same md5 hash family as dedup_minhash but k=32 / 4 bands of 8
     # (threshold-appropriate for 0.95; see ngram_jaccard_pairs). Hash
     # h_{4g+j}(s) = substr(md5(g || '|' || s), 8j+1, 8); band b's value
-    # concatenates sig[b*8+1 .. b*8+8].
+    # concatenates sig[b*8+1 .. b*8+8]. The oracle mirrors the engine's
+    # SET-IDENTITY FACTORIZATION (provable identity, NOTES r6): docs
+    # with identical shingle sets share signatures, buckets, and every
+    # pairwise jaccard, so banding runs over one representative per
+    # distinct set and pairs expand through group membership (within-
+    # group pairs are exactly jaccard 1.0) — without this the banded
+    # self-join enumerates 503M candidate rows at 10× bench scale.
     oracle="""
     WITH w AS (SELECT doc_id,
                       list_distinct(string_split(lower(text), ' ')) AS shingles
                FROM documents),
-    hx AS (SELECT doc_id, shingles,
+    keyed AS (SELECT doc_id, shingles,
+                     CASE WHEN len(shingles) > 0
+                          THEN md5(list_aggregate(list_sort(shingles),
+                                                  'string_agg', chr(0)))
+                     END AS k
+              FROM w),
+    reps AS (SELECT k, min(doc_id) AS rid, any_value(shingles) AS shingles
+             FROM keyed WHERE k IS NOT NULL GROUP BY k),
+    hx AS (SELECT rid, shingles,
                   [list_transform(shingles, s -> md5('0|' || s)),
                    list_transform(shingles, s -> md5('1|' || s)),
                    list_transform(shingles, s -> md5('2|' || s)),
@@ -995,31 +1009,52 @@ def dedup_embedding_q(spark: SparkSession, sf_dir: str) -> DataFrame:
                    list_transform(shingles, s -> md5('5|' || s)),
                    list_transform(shingles, s -> md5('6|' || s)),
                    list_transform(shingles, s -> md5('7|' || s))] AS hs
-           FROM w),
-    mh AS (SELECT doc_id,
+           FROM reps),
+    mh AS (SELECT rid,
                   flatten(list_transform(hs, h ->
                       [list_min(list_transform(h, x -> substr(x, 1, 8))),
                        list_min(list_transform(h, x -> substr(x, 9, 8))),
                        list_min(list_transform(h, x -> substr(x, 17, 8))),
                        list_min(list_transform(h, x -> substr(x, 25, 8)))])) AS sig
            FROM hx),
-    banded AS (SELECT doc_id, bnd.band,
+    banded AS (SELECT rid, bnd.band,
                       CASE WHEN sig[1] IS NULL THEN NULL
                            ELSE list_aggregate(sig[CAST(bnd.band*8+1 AS INT)
                                                    : CAST(bnd.band*8+8 AS INT)],
                                                'string_agg', '|') END AS bv
                FROM mh, (SELECT unnest(range(0, 4)) AS band) bnd),
-    cand AS (SELECT DISTINCT a.doc_id AS doc_id_a, b.doc_id AS doc_id_b
+    cand AS (SELECT DISTINCT a.rid AS ra, b.rid AS rb
              FROM banded a JOIN banded b
-               ON a.band = b.band AND a.bv = b.bv AND a.doc_id < b.doc_id)
-    SELECT doc_id_a, doc_id_b,
-           round(len(list_intersect(sa.shingles, sb.shingles)) * 1.0
-                 / len(list_distinct(list_concat(sa.shingles, sb.shingles))), 4) AS jaccard
-    FROM cand
-    JOIN w sa ON sa.doc_id = cand.doc_id_a
-    JOIN w sb ON sb.doc_id = cand.doc_id_b
-    WHERE round(len(list_intersect(sa.shingles, sb.shingles)) * 1.0
-                / len(list_distinct(list_concat(sa.shingles, sb.shingles))), 4) >= 0.95
+               ON a.band = b.band AND a.bv = b.bv AND a.rid < b.rid),
+    rep_pairs AS (
+        SELECT ra, rb,
+               round(len(list_intersect(sa.shingles, sb.shingles)) * 1.0
+                     / len(list_distinct(list_concat(sa.shingles, sb.shingles))),
+                     4) AS jaccard
+        FROM cand
+        JOIN reps sa ON sa.rid = cand.ra
+        JOIN reps sb ON sb.rid = cand.rb
+        -- length-ratio prune (implied by jaccard >= 0.95)
+        WHERE len(sa.shingles) >= 0.95 * len(sb.shingles)
+          AND len(sb.shingles) >= 0.95 * len(sa.shingles)
+          AND round(len(list_intersect(sa.shingles, sb.shingles)) * 1.0
+                    / len(list_distinct(list_concat(sa.shingles, sb.shingles))),
+                    4) >= 0.95),
+    cross_pairs AS (
+        SELECT least(x.doc_id, y.doc_id) AS doc_id_a,
+               greatest(x.doc_id, y.doc_id) AS doc_id_b,
+               p.jaccard
+        FROM rep_pairs p
+        JOIN reps qa ON qa.rid = p.ra
+        JOIN keyed x ON x.k = qa.k
+        JOIN reps qb ON qb.rid = p.rb
+        JOIN keyed y ON y.k = qb.k),
+    within_pairs AS (
+        SELECT a.doc_id AS doc_id_a, b.doc_id AS doc_id_b,
+               CAST(1.0 AS DOUBLE) AS jaccard
+        FROM keyed a JOIN keyed b ON a.k = b.k AND a.doc_id < b.doc_id
+        WHERE a.k IS NOT NULL)
+    SELECT * FROM cross_pairs UNION ALL SELECT * FROM within_pairs
     """,
 )
 def dedup_ngram_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -3089,7 +3124,10 @@ def knn_bruteforce_pandas_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     pairs AS (
         SELECT a.doc_id AS pa, b.doc_id AS pb
         FROM w a JOIN w b ON a.source = b.source AND a.doc_id < b.doc_id
-        WHERE round(len(list_intersect(a.ws, b.ws)) * 1.0
+        -- length-ratio prune (implied by jaccard >= 0.95) mirrors the
+        -- engine's O(1) candidate filter
+        WHERE len(a.ws) >= 0.95 * len(b.ws) AND len(b.ws) >= 0.95 * len(a.ws)
+          AND round(len(list_intersect(a.ws, b.ws)) * 1.0
                     / len(list_distinct(list_concat(a.ws, b.ws))), 4) >= 0.95
     ),
     edges AS (SELECT pa AS a, pb AS b FROM pairs
@@ -6918,7 +6956,10 @@ def tokenize_wordpiece(spark: SparkSession, sf_dir: str) -> DataFrame:
     pairs AS (
         SELECT a.doc_id AS pa, b.doc_id AS pb
         FROM w a JOIN w b ON a.source = b.source AND a.doc_id < b.doc_id
-        WHERE round(len(list_intersect(a.ws, b.ws)) * 1.0
+        -- length-ratio prune (implied by jaccard >= 0.95) mirrors the
+        -- engine's O(1) candidate filter
+        WHERE len(a.ws) >= 0.95 * len(b.ws) AND len(b.ws) >= 0.95 * len(a.ws)
+          AND round(len(list_intersect(a.ws, b.ws)) * 1.0
                     / len(list_distinct(list_concat(a.ws, b.ws))), 4) >= 0.95
     ),
     edges AS (SELECT pa AS a, pb AS b FROM pairs
@@ -7143,7 +7184,9 @@ def seasonality_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
                   list_distinct(string_split(lower(text), ' ')) AS ws FROM s2),
     losers AS (SELECT DISTINCT b.doc_id
                FROM w2 a JOIN w2 b ON a.source = b.source AND a.doc_id < b.doc_id
-               WHERE round(len(list_intersect(a.ws, b.ws)) * 1.0
+               -- length-ratio prune (implied by jaccard >= 0.95)
+               WHERE len(a.ws) >= 0.95 * len(b.ws) AND len(b.ws) >= 0.95 * len(a.ws)
+                 AND round(len(list_intersect(a.ws, b.ws)) * 1.0
                            / len(list_distinct(list_concat(a.ws, b.ws))), 4) >= 0.95),
     s3 AS (SELECT * FROM s2 WHERE doc_id NOT IN (SELECT doc_id FROM losers)),
     s4 AS (SELECT * FROM (
