@@ -400,3 +400,69 @@ class TestEmbeddingPairsSalted:
 
         df = spark.createDataFrame([], "vec_id long, label string, embedding array<double>")
         assert embedding_dup_pairs(df).count() == 0
+
+
+class TestSetIdentityFactorization:
+    """The batch path of minhash_dedup_pairs groups docs by distinct
+    shingle set and runs LSH+verify on representatives only (NOTES r6).
+    The oracle sweep can't catch a shared misconception (engine and
+    DuckDB oracle were factorized together), so this pins the factorized
+    default against the preserved DIRECT path (shingled= keeps it) on a
+    corpus with clone groups, cross-group near-dups, short/empty docs,
+    and singletons — outputs must be row-identical at every threshold."""
+
+    @pytest.fixture(scope="class")
+    def corpus(self, spark):
+        base = "the quick brown fox jumps over the lazy dog tonight"
+        near = "the quick brown fox jumps over the lazy dog today"
+        rows = [
+            # clone group of 3 (identical sets, distinct ids)
+            (1, base),
+            (7, base),
+            (4, base),
+            # near-dup of the clone group (cross-group pair)
+            (2, near),
+            # second clone group of 2
+            (3, "completely different text about spark shuffle partitions"),
+            (9, "completely different text about spark shuffle partitions"),
+            # permutation of group 2 (same word multiset order changed —
+            # same 1-gram set, different 3-gram set)
+            (5, "different completely text about spark shuffle partitions"),
+            # short docs (<3 words: empty 3-gram shingle set, must never pair)
+            (6, "one two"),
+            (8, "three four"),
+            # empty doc
+            (10, ""),
+            # singleton
+            (11, "unrelated singleton document mentioning catalyst optimizer"),
+        ]
+        return spark.createDataFrame(rows, "doc_id long, text string")
+
+    @pytest.mark.parametrize("threshold", [0.0, 0.6, 0.95])
+    @pytest.mark.parametrize("n", [1, 3])
+    def test_factorized_equals_direct(self, spark, corpus, threshold, n):
+        from simple_cdc_service_spark.operators.dedup import (
+            minhash_dedup_pairs,
+            shingle_docs,
+        )
+
+        fact = sorted(
+            map(tuple, minhash_dedup_pairs(corpus, n=n, threshold=threshold).collect())
+        )
+        direct = sorted(
+            map(
+                tuple,
+                minhash_dedup_pairs(
+                    corpus,
+                    n=n,
+                    threshold=threshold,
+                    shingled=shingle_docs(corpus, n=n),
+                ).collect(),
+            )
+        )
+        assert fact == direct
+        if threshold <= 0.6 and n == 3:
+            ids = {frozenset(p[:2]) for p in fact}
+            # clone groups fully paired, near-dup crosses into group 1
+            for want in [{1, 4}, {1, 7}, {4, 7}, {3, 9}, {1, 2}]:
+                assert frozenset(want) in ids
