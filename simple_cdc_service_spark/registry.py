@@ -3118,35 +3118,58 @@ def knn_bruteforce_pandas_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "dedup_clusters",
+    # Factorized closure (NOTES r6): jaccard is a function of the word
+    # SET and blocking is per source, so docs sharing (source, set) are
+    # interchangeable — the clone-clique edges that made the naive
+    # transitive closure quadratic per clique (a 28-minute grinder at
+    # 10x bench scale) collapse to group membership. The recursive CTE
+    # walks the REPRESENTATIVE graph only; cluster_id = min reachable
+    # rep id = min doc id of the component (each rid is its group's
+    # min). Membership: a doc pairs iff its group has >= 2 members
+    # (within-group jaccard is exactly 1.0) or its rep has a cross
+    # edge. Identical output to the unfactorized closure.
     oracle="""
     WITH RECURSIVE w AS (SELECT doc_id, source, list_distinct(string_split(lower(text), ' ')) AS ws
                FROM documents),
-    pairs AS (
-        SELECT a.doc_id AS pa, b.doc_id AS pb
-        FROM w a JOIN w b ON a.source = b.source AND a.doc_id < b.doc_id
+    keyed AS (SELECT doc_id, source, ws,
+                     md5(source || chr(1) ||
+                         list_aggregate(list_sort(ws), 'string_agg', chr(0))) AS k
+              FROM w),
+    grp AS (SELECT k, min(doc_id) AS rid, count(*) AS n,
+                   any_value(source) AS source, any_value(ws) AS ws
+            FROM keyed GROUP BY k),
+    rep_pairs AS (
+        SELECT a.rid AS pa, b.rid AS pb
+        FROM grp a JOIN grp b ON a.source = b.source AND a.rid < b.rid
         -- length-ratio prune (implied by jaccard >= 0.95) mirrors the
         -- engine's O(1) candidate filter
         WHERE len(a.ws) >= 0.95 * len(b.ws) AND len(b.ws) >= 0.95 * len(a.ws)
           AND round(len(list_intersect(a.ws, b.ws)) * 1.0
                     / len(list_distinct(list_concat(a.ws, b.ws))), 4) >= 0.95
     ),
-    edges AS (SELECT pa AS a, pb AS b FROM pairs
-              UNION SELECT pb, pa FROM pairs),
+    edges AS (SELECT pa AS a, pb AS b FROM rep_pairs
+              UNION SELECT pb, pa FROM rep_pairs),
     reach AS (
         SELECT a, b FROM edges
         UNION
         SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a
-    )
-    SELECT a AS doc_id, least(a, min(b)) AS cluster_id
-    FROM reach GROUP BY a
+    ),
+    rep_label AS (SELECT a AS rid, least(a, min(b)) AS rc
+                  FROM reach GROUP BY a)
+    SELECT kk.doc_id, coalesce(rl.rc, g.rid) AS cluster_id
+    FROM keyed kk
+    JOIN grp g ON g.k = kk.k
+    LEFT JOIN rep_label rl ON rl.rid = g.rid
+    WHERE rl.rid IS NOT NULL OR g.n >= 2
     """,
 )
 def dedup_clusters_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Dedup completion: near-dup pairs (blocked jaccard ≥ 0.95) →
     connected components → canonical representative (min doc id) per
-    cluster. Oracle: DuckDB recursive-CTE transitive closure — fine for
-    the oracle's small graphs; the engine side is the iterative
-    label-propagation join that scales."""
+    cluster. Oracle: DuckDB recursive-CTE transitive closure over the
+    (source, word-set) representative graph (see the factorization note
+    above — the naive closure is quadratic per clone clique); the
+    engine side is the iterative label-propagation join that scales."""
     from .operators.dedup import dup_clusters, ngram_jaccard_pairs
 
     pairs = ngram_jaccard_pairs(_t(spark, sf_dir, "documents"), threshold=0.95)
@@ -6949,34 +6972,48 @@ def tokenize_wordpiece(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "dedup_cluster_stats",
+    # Same (source, word-set) factorized closure as dedup_clusters
+    # (NOTES r6): the recursive walk covers representatives only, and
+    # cluster sizes aggregate group COUNTS — no per-doc label row ever
+    # materializes. Identical output to the unfactorized closure.
     oracle="""
     WITH RECURSIVE w AS (SELECT doc_id, source,
                                 list_distinct(string_split(lower(text), ' ')) AS ws
                FROM documents),
-    pairs AS (
-        SELECT a.doc_id AS pa, b.doc_id AS pb
-        FROM w a JOIN w b ON a.source = b.source AND a.doc_id < b.doc_id
+    keyed AS (SELECT doc_id, source, ws,
+                     md5(source || chr(1) ||
+                         list_aggregate(list_sort(ws), 'string_agg', chr(0))) AS k
+              FROM w),
+    grp AS (SELECT k, min(doc_id) AS rid, count(*) AS n,
+                   any_value(source) AS source, any_value(ws) AS ws
+            FROM keyed GROUP BY k),
+    rep_pairs AS (
+        SELECT a.rid AS pa, b.rid AS pb
+        FROM grp a JOIN grp b ON a.source = b.source AND a.rid < b.rid
         -- length-ratio prune (implied by jaccard >= 0.95) mirrors the
         -- engine's O(1) candidate filter
         WHERE len(a.ws) >= 0.95 * len(b.ws) AND len(b.ws) >= 0.95 * len(a.ws)
           AND round(len(list_intersect(a.ws, b.ws)) * 1.0
                     / len(list_distinct(list_concat(a.ws, b.ws))), 4) >= 0.95
     ),
-    edges AS (SELECT pa AS a, pb AS b FROM pairs
-              UNION SELECT pb, pa FROM pairs),
+    edges AS (SELECT pa AS a, pb AS b FROM rep_pairs
+              UNION SELECT pb, pa FROM rep_pairs),
     reach AS (
         SELECT a, b FROM edges
         UNION
         SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a
     ),
-    labeled AS (SELECT a AS doc_id, least(a, min(b)) AS cluster_id
-                FROM reach GROUP BY a),
-    sizes AS (SELECT cluster_id, count(*) AS sz FROM labeled GROUP BY cluster_id),
+    rep_label AS (SELECT a AS rid, least(a, min(b)) AS rc
+                  FROM reach GROUP BY a),
+    comp AS (SELECT coalesce(rl.rc, g.rid) AS cluster_id, g.n
+             FROM grp g LEFT JOIN rep_label rl ON rl.rid = g.rid
+             WHERE rl.rid IS NOT NULL OR g.n >= 2),
+    sizes AS (SELECT cluster_id, sum(n) AS sz FROM comp GROUP BY cluster_id),
     hist AS (SELECT sz AS cluster_size, count(*) AS n_clusters FROM sizes GROUP BY sz),
     singles AS (
         SELECT 1 AS cluster_size,
-               (SELECT count(*) FROM documents) - (SELECT count(*) FROM labeled)
-                   AS n_clusters
+               (SELECT count(*) FROM documents)
+                   - coalesce((SELECT sum(n) FROM comp), 0) AS n_clusters
     )
     SELECT CAST(cluster_size AS BIGINT) AS cluster_size,
            CAST(n_clusters AS BIGINT) AS n_clusters
