@@ -31,6 +31,13 @@ from ..functions import (
     words,
 )
 
+# minhash_dedup_pairs factorizes by distinct shingle set only when the
+# measured distinct-set/doc ratio is BELOW this (clone-heavy corpus);
+# above it the grouping/expansion overhead can never win itself back
+# (3-gram sets measure ~1.0 distinct at every bench scale, unigram sets
+# 0.079 at 10x — see the function docstring and NOTES r6).
+FACTORIZE_MAX_RATIO = 0.5
+
 
 def dedup_exact(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
     """Exact dedup: canonical representative (min id) per identical text.
@@ -206,9 +213,15 @@ def minhash_dedup_pairs(
     family: str = "md5",
     shingled: DataFrame | None = None,
     banded: DataFrame | None = None,
+    factorize: bool | None = None,
 ) -> DataFrame:
     """Full MinHash-LSH pipeline: shingle → sign → band-join candidates →
     verify with TRUE Jaccard on the shingle sets → threshold.
+
+    ``factorize``: None (default) decides adaptively from the measured
+    distinct-set ratio; True/False force the factorized or direct batch
+    pipeline (outputs are identical either way — the flag only exists
+    for tests and for callers that already know their clone profile).
 
     ``family``: MinHash hash family — "md5" (oracle-replicable default)
     or "xxhash64" (~2× cheaper signatures; see minhash_banded).
@@ -246,29 +259,44 @@ def minhash_dedup_pairs(
     frame across collapse/probe/verify (streaming admission) avoid the
     per-batch re-shingling this function would otherwise pay.
 
-    SET-IDENTITY FACTORIZATION (batch path only, NOTES r6): MinHash,
-    banding, and Jaccard are all functions of the DISTINCT shingle SET —
-    so documents with identical sets are interchangeable. The batch path
-    therefore (1) groups docs by a set key (md5 over the sorted shingle
-    array), (2) runs the signature/banding/verify pipeline on ONE
-    representative per distinct set, and (3) expands rep-level pairs
-    back through group membership, adding within-group pairs at
-    jaccard = 1.0. Output is provably bit-identical to the direct
-    pipeline (every member shares its rep's signature, buckets, and
-    pairwise jaccard; empty-set groups are excluded exactly like the
-    NULL-band guard excludes them). On a clone-heavy corpus this is the
-    difference between verifying 503M candidate pairs and verifying
-    ~200k rep pairs (10× bench scale, measured) — expansion is pure id
-    joins, no shingle arrays in any wide shuffle. Streaming callers
-    (shingled=/banded=) keep the direct path: their batches are small
-    and their job-count floor matters more than factorization."""
-    if shingled is not None or banded is not None:
-        sh = shingled if shingled is not None else df
-        cand = minhash_candidates(sh, k, bands, id_col, family, banded=banded)
-        a = sh.select(F.col(id_col).alias("doc_id_a"), F.col("shingles").alias("__sh_a"))
-        b = sh.select(F.col(id_col).alias("doc_id_b"), F.col("shingles").alias("__sh_b"))
+    SET-IDENTITY FACTORIZATION (batch path, ADAPTIVE, NOTES r6):
+    MinHash, banding, and Jaccard are all functions of the DISTINCT
+    shingle SET — so documents with identical sets are interchangeable.
+    When the corpus is clone-heavy the batch path (1) groups docs by a
+    set key (md5 over the sorted shingle array), (2) runs the
+    signature/banding/verify pipeline on ONE representative per
+    distinct set, and (3) expands rep-level pairs back through group
+    membership, adding within-group pairs at jaccard = 1.0. Output is
+    provably bit-identical to the direct pipeline (every member shares
+    its rep's signature, buckets, and pairwise jaccard; empty-set
+    groups are excluded exactly like the NULL-band guard excludes
+    them; equivalence pinned in test_round6_ops.py). On a clone-heavy
+    corpus this is the difference between verifying 503M candidate
+    pairs and verifying ~200k rep pairs (10× bench scale, measured) —
+    expansion is pure id joins, no shingle arrays in any wide shuffle.
+
+    The DECISION is data-adaptive, not static: one approx_count_distinct
+    over the staged set keys (ids+hashes only, riding the checkpoint
+    materialization — no array shuffle) measures the distinct-set
+    ratio; below ``FACTORIZE_MAX_RATIO`` the factorized pipeline runs,
+    above it the direct one. Measured on the bench corpora: unigram
+    sets are 0.079 distinct at 10× scale (factorize: dead → 21 s) but
+    0.79 at 1× and 3-gram sets are ~1.0 distinct at EVERY scale —
+    a static factorization would pay ~1 s of pure grouping/expansion
+    overhead per 3-gram call forever and never win it back. Streaming
+    callers (shingled=/banded=) keep the direct path unconditionally:
+    their batches are small and their job-count floor matters more
+    than factorization."""
+
+    def _verify(shf: DataFrame, candf: DataFrame) -> DataFrame:
+        a = shf.select(
+            F.col(id_col).alias("doc_id_a"), F.col("shingles").alias("__sh_a")
+        )
+        b = shf.select(
+            F.col(id_col).alias("doc_id_b"), F.col("shingles").alias("__sh_b")
+        )
         out = (
-            a.join(cand, "doc_id_a")
+            a.join(candf, "doc_id_a")
             .join(b, "doc_id_b")
             .select(
                 "doc_id_a",
@@ -282,14 +310,48 @@ def minhash_dedup_pairs(
         # predicate and again for the projection).
         return out.filter(F.col("jaccard") >= threshold) if threshold > 0 else out
 
+    if shingled is not None or banded is not None:
+        sh = shingled if shingled is not None else df
+        cand = minhash_candidates(sh, k, bands, id_col, family, banded=banded)
+        return _verify(sh, cand)
+
     from ..sources.tables import spread
 
     # Shingling + k hash passes are CPU-bound map work: a small parquet
     # file scans as 2-3 partitions and would pin the whole signature
     # computation to as many cores (NOTES r6).
     sh = shingle_docs(spread(df), n, text_col, id_col)
-    # Set key: NULL for empty shingle sets (they can never pair — the
-    # same contract as the NULL-band guard). chr(0) delimiter cannot
+    if stage_shingles:
+        sh = sh.localCheckpoint(eager=False)
+    # Adaptive decision on a CHEAP commutative set hash (xor of
+    # per-shingle xxhash64 — valid because shingles are distinct; a
+    # collision only nudges the measured ratio, never correctness).
+    # The agg ships ids + 8-byte hashes only — no array shuffle, no
+    # array_sort — and doubles as the checkpoint materialization both
+    # branches reuse. The direct branch therefore pays NOTHING beyond
+    # this one count (the exact md5-of-sorted group key is computed
+    # only when factorizing). HLL precision is ample for a 0.5 cutoff.
+    if factorize is None:
+        dk = F.when(
+            F.size("shingles") > 0,
+            F.aggregate(
+                F.transform(F.col("shingles"), lambda s: F.xxhash64(s)),
+                F.lit(0).cast("long"),
+                lambda acc, x: acc.bitwiseXOR(x),
+            ),
+        )
+        stats = sh.agg(
+            F.count(dk).alias("docs"),
+            F.approx_count_distinct(dk).alias("sets"),
+        ).first()
+        factorize = (
+            stats["docs"] > 0
+            and stats["sets"] / stats["docs"] < FACTORIZE_MAX_RATIO
+        )
+    if not factorize:
+        return _verify(sh, minhash_candidates(sh, k, bands, id_col, family))
+    # Exact set key: NULL for empty shingle sets (they can never pair —
+    # the same contract as the NULL-band guard). chr(0) delimiter cannot
     # occur inside space-split tokens.
     gm = sh.select(
         F.col(id_col),
@@ -299,8 +361,6 @@ def minhash_dedup_pairs(
             F.md5(F.concat_ws("\x00", F.array_sort("shingles"))),
         ).alias("__k"),
     )
-    if stage_shingles:
-        gm = gm.localCheckpoint(eager=False)
     grouped = gm.filter(F.col("__k").isNotNull())
     reps = grouped.groupBy("__k").agg(
         F.min(id_col).alias("__rid"), F.first("shingles").alias("shingles")
@@ -308,20 +368,7 @@ def minhash_dedup_pairs(
     rep_sh = reps.select(F.col("__rid").alias(id_col), "shingles").localCheckpoint(
         eager=False
     )
-    cand = minhash_candidates(rep_sh, k, bands, id_col, family)
-    ra = rep_sh.select(F.col(id_col).alias("doc_id_a"), F.col("shingles").alias("__sh_a"))
-    rb = rep_sh.select(F.col(id_col).alias("doc_id_b"), F.col("shingles").alias("__sh_b"))
-    rep_pairs = (
-        ra.join(cand, "doc_id_a")
-        .join(rb, "doc_id_b")
-        .select(
-            "doc_id_a",
-            "doc_id_b",
-            F.round(jaccard(F.col("__sh_a"), F.col("__sh_b")), 4).alias("jaccard"),
-        )
-    )
-    if threshold > 0:
-        rep_pairs = rep_pairs.filter(F.col("jaccard") >= threshold)
+    rep_pairs = _verify(rep_sh, minhash_candidates(rep_sh, k, bands, id_col, family))
     key_of_rep = reps.select("__rid", "__k")
     rp = rep_pairs.join(
         key_of_rep.select(F.col("__rid").alias("doc_id_a"), F.col("__k").alias("__ka")),

@@ -447,7 +447,12 @@ class TestSetIdentityFactorization:
         )
 
         fact = sorted(
-            map(tuple, minhash_dedup_pairs(corpus, n=n, threshold=threshold).collect())
+            map(
+                tuple,
+                minhash_dedup_pairs(
+                    corpus, n=n, threshold=threshold, factorize=True
+                ).collect(),
+            )
         )
         direct = sorted(
             map(
@@ -460,7 +465,12 @@ class TestSetIdentityFactorization:
                 ).collect(),
             )
         )
-        assert fact == direct
+        # adaptive default must agree with both (whichever branch the
+        # measured ratio picks)
+        adaptive = sorted(
+            map(tuple, minhash_dedup_pairs(corpus, n=n, threshold=threshold).collect())
+        )
+        assert fact == direct == adaptive
         if threshold <= 0.6 and n == 3:
             ids = {frozenset(p[:2]) for p in fact}
             # clone groups fully paired, near-dup crosses into group 1
