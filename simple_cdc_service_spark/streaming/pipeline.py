@@ -1268,15 +1268,21 @@ def start_corpus_dedup_admission(
             # quality gate first: a rejected doc must neither enter the
             # store nor act as a dedup cluster representative
             docs = quality_filter(docs)
-        docs = docs.localCheckpoint(eager=True)
+        docs = docs.localCheckpoint(eager=False)
         # shingle ONCE, band ONCE per batch: collapse, probe, verify, and
         # the final signature write all reuse these two checkpointed
         # frames (the r4 form re-shingled the batch four times and
         # re-signed it three times — measured as the dominant share of
-        # the ~5-6s/batch fixed floor, NOTES r5)
-        sh = shingle_docs(docs, n).localCheckpoint(eager=True)
+        # the ~5-6s/batch fixed floor, NOTES r5). The checkpoints are
+        # LAZY since r6: the losers collect below is the batch's first
+        # action and materializes the whole docs→shingles→banded chain
+        # in ONE job — eager staging spent three synchronous jobs on the
+        # same work (7 → 4 jobs/batch measured; the fixed per-job
+        # scheduling floor was the residual cost the r6 store-cache A/B
+        # attributed the steady state to)
+        sh = shingle_docs(docs, n).localCheckpoint(eager=False)
         banded = minhash_banded(sh, k, bands, family=family).localCheckpoint(
-            eager=True
+            eager=False
         )
         # 1. within-batch collapse: one survivor (min id) PER CONNECTED
         # COMPONENT of the verified-pair graph — cluster-representative
@@ -1323,25 +1329,31 @@ def start_corpus_dedup_admission(
                 sh_live, sh_matched, cand, threshold
             ).select(F.col("doc_id")).distinct()
             docs = docs.join(dupped, "doc_id", "left_anti")
-        docs = docs.localCheckpoint(eager=True)
-        # 3. idempotent versioned append: docs first, sigs (+marker) last;
-        # signatures are the admitted subset of the already-staged banded
-        # frame (semi-join against the CHECKPOINTED admitted set — the
-        # write re-runs no shingling, no signing, no verify chain)
-        docs.write.mode("overwrite").parquet(
-            os.path.join(corpus_dir, "docs", f"v{batch_id}")
-        )
-        banded.join(docs.select("doc_id"), "doc_id", "left_semi").write.mode(
+        # 3. idempotent versioned append: docs first, sigs (+marker) last.
+        # The docs write itself materializes the admission chain (probe →
+        # verify → anti-join, all over the already-checkpointed staging
+        # frames); the sigs semi-join then reads the admitted ids BACK
+        # from the just-written parquet — replacing the former
+        # checkpoint-then-write pair (2 jobs) with write-then-scan (the
+        # read-back is a tiny fresh local file). Result frames are
+        # byte-identical: the semi-join key set is the same admitted set
+        # either way (pinned in test_streaming.py).
+        docs_path = os.path.join(corpus_dir, "docs", f"v{batch_id}")
+        sigs_path = os.path.join(corpus_dir, "sigs", f"v{batch_id}")
+        docs.write.mode("overwrite").parquet(docs_path)
+        admitted_ids = spark.read.parquet(docs_path).select("doc_id")
+        banded.join(admitted_ids, "doc_id", "left_semi").write.mode(
             "overwrite"
-        ).parquet(os.path.join(corpus_dir, "sigs", f"v{batch_id}"))
+        ).parquet(sigs_path)
         if cache_store:
-            # extend the cache with this batch's own in-memory admitted
-            # frames — the next batch probes them without a disk read
+            # extend the cache with the just-written admitted frames —
+            # read back from parquet so the cached legs are scans, not
+            # replays of this batch's verify chain
             _store_cache_append(
                 corpus_dir,
                 batch_id,
-                banded.join(docs.select("doc_id"), "doc_id", "left_semi"),
-                docs,
+                spark.read.parquet(sigs_path),
+                spark.read.parquet(docs_path),
             )
 
     writer = stream.writeStream.foreachBatch(handle).option(
