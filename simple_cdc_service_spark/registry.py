@@ -820,11 +820,19 @@ def _xx64_setup(con) -> None:
                        ELSE [] END) AS shingles
            FROM w),
     u AS (SELECT doc_id, unnest(shingles) AS s FROM sh),
+    -- hash DISTINCT shingles once, then join: xx64 is a pure function
+    -- of s, so this is identical to hashing per occurrence — but the
+    -- scalar-Python UDF runs 236k times instead of 39M at 10x bench
+    -- scale (shared vocabulary: 29k distinct shingles across 4.9M
+    -- occurrences), which cut this oracle from ~280s to seconds
+    ds AS (SELECT DISTINCT s FROM u),
+    hx AS (SELECT s, [xx64(0, s), xx64(1, s), xx64(2, s), xx64(3, s),
+                      xx64(4, s), xx64(5, s), xx64(6, s), xx64(7, s)] AS hs
+           FROM ds),
     mh AS (SELECT doc_id,
-                  [min(xx64(0, s)), min(xx64(1, s)), min(xx64(2, s)),
-                   min(xx64(3, s)), min(xx64(4, s)), min(xx64(5, s)),
-                   min(xx64(6, s)), min(xx64(7, s))] AS sig
-           FROM u GROUP BY doc_id),
+                  [min(hs[1]), min(hs[2]), min(hs[3]), min(hs[4]),
+                   min(hs[5]), min(hs[6]), min(hs[7]), min(hs[8])] AS sig
+           FROM u JOIN hx USING (s) GROUP BY doc_id),
     banded AS (SELECT doc_id, bnd.band,
                       CASE WHEN sig[1] IS NULL THEN NULL
                            ELSE sig[CAST(bnd.band*2+1 AS INT)] || '|'
