@@ -937,18 +937,45 @@ def dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "dedup_ngram_jaccard",
+    # (source, word-set) factorized like the dedup_ngram_lsh oracle
+    # (NOTES r6): jaccard is a set function and blocking is per source,
+    # so the all-pairs intersect runs over one representative per
+    # distinct set and pairs expand through membership (within-group
+    # pairs are exactly 1.0). Identical output; the unfactorized form
+    # ground through clone-clique squares at 10x bench scale.
     oracle="""
     WITH w AS (SELECT doc_id, source, list_distinct(string_split(lower(text), ' ')) AS ws
-               FROM documents)
-    SELECT a.doc_id AS doc_id_a, b.doc_id AS doc_id_b,
-           round(len(list_intersect(a.ws, b.ws)) * 1.0
-                 / len(list_distinct(list_concat(a.ws, b.ws))), 4) AS jaccard
-    FROM w a JOIN w b ON a.source = b.source AND a.doc_id < b.doc_id
-    -- length-ratio prune (implied by jaccard >= 0.95: min/max set size
-    -- must be >= the threshold) mirrors the engine's O(1) join residual
-    WHERE len(a.ws) >= 0.95 * len(b.ws) AND len(b.ws) >= 0.95 * len(a.ws)
-      AND round(len(list_intersect(a.ws, b.ws)) * 1.0
-                / len(list_distinct(list_concat(a.ws, b.ws))), 4) >= 0.95
+               FROM documents),
+    keyed AS (SELECT doc_id, source, ws,
+                     md5(source || chr(1) ||
+                         list_aggregate(list_sort(ws), 'string_agg', chr(0))) AS k
+              FROM w),
+    grp AS (SELECT k, min(doc_id) AS rid, any_value(source) AS source,
+                   any_value(ws) AS ws
+            FROM keyed GROUP BY k),
+    rep_pairs AS (
+        SELECT a.k AS ka, b.k AS kb,
+               round(len(list_intersect(a.ws, b.ws)) * 1.0
+                     / len(list_distinct(list_concat(a.ws, b.ws))), 4) AS jaccard
+        FROM grp a JOIN grp b ON a.source = b.source AND a.rid < b.rid
+        -- length-ratio prune (implied by jaccard >= 0.95: min/max set
+        -- size must be >= the threshold) mirrors the engine's O(1)
+        -- join residual
+        WHERE len(a.ws) >= 0.95 * len(b.ws) AND len(b.ws) >= 0.95 * len(a.ws)
+          AND round(len(list_intersect(a.ws, b.ws)) * 1.0
+                    / len(list_distinct(list_concat(a.ws, b.ws))), 4) >= 0.95),
+    cross_pairs AS (
+        SELECT least(x.doc_id, y.doc_id) AS doc_id_a,
+               greatest(x.doc_id, y.doc_id) AS doc_id_b,
+               p.jaccard
+        FROM rep_pairs p
+        JOIN keyed x ON x.k = p.ka
+        JOIN keyed y ON y.k = p.kb),
+    within_pairs AS (
+        SELECT a.doc_id AS doc_id_a, b.doc_id AS doc_id_b,
+               CAST(1.0 AS DOUBLE) AS jaccard
+        FROM keyed a JOIN keyed b ON a.k = b.k AND a.doc_id < b.doc_id)
+    SELECT * FROM cross_pairs UNION ALL SELECT * FROM within_pairs
     """,
 )
 def dedup_ngram_jaccard_q(spark: SparkSession, sf_dir: str) -> DataFrame:
