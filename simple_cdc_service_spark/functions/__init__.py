@@ -159,20 +159,33 @@ def _chunk_min(hashed: Column, j: int) -> Column:
 
 
 def jaccard(a: Column, b: Column) -> Column:
-    """Jaccard similarity of two DISTINCT-element arrays. Two EMPTY sets
+    """Set-Jaccard similarity of two arrays — safe for ARBITRARY inputs:
+    duplicate elements are collapsed (array_distinct) before the set
+    algebra, so the public contract is plain set Jaccard with no
+    precondition (ADVICE r6: the precondition-guarded fast form returned
+    silently wrong values on duplicate-element arrays). Two EMPTY sets
     yield NULL (0/0), not an ANSI divide-by-zero: a pair of contentless
     documents has no similarity evidence, and NULL fails every
     >= threshold verify filter, so such pairs drop out.
 
-    |A∪B| is derived as |A|+|B|−|A∩B| instead of building the union
-    array — the intersect is the only per-pair hash-set pass (the verify
-    hot path pays ~150 µs per 200-element array op; halving the set
-    builds matters at millions of candidates, NOTES r6). Requires
-    distinct-element inputs (every caller shingles/word-sets with
-    *_distinct) — with duplicate elements the identity (and Jaccard on
-    multisets generally) is undefined. The duplicated intersect subtree
-    is eliminated by codegen subexpression elimination. Integer-identical
-    to size(array_union): same division, same doubles as the oracle's
-    len(list_distinct(list_concat(...)))."""
+    Hot paths that already guarantee distinct elements (shingle/word-set
+    pipelines) call jaccard_distinct directly and skip the two
+    array_distinct passes."""
+    return jaccard_distinct(F.array_distinct(a), F.array_distinct(b))
+
+
+def jaccard_distinct(a: Column, b: Column) -> Column:
+    """Jaccard similarity of two DISTINCT-element arrays (the verify-join
+    hot path). |A∪B| is derived as |A|+|B|−|A∩B| instead of building the
+    union array — the intersect is the only per-pair hash-set pass (the
+    verify hot path pays ~150 µs per 200-element array op; halving the
+    set builds matters at millions of candidates, NOTES r6). REQUIRES
+    distinct-element inputs (in-repo callers shingle/word-set with
+    *_distinct); with duplicates use jaccard(), which normalizes first.
+    The duplicated intersect subtree is eliminated by codegen
+    subexpression elimination. Integer-identical to size(array_union):
+    same division, same doubles as the oracle's
+    len(list_distinct(list_concat(...))). Empty∩empty yields NULL, as
+    jaccard()."""
     inter = F.size(F.array_intersect(a, b))
     return inter / F.nullif(F.size(a) + F.size(b) - inter, F.lit(0))

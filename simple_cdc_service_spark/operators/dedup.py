@@ -24,7 +24,7 @@ from ..functions import (
     as_double_array,
     cosine,
     dot,
-    jaccard,
+    jaccard_distinct,
     minhash_signature,
     norm,
     word_ngrams,
@@ -37,6 +37,48 @@ from ..functions import (
 # (3-gram sets measure ~1.0 distinct at every bench scale, unigram sets
 # 0.079 at 10x — see the function docstring and NOTES r6).
 FACTORIZE_MAX_RATIO = 0.5
+
+# Session-scoped cache of the adaptive-factorization DECISION (VERDICT
+# r6 #1): the decision statistic (distinct-set/doc ratio) is a pure
+# function of (corpus content, shingle width, text column), so repeated
+# calls over the same unchanged corpus — dedup_minhash and
+# dedup_minhash_fast share one corpus and shingle width — need not each
+# re-pay the ~0.2 s approx_count_distinct pass. The key is
+# (plan semantic hash, sorted input files with mtime_ns + size, n,
+# text_col): any in-place rewrite of an input file, a different source
+# frame, or different shingle params misses and re-measures. Frames
+# whose inputs cannot be fingerprinted (no files / non-local URIs /
+# stat failure) are NEVER cached — the decision is simply re-measured,
+# so the cache can only ever skip a recomputation of an identical
+# statistic, never serve a wrong one.
+_FACTORIZE_DECISION_CACHE: dict = {}
+_FACTORIZE_DECISION_CACHE_MAX = 64
+
+
+def _factorize_cache_key(df: DataFrame, n: int, text_col: str):
+    import os
+    from urllib.parse import unquote, urlparse
+
+    try:
+        files = df.inputFiles()
+        if not files:
+            return None
+        sem = df.semanticHash()
+    except Exception:
+        return None
+    fps = []
+    for f in sorted(files):
+        p = f
+        if p.startswith("file:"):
+            p = unquote(urlparse(p).path)
+        elif "://" in p:
+            return None  # remote store: no cheap mtime — re-measure
+        try:
+            st = os.stat(p)
+        except OSError:
+            return None
+        fps.append((p, st.st_mtime_ns, st.st_size))
+    return (sem, tuple(fps), n, text_col)
 
 
 def dedup_exact(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
@@ -279,7 +321,13 @@ def minhash_dedup_pairs(
     over the staged set keys (ids+hashes only, riding the checkpoint
     materialization — no array shuffle) measures the distinct-set
     ratio; below ``FACTORIZE_MAX_RATIO`` the factorized pipeline runs,
-    above it the direct one. Measured on the bench corpora: unigram
+    above it the direct one. The decision is CACHED per (source-plan
+    semantic hash, input files + mtimes, n, text_col) within the
+    session (_FACTORIZE_DECISION_CACHE): callers re-running over the
+    same unchanged corpus — e.g. the md5 and xxhash64 bench entries
+    share one corpus and shingle width — pay the measurement once; any
+    file rewrite or parameter change misses and re-measures.
+    Measured on the bench corpora: unigram
     sets are 0.079 distinct at 10× scale (factorize: dead → 21 s) but
     0.79 at 1× and 3-gram sets are ~1.0 distinct at EVERY scale —
     a static factorization would pay ~1 s of pure grouping/expansion
@@ -301,7 +349,7 @@ def minhash_dedup_pairs(
             .select(
                 "doc_id_a",
                 "doc_id_b",
-                F.round(jaccard(F.col("__sh_a"), F.col("__sh_b")), 4).alias("jaccard"),
+                F.round(jaccard_distinct(F.col("__sh_a"), F.col("__sh_b")), 4).alias("jaccard"),
             )
         )
         # threshold 0 keeps every candidate — skipping the no-op filter
@@ -332,22 +380,30 @@ def minhash_dedup_pairs(
     # this one count (the exact md5-of-sorted group key is computed
     # only when factorizing). HLL precision is ample for a 0.5 cutoff.
     if factorize is None:
-        dk = F.when(
-            F.size("shingles") > 0,
-            F.aggregate(
-                F.transform(F.col("shingles"), lambda s: F.xxhash64(s)),
-                F.lit(0).cast("long"),
-                lambda acc, x: acc.bitwiseXOR(x),
-            ),
-        )
-        stats = sh.agg(
-            F.count(dk).alias("docs"),
-            F.approx_count_distinct(dk).alias("sets"),
-        ).first()
-        factorize = (
-            stats["docs"] > 0
-            and stats["sets"] / stats["docs"] < FACTORIZE_MAX_RATIO
-        )
+        ck = _factorize_cache_key(df, n, text_col)
+        if ck is not None and ck in _FACTORIZE_DECISION_CACHE:
+            factorize = _FACTORIZE_DECISION_CACHE[ck]
+        else:
+            dk = F.when(
+                F.size("shingles") > 0,
+                F.aggregate(
+                    F.transform(F.col("shingles"), lambda s: F.xxhash64(s)),
+                    F.lit(0).cast("long"),
+                    lambda acc, x: acc.bitwiseXOR(x),
+                ),
+            )
+            stats = sh.agg(
+                F.count(dk).alias("docs"),
+                F.approx_count_distinct(dk).alias("sets"),
+            ).first()
+            factorize = (
+                stats["docs"] > 0
+                and stats["sets"] / stats["docs"] < FACTORIZE_MAX_RATIO
+            )
+            if ck is not None:
+                if len(_FACTORIZE_DECISION_CACHE) >= _FACTORIZE_DECISION_CACHE_MAX:
+                    _FACTORIZE_DECISION_CACHE.clear()
+                _FACTORIZE_DECISION_CACHE[ck] = factorize
     if not factorize:
         return _verify(sh, minhash_candidates(sh, k, bands, id_col, family))
     # Exact set key: NULL for empty shingle sets (they can never pair —
@@ -389,7 +445,8 @@ def minhash_dedup_pairs(
         )
     )
     within = bucket_pairs(
-        grouped.select(F.col(id_col), F.lit(0).alias("band"), F.col("__k").alias("bv"))
+        grouped.select(F.col(id_col), F.lit(0).alias("band"), F.col("__k").alias("bv")),
+        id_col=id_col,  # ADVICE r6: collect_list must read the caller's id column
     ).withColumn("jaccard", F.lit(1.0))
     if threshold > 0:
         within = within.filter(F.col("jaccard") >= threshold)
@@ -470,7 +527,7 @@ def jaccard_verify_pairs(
         .select(
             F.col("doc_id_new").alias(id_col),
             "dup_of",
-            F.round(jaccard(F.col("__sh_a"), F.col("__sh_b")), 4).alias("jaccard"),
+            F.round(jaccard_distinct(F.col("__sh_a"), F.col("__sh_b")), 4).alias("jaccard"),
         )
         .filter(F.col("jaccard") >= threshold)
     )
@@ -626,7 +683,7 @@ def ngram_jaccard_pairs(
         .select(
             "doc_id_a",
             "doc_id_b",
-            F.round(jaccard(F.col("ws_a"), F.col("ws_b")), 4).alias("jaccard"),
+            F.round(jaccard_distinct(F.col("ws_a"), F.col("ws_b")), 4).alias("jaccard"),
         )
         .filter(F.col("jaccard") >= threshold)
     )
@@ -722,7 +779,7 @@ def prefix_jaccard_pairs(
         .select(
             "doc_id_a",
             "doc_id_b",
-            F.round(jaccard(F.col("ws_a"), F.col("ws_b")), 4).alias("jaccard"),
+            F.round(jaccard_distinct(F.col("ws_a"), F.col("ws_b")), 4).alias("jaccard"),
         )
         .filter(F.col("jaccard") >= threshold)
     )
@@ -845,11 +902,20 @@ def embedding_dup_pairs(
 
     from ..sources.tables import spread
 
-    e = spread(df).select(
-        F.col(id_col),
-        F.col(block_col).alias("blk"),
-        as_double_array(F.col(vec_col)).alias("v"),
-    ).withColumn("nrm", norm(F.col("v")))
+    e = (
+        spread(df)
+        .select(
+            F.col(id_col),
+            F.col(block_col).alias("blk"),
+            as_double_array(F.col(vec_col)).alias("v"),
+        )
+        # Join null-propagation parity (ADVICE r6): the equi-join this
+        # replaces (a.blk = b.blk, and the oracle's a.label = b.label)
+        # never matches NULL blocks, but groupBy would put all NULL-blk
+        # rows into ONE processed group and pair them with each other.
+        .filter(F.col("blk").isNotNull())
+        .withColumn("nrm", norm(F.col("v")))
+    )
     id_type = df.schema[id_col].dataType
     out_schema = StructType(
         [

@@ -1064,19 +1064,30 @@ def probe_corpus_sigs(
 _STORE_CACHE: dict[str, dict] = {}
 
 
+def _marker_mtime(corpus_dir: str, base, delta_ids):
+    """Current on-disk mtime of the newest commit marker in the given
+    layout (last delta's _SUCCESS, else the base's _THROUGH), or None if
+    the layout is empty or the marker vanished (→ callers treat the
+    cached legs as stale and rebuild)."""
+    try:
+        if delta_ids:
+            return os.path.getmtime(
+                os.path.join(corpus_dir, "sigs", f"v{delta_ids[-1]}", "_SUCCESS")
+            )
+        if base:
+            return os.path.getmtime(os.path.join(base, "_THROUGH"))
+    except OSError:
+        return None
+    return None
+
+
 def _store_layout_key(corpus_dir: str):
     """(sigs base, committed delta ids, newest marker mtime) — changes on
     every commit, compaction, vacuum, or directory recreation."""
     base, through = _latest_base(corpus_dir, "sigs")
     deltas = _committed_versions(corpus_dir, through, "sigs")
-    mtime = None
-    if deltas:
-        mtime = os.path.getmtime(
-            os.path.join(corpus_dir, "sigs", f"v{deltas[-1][0]}", "_SUCCESS")
-        )
-    elif base:
-        mtime = os.path.getmtime(os.path.join(base, "_THROUGH"))
-    return base, tuple(i for i, _ in deltas), mtime
+    ids = tuple(i for i, _ in deltas)
+    return base, ids, _marker_mtime(corpus_dir, base, ids)
 
 
 def _cached_store(spark: SparkSession, corpus_dir: str):
@@ -1106,6 +1117,12 @@ def _cached_store(spark: SparkSession, corpus_dir: str):
         and ent["key"][0] == base
         and set(ent["key"][1]) <= set(ids)
         and ent["key"][2] is not None
+        # The cached legs are only reusable if the newest layout element
+        # the cache already holds is BYTE-UNCHANGED on disk: a delta
+        # rewritten in place (same version id, fresh _SUCCESS) must fall
+        # through to the full rebuild, honoring the "foreign writer
+        # always triggers a rebuild" contract (ADVICE r6).
+        and _marker_mtime(corpus_dir, ent["key"][0], ent["key"][1]) == ent["key"][2]
     ):
         # commits landed since the cache entry (normally our own appends
         # already covered them; this path heals a miss) — top up the legs

@@ -1,0 +1,274 @@
+"""Round-7 regression tests: the five ADVICE r6 findings plus the
+adaptive-factorization decision cache (VERDICT r7 item 1)."""
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+
+class TestEmbeddingPairsNullBlocks:
+    """ADVICE r6 (medium): the applyInPandas rewrite of
+    embedding_dup_pairs must preserve join NULL-propagation — rows whose
+    block value is NULL never pair with anything (the equi-join this
+    replaced, and the DuckDB oracle's a.label = b.label, never match
+    NULLs)."""
+
+    def test_null_blocks_emit_no_pairs(self, spark):
+        from simple_cdc_service_spark.operators.dedup import embedding_dup_pairs
+
+        # two identical vectors in a NULL block (cosine 1.0 — would pair
+        # if NULL blocks were grouped), plus a real block with a pair
+        rows = [
+            (1, None, [1.0, 0.0]),
+            (2, None, [1.0, 0.0]),
+            (3, "a", [0.0, 1.0]),
+            (4, "a", [0.0, 1.0]),
+        ]
+        df = spark.createDataFrame(
+            rows, "vec_id long, label string, embedding array<double>"
+        )
+        got = sorted(
+            (r.vec_id_a, r.vec_id_b)
+            for r in embedding_dup_pairs(df, threshold=0.9).collect()
+        )
+        assert got == [(3, 4)]
+
+    def test_all_null_blocks_empty(self, spark):
+        from simple_cdc_service_spark.operators.dedup import embedding_dup_pairs
+
+        df = spark.createDataFrame(
+            [(1, None, [1.0, 0.0]), (2, None, [1.0, 0.0])],
+            "vec_id long, label string, embedding array<double>",
+        )
+        assert embedding_dup_pairs(df, threshold=0.5).count() == 0
+
+
+class TestFactorizedCustomIdCol:
+    """ADVICE r6 (low): the factorized within-group expansion must
+    forward id_col to bucket_pairs — a non-default id column with the
+    factorized path chosen used to raise AnalysisException."""
+
+    ROWS = [
+        # clone group (identical sets) + a distinct doc, custom id col
+        (101, "alpha beta gamma delta epsilon zeta"),
+        (102, "alpha beta gamma delta epsilon zeta"),
+        (103, "alpha beta gamma delta epsilon zeta"),
+        (104, "totally different words here about storage engines"),
+    ]
+
+    def test_factorized_path_with_custom_id(self, spark):
+        from simple_cdc_service_spark.operators.dedup import minhash_dedup_pairs
+
+        df = spark.createDataFrame(self.ROWS, "docid long, text string")
+        fact = sorted(
+            map(
+                tuple,
+                minhash_dedup_pairs(
+                    df, n=1, id_col="docid", factorize=True
+                ).collect(),
+            )
+        )
+        direct = sorted(
+            map(
+                tuple,
+                minhash_dedup_pairs(
+                    df, n=1, id_col="docid", factorize=False
+                ).collect(),
+            )
+        )
+        assert fact == direct
+        assert {(a, b) for a, b, _ in fact} >= {(101, 102), (101, 103), (102, 103)}
+
+
+class TestJaccardPublicContract:
+    """ADVICE r6 (low): public jaccard() must be correct for arbitrary
+    arrays (duplicates collapsed); jaccard_distinct keeps the
+    precondition-guarded fast form for the verify hot path."""
+
+    def test_duplicates_collapsed(self, spark):
+        from simple_cdc_service_spark.functions import jaccard, jaccard_distinct
+
+        df = spark.createDataFrame(
+            [(["a", "a", "b"], ["b", "b", "c"])],
+            "a array<string>, b array<string>",
+        )
+        row = df.select(
+            jaccard(F.col("a"), F.col("b")).alias("j"),
+            jaccard_distinct(
+                F.array_distinct("a"), F.array_distinct("b")
+            ).alias("jd"),
+        ).first()
+        # set jaccard of {a,b} vs {b,c} = 1/3
+        assert row.j == pytest.approx(1 / 3)
+        assert row.j == row.jd
+
+    def test_distinct_inputs_identical(self, spark):
+        from simple_cdc_service_spark.functions import jaccard, jaccard_distinct
+
+        df = spark.createDataFrame(
+            [(["x", "y", "z"], ["y", "z", "w"]), ([], [])],
+            "a array<string>, b array<string>",
+        )
+        rows = df.select(
+            jaccard(F.col("a"), F.col("b")).alias("j"),
+            jaccard_distinct(F.col("a"), F.col("b")).alias("jd"),
+        ).collect()
+        assert rows[0].j == rows[0].jd == pytest.approx(0.5)
+        assert rows[1].j is None and rows[1].jd is None  # empty∩empty → NULL
+
+
+class TestHalfMem:
+    """ADVICE r6 (low): default maxResultSize is derived as half the
+    driver heap so a near-limit collect fails with the clean
+    maxResultSize error instead of OOMing the driver."""
+
+    def test_half_mem_parses(self):
+        from simple_cdc_service_spark.session import _half_mem
+
+        assert _half_mem("8g") == "4g"
+        assert _half_mem("1g") == "512m"
+        assert _half_mem("512m") == "256m"
+        assert _half_mem("3g") == "1536m"
+        assert _half_mem("100m") == "256m"  # floor
+        assert _half_mem("garbage") == "1g"  # conservative fallback
+
+
+class TestStoreCacheInPlaceRewrite:
+    """ADVICE r6 (low): a delta rewritten IN PLACE (same version ids,
+    fresh commit marker) must trigger a full cache rebuild — the top-up
+    branch may only fire when the newest cached layout element is
+    byte-unchanged on disk."""
+
+    DOCS = [
+        (1, "the quick brown fox one jumps over the lazy dog near river "
+            "bend while birds watch the water flow past the old mill"),
+        (2, "completely different content describing distributed storage "
+            "engines compaction strategies and write amplification costs"),
+    ]
+    DOCS2 = [
+        (30, "entirely novel text on tidal energy turbines and grid "
+             "integration challenges in northern estuaries today"),
+    ]
+
+    def _feed(self, src, name, rows):
+        import json
+
+        os.makedirs(src, exist_ok=True)
+        with open(os.path.join(src, name), "w") as f:
+            for did, text in rows:
+                f.write(json.dumps({"doc_id": did, "text": text}) + "\n")
+
+    def _run(self, spark, src, corpus_dir, ckpt):
+        from simple_cdc_service_spark.streaming.pipeline import (
+            start_corpus_dedup_admission,
+        )
+
+        stream = spark.readStream.schema("doc_id long, text string").json(src)
+        start_corpus_dedup_admission(
+            stream, corpus_dir, ckpt, threshold=0.5, cache_store=True
+        ).awaitTermination()
+
+    def test_inplace_delta_rewrite_rebuilds(self, spark, tmp_path):
+        from simple_cdc_service_spark.streaming.pipeline import (
+            _STORE_CACHE,
+            _cached_store,
+        )
+
+        src, cd, ck = (
+            str(tmp_path / "src"), str(tmp_path / "corpus"), str(tmp_path / "ckpt")
+        )
+        self._feed(src, "b1.json", self.DOCS)
+        self._run(spark, src, cd, ck)
+        self._feed(src, "b2.json", self.DOCS2)
+        self._run(spark, src, cd, ck)
+        ent = _STORE_CACHE[cd]
+        ids = ent["key"][1]
+        assert ids, "expected at least one committed delta"
+        last = ids[-1]
+        # rewrite the newest docs delta IN PLACE: same version id, doc 30's
+        # text changed, fresh _SUCCESS mtime on the sigs marker
+        ddir = os.path.join(cd, "docs", f"v{last}")
+        old = spark.read.parquet(ddir).toPandas()
+        old.loc[old.doc_id == 30, "text"] = "REWRITTEN BY FOREIGN WRITER"
+        rewritten = spark.createDataFrame(old)
+        rewritten.write.mode("overwrite").parquet(ddir + ".tmp")
+        import shutil
+
+        shutil.rmtree(ddir)
+        os.rename(ddir + ".tmp", ddir)
+        marker = os.path.join(cd, "sigs", f"v{last}", "_SUCCESS")
+        future = os.path.getmtime(marker) + 10
+        os.utime(marker, (future, future))
+        # the cache must now REBUILD from disk (stale legs hold the old
+        # text) — before the fix the top-up branch returned them as-is
+        _, docs = _cached_store(spark, cd)
+        texts = {r.doc_id: r.text for r in docs.collect()}
+        assert texts[30] == "REWRITTEN BY FOREIGN WRITER"
+
+
+class TestFactorizeDecisionCache:
+    """VERDICT r7 #1: the adaptive-factorization decision statistic is
+    cached per (source plan, input files + mtimes, shingle params) within
+    a session; any input-file rewrite invalidates the key."""
+
+    def _write_corpus(self, spark, path):
+        rows = [(i, f"unique words number {i} with shared filler tokens")
+                for i in range(20)]
+        spark.createDataFrame(rows, "doc_id long, text string").write.mode(
+            "overwrite"
+        ).parquet(path)
+        return spark.read.parquet(path)
+
+    def test_decision_cached_and_invalidated(self, spark, tmp_path):
+        from simple_cdc_service_spark.operators import dedup
+
+        path = str(tmp_path / "corpus.parquet")
+        df = self._write_corpus(spark, path)
+        dedup._FACTORIZE_DECISION_CACHE.clear()
+        r1 = sorted(map(tuple, dedup.minhash_dedup_pairs(df, n=1).collect()))
+        assert len(dedup._FACTORIZE_DECISION_CACHE) == 1
+        cached_decision = next(iter(dedup._FACTORIZE_DECISION_CACHE.values()))
+        # second adaptive run: served from cache (no new key), same output
+        r2 = sorted(map(tuple, dedup.minhash_dedup_pairs(df, n=1).collect()))
+        assert r1 == r2
+        assert len(dedup._FACTORIZE_DECISION_CACHE) == 1
+        # cached decision equals the forced-path equivalence
+        forced = sorted(
+            map(
+                tuple,
+                dedup.minhash_dedup_pairs(
+                    df, n=1, factorize=cached_decision
+                ).collect(),
+            )
+        )
+        assert forced == r1
+        # touching any input file changes the key → re-measured
+        for f in os.listdir(path):
+            fp = os.path.join(path, f)
+            os.utime(fp, (os.path.getmtime(fp) + 5, os.path.getmtime(fp) + 5))
+        dedup.minhash_dedup_pairs(df, n=1).collect()
+        assert len(dedup._FACTORIZE_DECISION_CACHE) == 2
+
+    def test_different_params_different_key(self, spark, tmp_path):
+        from simple_cdc_service_spark.operators import dedup
+
+        path = str(tmp_path / "corpus2.parquet")
+        df = self._write_corpus(spark, path)
+        dedup._FACTORIZE_DECISION_CACHE.clear()
+        dedup.minhash_dedup_pairs(df, n=1).collect()
+        dedup.minhash_dedup_pairs(df, n=3).collect()
+        assert len(dedup._FACTORIZE_DECISION_CACHE) == 2
+
+    def test_uncacheable_frames_not_cached(self, spark):
+        from simple_cdc_service_spark.operators import dedup
+
+        # in-memory frame: no input files → never cached, still correct
+        df = spark.createDataFrame(
+            [(1, "alpha beta gamma"), (2, "alpha beta gamma")],
+            "doc_id long, text string",
+        )
+        dedup._FACTORIZE_DECISION_CACHE.clear()
+        pairs = dedup.minhash_dedup_pairs(df, n=1).collect()
+        assert len(dedup._FACTORIZE_DECISION_CACHE) == 0
+        assert {(r.doc_id_a, r.doc_id_b) for r in pairs} == {(1, 2)}
