@@ -260,6 +260,37 @@ class TestFactorizeDecisionCache:
         dedup.minhash_dedup_pairs(df, n=3).collect()
         assert len(dedup._FACTORIZE_DECISION_CACHE) == 2
 
+    def test_shingle_stage_shared_across_families(self, spark, tmp_path):
+        """The staged shingle frame is family-independent: md5 and
+        xxhash64 pipelines over one unchanged corpus share a single
+        cached localCheckpoint, and both stay pair-set-identical to
+        their uncached (in-memory source) runs."""
+        from simple_cdc_service_spark.operators import dedup
+
+        path = str(tmp_path / "corpus3.parquet")
+        df = self._write_corpus(spark, path)
+        dedup._FACTORIZE_DECISION_CACHE.clear()
+        dedup._SHINGLE_STAGE_CACHE.clear()
+        md5 = {(r.doc_id_a, r.doc_id_b)
+               for r in dedup.minhash_dedup_pairs(df, n=3).collect()}
+        assert len(dedup._SHINGLE_STAGE_CACHE) == 1
+        cached_frame = next(iter(dedup._SHINGLE_STAGE_CACHE.values()))
+        xx = {(r.doc_id_a, r.doc_id_b)
+              for r in dedup.minhash_dedup_pairs(df, n=3, family="xxhash64").collect()}
+        # second family reused the same staged frame (no new entry)
+        assert len(dedup._SHINGLE_STAGE_CACHE) == 1
+        assert next(iter(dedup._SHINGLE_STAGE_CACHE.values())) is cached_frame
+        # outputs match the uncached in-memory-source runs exactly
+        mem = spark.createDataFrame(
+            spark.read.parquet(path).collect(), "doc_id long, text string"
+        )
+        assert md5 == {(r.doc_id_a, r.doc_id_b)
+                       for r in dedup.minhash_dedup_pairs(mem, n=3).collect()}
+        assert xx == {
+            (r.doc_id_a, r.doc_id_b)
+            for r in dedup.minhash_dedup_pairs(mem, n=3, family="xxhash64").collect()
+        }
+
     def test_uncacheable_frames_not_cached(self, spark):
         from simple_cdc_service_spark.operators import dedup
 
