@@ -336,3 +336,53 @@ def setup_knn_ivfpq(con) -> None:
             k=10, m=8, ksub=16, rerank=50, n_centroids=16, nprobe=8,
         ),
     )
+
+def _expected_kmeans_summary(con, src_sql: str, n_clusters: int, seed: int = 42):
+    """Full expected result of embedding_kmeans (kmeans_cluster_summary):
+    centroid training is the shared numpy recipe (parity by
+    construction); assignment is the engine's array_max over
+    (sequential-fold cosine, -cluster_id) structs — max sim, ties to the
+    lowest id; the per-cluster mean replicates the engine's EXACT
+    decimal accumulation: each double sim is quantized to 1e-18 HALF_UP
+    on its shortest decimal repr (JVM cast double→decimal(20,18)
+    semantics), decimals are summed exactly (order-free), the sum goes
+    back to the nearest double (decimal→double cast), divides by the
+    count, and rounds HALF_UP to 4 (engine F.round)."""
+    import pandas as pd
+
+    ids, vecs = _fetch(con, src_sql)
+    cent = kmeans_centroids_ref(con, src_sql, n_clusters, seed)
+    q18 = Decimal("1e-18")
+    sums: dict[int, Decimal] = {}
+    counts: dict[int, int] = {}
+    for v in vecs:
+        sims = [_cos(v, c) for c in cent]
+        best = min(range(len(cent)), key=lambda c: (-sims[c], c))
+        sums[best] = sums.get(best, Decimal(0)) + Decimal(
+            repr(sims[best])
+        ).quantize(q18, ROUND_HALF_UP)
+        counts[best] = counts.get(best, 0) + 1
+    out = [
+        {
+            "cluster_id": cid,
+            "n_vecs": counts[cid],
+            "avg_cos_to_centroid": _round_spark(float(sums[cid]) / counts[cid], 4),
+        }
+        for cid in sorted(counts)
+    ]
+    pdf = pd.DataFrame(out, columns=["cluster_id", "n_vecs", "avg_cos_to_centroid"])
+    return pdf.astype(
+        {"cluster_id": "int64", "n_vecs": "int64", "avg_cos_to_centroid": "float64"}
+    )
+
+
+def setup_embedding_kmeans(con) -> None:
+    """Registers ref_embedding_kmeans: the full expected cluster summary
+    over the whole embeddings table (n_clusters=8, seed=42)."""
+    _register(
+        con,
+        "ref_embedding_kmeans",
+        _expected_kmeans_summary(
+            con, "SELECT vec_id, embedding FROM embeddings", 8
+        ),
+    )

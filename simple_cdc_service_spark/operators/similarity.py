@@ -300,11 +300,25 @@ def kmeans_cluster_summary(
         (-F.col("b.neg_cid")).cast("long").alias("cluster_id"),
         F.col("b.sim").alias("sim"),
     )
+    # Mean cosine via EXACT decimal accumulation, not F.avg: a double
+    # sum's low bits depend on partition/merge order, so the rounded
+    # mean can flip at a .00005 boundary between runs and engines (the
+    # q1 money-sum disease, NOTES trap #18, in float clothing). Each
+    # per-row sim is deterministic (sequential-fold cosine of one row);
+    # casting it to decimal(20,18) (HALF_UP on the shortest decimal
+    # repr — replicated by the reference oracle) and summing in decimal
+    # space makes the aggregate order-independent, so the mean is a pure
+    # function of the data. decimal(30,18) sum headroom: |sim| <= 1 →
+    # no overflow below 10^12 vectors per cluster.
     return (
         assigned.groupBy("cluster_id")
         .agg(
             F.count("*").alias("n_vecs"),
-            F.round(F.avg("sim"), 4).alias("avg_cos_to_centroid"),
+            F.round(
+                F.sum(F.col("sim").cast("decimal(20,18)")).cast("double")
+                / F.count("*"),
+                4,
+            ).alias("avg_cos_to_centroid"),
         )
         .orderBy("cluster_id")
     )

@@ -3432,13 +3432,32 @@ def quality_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("embedding_kmeans", oracle=None)
+def _ref_kmeans_setup(con) -> None:
+    from .functions.ref_oracle import setup_embedding_kmeans
+
+    setup_embedding_kmeans(con)
+
+
+@register(
+    "embedding_kmeans",
+    # Full expected summary registered by the seeded-numpy reference
+    # (functions/ref_oracle.py::setup_embedding_kmeans); the driver's
+    # vanilla gate records this entry rows-only.
+    oracle="""
+    SELECT cluster_id, n_vecs, avg_cos_to_centroid
+    FROM ref_embedding_kmeans ORDER BY cluster_id
+    """,
+    oracle_setup=_ref_kmeans_setup,
+)
 def embedding_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Corpus clustering summary (domain discovery): seeded KMeans
+    """Corpus clustering summary (domain discovery): seeded numpy-Lloyd
     centroids + map-only nearest-centroid assignment, aggregated to one
-    row per cluster. Rows-only: MLlib centroid floats are not
-    reproducible across engines; determinism under a fixed seed and full
-    corpus coverage are pinned in tests."""
+    row per cluster. Hash-checked since r7: training is driver-side
+    seeded numpy (parity by construction), and the per-cluster mean
+    cosine accumulates in EXACT decimal space (order-free sums — the
+    former F.avg double fold was the one blocker keeping this entry
+    rows-only). Determinism under a fixed seed and full corpus coverage
+    are additionally pinned in tests."""
     from .operators.similarity import kmeans_cluster_summary
 
     return kmeans_cluster_summary(

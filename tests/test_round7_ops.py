@@ -303,3 +303,30 @@ class TestFactorizeDecisionCache:
         pairs = dedup.minhash_dedup_pairs(df, n=1).collect()
         assert len(dedup._FACTORIZE_DECISION_CACHE) == 0
         assert {(r.doc_id_a, r.doc_id_b) for r in pairs} == {(1, 2)}
+
+
+class TestKmeansSummaryDecimalMean:
+    """VERDICT r7 item 4: embedding_kmeans's per-cluster mean cosine
+    accumulates in exact decimal space, so the rounded mean is a pure
+    function of the data — identical across partition layouts (the F.avg
+    double fold it replaced was merge-order-dependent in the low bits,
+    the one blocker keeping the entry rows-only)."""
+
+    def test_mean_partition_layout_invariant(self, spark):
+        import numpy as np
+
+        from simple_cdc_service_spark.operators.similarity import (
+            kmeans_cluster_summary,
+        )
+
+        rng = np.random.default_rng(7)
+        rows = [(i, [float(x) for x in rng.standard_normal(16)]) for i in range(400)]
+        df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+        outs = []
+        for parts in (1, 7, 32):
+            got = kmeans_cluster_summary(
+                df.repartition(parts), n_clusters=4, seed=42
+            ).collect()
+            outs.append(sorted(tuple(r) for r in got))
+        assert outs[0] == outs[1] == outs[2]
+        assert sum(r[1] for r in outs[0]) == 400
