@@ -36,7 +36,6 @@ from __future__ import annotations
 
 from decimal import ROUND_HALF_UP, Decimal
 
-from .xxh64_py import spark_xxhash64_long_int
 
 # ---------------------------------------------------------------------------
 # numeric primitives mirroring the engine's folds
@@ -97,12 +96,15 @@ def _register(con, name: str, pdf) -> None:
 
 def _seeded_sample(ids, vecs, seed: int, cap: int):
     """Engine sample order: rank by xxhash64(vec_id, seed) ascending, cap.
-    64-bit hash ties don't occur, so the order is total."""
+    64-bit hash ties don't occur, so the order is total. Hashes come from
+    the vectorized numpy kernel (bit-parity with the scalar reference
+    pinned in tests) — the per-id scalar loop was O(corpus) Python at
+    sweep time."""
     import numpy as np
 
-    hs = np.array(
-        [spark_xxhash64_long_int(int(v), seed) for v in ids], dtype=np.int64
-    )
+    from .xxh64_np import spark_xxhash64_long_int_batch
+
+    hs = spark_xxhash64_long_int_batch(np.asarray(ids, dtype=np.int64), seed)
     order = np.argsort(hs, kind="stable")[:cap]
     return vecs[order]
 

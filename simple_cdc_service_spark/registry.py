@@ -793,9 +793,17 @@ def dedup_minhash_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _xx64_setup(con) -> None:
-    """Register the pure-Python XXH64 reference (functions/xxh64_py.py,
-    JVM-parity pinned in tests) as a DuckDB scalar UDF so the xxhash64
-    hash family becomes oracle-replicable."""
+    """Register the XXH64 reference (JVM-parity pinned in tests) as a
+    DuckDB UDF so the xxhash64 hash family becomes oracle-replicable.
+    Prefers the Arrow-vectorized numpy batch kernel
+    (functions/xxh64_np.py — the sf1 sweeps hash millions of shingles/
+    ids, and the per-call scalar UDF was the sweep's dominant cost);
+    falls back to the per-call pure-Python scalar on DuckDBs without
+    Arrow UDF support."""
+    from .functions.xxh64_np import register_xx64_arrow
+
+    if register_xx64_arrow(con):
+        return
     from .functions.xxh64_py import spark_xxhash64_int_str
 
     try:

@@ -330,3 +330,97 @@ class TestKmeansSummaryDecimalMean:
             outs.append(sorted(tuple(r) for r in got))
         assert outs[0] == outs[1] == outs[2]
         assert sum(r[1] for r in outs[0]) == 400
+
+
+class TestXxh64NumpyParity:
+    """VERDICT r7 item 3: the vectorized numpy XXH64 batch kernel is
+    bit-identical to the scalar reference (itself JVM-parity-pinned in
+    TestXxh64Parity) across every control-flow branch: empty, sub-4,
+    sub-8, sub-32, multi-stripe, and unicode inputs, with per-row
+    seeds."""
+
+    def test_batch_matches_scalar_all_lengths(self):
+        import random
+
+        import numpy as np
+
+        from simple_cdc_service_spark.functions.xxh64_py import xxh64
+        from simple_cdc_service_spark.functions.xxh64_np import xxh64_batch
+
+        rng = random.Random(11)
+        lens = [0, 1, 2, 3, 4, 5, 7, 8, 9, 12, 15, 16, 24, 31, 32, 33,
+                40, 63, 64, 65, 96, 100, 127, 128]
+        rows = [bytes(rng.randrange(256) for _ in range(L))
+                for L in lens for _ in range(8)]
+        seeds = np.array([rng.randrange(1 << 64) for _ in rows], dtype=np.uint64)
+        got = xxh64_batch(rows, seeds)
+        want = np.array(
+            [xxh64(b, int(s)) for b, s in zip(rows, seeds)], dtype=np.uint64
+        )
+        assert (got == want).all()
+
+    def test_int_str_batch_matches_scalar(self):
+        import numpy as np
+
+        from simple_cdc_service_spark.functions.xxh64_py import (
+            spark_xxhash64_int_str,
+        )
+        from simple_cdc_service_spark.functions.xxh64_np import (
+            spark_xxhash64_int_str_batch,
+        )
+
+        strs = ["", "a", "héllo wörld", "x" * 40, "шингл три грамма",
+                "the quick brown fox jumps over the lazy dog"] + [
+            f"tok{i} {i * 7} gram" for i in range(200)
+        ]
+        ints = [i % 8 for i in range(len(strs))]
+        got = spark_xxhash64_int_str_batch(ints, strs)
+        want = np.array(
+            [spark_xxhash64_int_str(i, s) for i, s in zip(ints, strs)],
+            dtype=np.int64,
+        )
+        assert (got == want).all()
+
+    def test_long_int_batch_matches_scalar(self):
+        import random
+
+        import numpy as np
+
+        from simple_cdc_service_spark.functions.xxh64_py import (
+            spark_xxhash64_long_int,
+        )
+        from simple_cdc_service_spark.functions.xxh64_np import (
+            spark_xxhash64_long_int_batch,
+        )
+
+        rng = random.Random(5)
+        longs = [rng.randrange(-(1 << 63), 1 << 63) for _ in range(500)] + [
+            0, 1, -1, (1 << 63) - 1, -(1 << 63)
+        ]
+        for seed in (42, 0, 7):
+            got = spark_xxhash64_long_int_batch(longs, seed)
+            want = np.array(
+                [spark_xxhash64_long_int(v, seed) for v in longs], dtype=np.int64
+            )
+            assert (got == want).all()
+
+    def test_duckdb_arrow_udf_matches_scalar_udf(self):
+        """The registered Arrow xx64 gives the same answers as the scalar
+        UDF through an actual DuckDB query (the oracle call shape)."""
+        import duckdb
+
+        from simple_cdc_service_spark.functions.xxh64_np import (
+            register_xx64_arrow,
+        )
+        from simple_cdc_service_spark.functions.xxh64_py import (
+            spark_xxhash64_int_str,
+        )
+
+        con = duckdb.connect()
+        assert register_xx64_arrow(con)
+        con.execute(
+            "CREATE TABLE t AS SELECT 'shingle ' || CAST(r AS VARCHAR) AS s, "
+            "CAST(r % 8 AS INTEGER) AS i FROM range(1000) tbl(r)"
+        )
+        rows = con.execute("SELECT i, s, xx64(i, s) FROM t ORDER BY s, i").fetchall()
+        assert all(h == spark_xxhash64_int_str(i, s) for i, s, h in rows)
