@@ -537,11 +537,14 @@ def jaccard_verify_pairs(
     cand: DataFrame,
     threshold: float,
     id_col: str = "doc_id",
+    carry: tuple[str, ...] = (),
 ) -> DataFrame:
     """Exact-Jaccard verify join over asymmetric candidates: ``cand`` is
     (doc_id_new, dup_of) id pairs, the shingle frames are (id, shingles).
     Returns (id_col, dup_of, jaccard) rows ≥ threshold. Joins are
-    unhinted — AQE sizes them from actual candidate volume."""
+    unhinted — AQE sizes them from actual candidate volume. ``carry``
+    names extra ``cand`` columns to pass through unchanged (e.g. the
+    batch/store source tag of the fused admission probe)."""
     a = sh_new.select(
         F.col(id_col).alias("doc_id_new"), F.col("shingles").alias("__sh_a")
     )
@@ -555,6 +558,7 @@ def jaccard_verify_pairs(
             F.col("doc_id_new").alias(id_col),
             "dup_of",
             F.round(jaccard_distinct(F.col("__sh_a"), F.col("__sh_b")), 4).alias("jaccard"),
+            *[F.col(c) for c in carry],
         )
         .filter(F.col("jaccard") >= threshold)
     )

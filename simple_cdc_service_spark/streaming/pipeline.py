@@ -1207,6 +1207,7 @@ def start_corpus_dedup_admission(
     family: str = "md5",
     quality_filter=None,
     cache_store: bool = False,
+    fuse_probe: bool = False,
 ):
     """Streaming corpus admission with incremental near-dup gating.
 
@@ -1266,7 +1267,19 @@ def start_corpus_dedup_admission(
     per-batch job count, not store I/O. Turn ON only when the store
     lives on genuinely slow/remote storage (object store with
     per-request latency) AND fits cluster storage memory; results are
-    identical either way (pinned in tests)."""
+    identical either way (pinned in tests).
+
+    ``fuse_probe`` folds the within-batch collapse INTO the store probe:
+    one banded candidate join of the batch against (batch ∪ store) and
+    one Jaccard verify chain over the union, instead of a self-join +
+    verify followed by a separate probe-join + verify. The batch band
+    frame broadcasts once, the verify chain's four joins become two, and
+    the split back into in-batch pairs (→ cluster losers) vs cross pairs
+    (→ store dups) rides a source tag carried through the verify.
+    Admitted set is IDENTICAL to the sequential path (pinned in tests):
+    cross-verifying a doc that the in-batch collapse will drop is wasted
+    verify rows, never a change to the final anti-join algebra. See
+    BENCH_streaming_r07 for the measured A/B."""
     from ..operators.dedup import (
         dup_cluster_losers_capped,
         jaccard_verify_pairs,
@@ -1301,39 +1314,44 @@ def start_corpus_dedup_admission(
         banded = minhash_banded(sh, k, bands, family=family).localCheckpoint(
             eager=False
         )
-        # 1. within-batch collapse: one survivor (min id) PER CONNECTED
-        # COMPONENT of the verified-pair graph — cluster-representative
-        # semantics (see docstring). In-batch components are candidate-
-        # bounded and tiny, so the losers come from ONE collect +
-        # driver union-find (capped, falls back to the distributed
-        # dup_clusters loop) instead of paying label propagation's
-        # per-batch job count.
-        pairs = minhash_dedup_pairs(
-            docs, n=n, k=k, bands=bands, threshold=threshold, family=family,
-            shingled=sh, banded=banded,
-        )
-        losers = dup_cluster_losers_capped(pairs)
-        docs = docs.join(losers, "doc_id", "left_anti")
-        sh_live = sh.join(losers, "doc_id", "left_anti")
-        banded_live = banded.join(losers, "doc_id", "left_anti")
-        # 2. cross-batch probe against the accumulated store; probe,
-        # verify, and the admission anti-join stay one fused lazy plan
-        # materialized by the pre-write checkpoint below. With
-        # cache_store both store sides come from executor storage
-        # (_cached_store) — the probe and the matched-docs verify read
-        # skip their per-batch parquet scans; shingling still runs only
-        # over candidate-MATCHED corpus rows (caching full-corpus
-        # shingle sets measured strictly worse, NOTES r6).
         store_sigs = store_docs = None
         if cache_store:
             store_sigs, store_docs = _cached_store(spark, corpus_dir)
-        cand0 = probe_corpus_sigs(
-            spark, corpus_dir, docs, n, k, bands, family, banded=banded_live,
-            sigs=store_sigs,
-        )
-        if cand0 is not None:
-            cand = cand0.localCheckpoint(eager=False)
-            matched_ids = cand.select(F.col("dup_of").alias("doc_id")).distinct()
+        sigs = store_sigs
+        if fuse_probe and sigs is None:
+            sigs = _read_sigs(spark, corpus_dir)
+        if fuse_probe and sigs is not None:
+            # FUSED collapse+probe (see docstring): one banded candidate
+            # join of the batch against (batch ∪ store), one verify
+            # chain, then split by the carried source tag — in-batch
+            # pairs feed the cluster collapse, cross pairs the store
+            # anti-join. Disjoint id spaces (store ids are prior
+            # batches') make the union unambiguous without the tag; the
+            # tag exists so the split is an O(1) filter, not a join.
+            rhs = banded.select(
+                F.col("doc_id").alias("dup_of"), "band", "bv",
+                F.lit("batch").alias("src"),
+            ).unionByName(
+                sigs.select(
+                    F.col("doc_id").alias("dup_of"), "band", "bv",
+                    F.lit("store").alias("src"),
+                )
+            )
+            cand_all = (
+                banded.select(F.col("doc_id").alias("doc_id_new"), "band", "bv")
+                .join(rhs, ["band", "bv"])
+                .filter(
+                    (F.col("src") == "store")
+                    | (F.col("doc_id_new") < F.col("dup_of"))
+                )
+                .select("doc_id_new", "dup_of", "src")
+                .distinct()
+            )
+            matched_ids = (
+                cand_all.filter(F.col("src") == "store")
+                .select(F.col("dup_of").alias("doc_id"))
+                .distinct()
+            )
             corpus = (
                 store_docs
                 if store_docs is not None
@@ -1342,10 +1360,66 @@ def start_corpus_dedup_admission(
             sh_matched = shingle_docs(
                 corpus.join(matched_ids, "doc_id", "left_semi"), n
             )
-            dupped = jaccard_verify_pairs(
-                sh_live, sh_matched, cand, threshold
-            ).select(F.col("doc_id")).distinct()
-            docs = docs.join(dupped, "doc_id", "left_anti")
+            verified = jaccard_verify_pairs(
+                sh, sh.unionByName(sh_matched), cand_all, threshold,
+                carry=("src",),
+            ).localCheckpoint(eager=False)
+            in_pairs = verified.filter(F.col("src") == "batch").select(
+                F.col("doc_id").alias("doc_id_a"),
+                F.col("dup_of").alias("doc_id_b"),
+            )
+            losers = dup_cluster_losers_capped(in_pairs)
+            dupped = (
+                verified.filter(F.col("src") == "store")
+                .select("doc_id")
+                .distinct()
+            )
+            docs = docs.join(losers, "doc_id", "left_anti").join(
+                dupped, "doc_id", "left_anti"
+            )
+        else:
+            # 1. within-batch collapse: one survivor (min id) PER
+            # CONNECTED COMPONENT of the verified-pair graph —
+            # cluster-representative semantics (see docstring). In-batch
+            # components are candidate-bounded and tiny, so the losers
+            # come from ONE collect + driver union-find (capped, falls
+            # back to the distributed dup_clusters loop) instead of
+            # paying label propagation's per-batch job count.
+            pairs = minhash_dedup_pairs(
+                docs, n=n, k=k, bands=bands, threshold=threshold, family=family,
+                shingled=sh, banded=banded,
+            )
+            losers = dup_cluster_losers_capped(pairs)
+            docs = docs.join(losers, "doc_id", "left_anti")
+            sh_live = sh.join(losers, "doc_id", "left_anti")
+            banded_live = banded.join(losers, "doc_id", "left_anti")
+            # 2. cross-batch probe against the accumulated store; probe,
+            # verify, and the admission anti-join stay one fused lazy plan
+            # materialized by the pre-write checkpoint below. With
+            # cache_store both store sides come from executor storage
+            # (_cached_store) — the probe and the matched-docs verify read
+            # skip their per-batch parquet scans; shingling still runs only
+            # over candidate-MATCHED corpus rows (caching full-corpus
+            # shingle sets measured strictly worse, NOTES r6).
+            cand0 = probe_corpus_sigs(
+                spark, corpus_dir, docs, n, k, bands, family, banded=banded_live,
+                sigs=store_sigs,
+            )
+            if cand0 is not None:
+                cand = cand0.localCheckpoint(eager=False)
+                matched_ids = cand.select(F.col("dup_of").alias("doc_id")).distinct()
+                corpus = (
+                    store_docs
+                    if store_docs is not None
+                    else read_corpus(spark, corpus_dir)
+                )
+                sh_matched = shingle_docs(
+                    corpus.join(matched_ids, "doc_id", "left_semi"), n
+                )
+                dupped = jaccard_verify_pairs(
+                    sh_live, sh_matched, cand, threshold
+                ).select(F.col("doc_id")).distinct()
+                docs = docs.join(dupped, "doc_id", "left_anti")
         # 3. idempotent versioned append: docs first, sigs (+marker) last.
         # The docs write itself materializes the admission chain (probe →
         # verify → anti-join, all over the already-checkpointed staging

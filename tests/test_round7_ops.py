@@ -424,3 +424,66 @@ class TestXxh64NumpyParity:
         )
         rows = con.execute("SELECT i, s, xx64(i, s) FROM t ORDER BY s, i").fetchall()
         assert all(h == spark_xxhash64_int_str(i, s) for i, s, h in rows)
+
+
+class TestFusedProbeAdmission:
+    """VERDICT r7 item 5: fuse_probe folds the within-batch collapse into
+    the store probe (one banded candidate join against batch ∪ store, one
+    verify chain). The admitted set must be IDENTICAL to the sequential
+    path on a feed exercising within-batch chains, cross-batch
+    near-dups, exact dups, and novel docs."""
+
+    TEXTS = {
+        1: "the quick brown fox one jumps over the lazy dog near river "
+           "bend while birds watch the water flow past the old mill",
+        2: "completely different content describing distributed storage "
+           "engines compaction strategies and write amplification costs",
+        3: "a third unrelated document about medieval falconry traditions "
+           "and the training of hunting birds across the centuries",
+    }
+
+    def _run_feed(self, spark, tmp_path, tag, fused):
+        import json as _json
+
+        from simple_cdc_service_spark.streaming.pipeline import (
+            read_corpus,
+            start_corpus_dedup_admission,
+        )
+
+        src = str(tmp_path / f"src_{tag}")
+        corpus_dir = str(tmp_path / f"corpus_{tag}")
+        ckpt = str(tmp_path / f"ckpt_{tag}")
+        os.makedirs(src)
+        t = self.TEXTS
+        batches = [
+            [(1, t[1]), (2, t[2])],
+            [
+                (10, t[1] + " tail"),          # cross-batch near-dup → reject
+                (20, t[3]), (21, t[3] + " extra"),  # in-batch pair → keep 20
+                (22, t[3] + " extra more"),    # chain: 20-21-22 one cluster
+                (30, "entirely novel text on tidal energy turbines and grid "
+                     "integration challenges in northern estuaries today"),
+            ],
+            [
+                (40, t[2]),                    # exact dup of admitted → reject
+                (41, "fresh prose concerning alpine glacier monitoring with "
+                     "radar interferometry and seasonal melt budget models"),
+            ],
+        ]
+        for i, rows in enumerate(batches):
+            with open(os.path.join(src, f"b{i}.json"), "w") as f:
+                for did, text in rows:
+                    f.write(_json.dumps({"doc_id": did, "text": text}) + "\n")
+            stream = spark.readStream.schema("doc_id long, text string").json(src)
+            start_corpus_dedup_admission(
+                stream, corpus_dir, ckpt, threshold=0.5,
+                fuse_probe=fused,
+            ).awaitTermination()
+        return sorted(r.doc_id for r in read_corpus(spark, corpus_dir).collect())
+
+    def test_fused_equals_sequential(self, spark, tmp_path):
+        seq = self._run_feed(spark, tmp_path, "seq", fused=False)
+        fus = self._run_feed(spark, tmp_path, "fus", fused=True)
+        assert seq == fus
+        # and the set itself is the expected admission outcome
+        assert seq == [1, 2, 20, 30, 41]

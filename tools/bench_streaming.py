@@ -67,7 +67,12 @@ def main(n_events: int = 50_000, chunks: int = 5) -> None:
     spark.stop()
 
 
-def bench_admission(n_docs: int = 5_000, chunks: int = 5, dup_fraction: float = 0.1) -> None:
+def bench_admission(
+    n_docs: int = 5_000,
+    chunks: int = 5,
+    dup_fraction: float = 0.1,
+    fuse_probe: bool = False,
+) -> None:
     """Corpus-admission throughput: feed the sf0.1 documents table through
     start_corpus_dedup_admission in K micro-batch cycles (within-batch
     collapse → signature-store probe → bounded verify → versioned commit)
@@ -112,7 +117,7 @@ def bench_admission(n_docs: int = 5_000, chunks: int = 5, dup_fraction: float = 
         tb = time.perf_counter()
         stream = spark.readStream.schema("doc_id long, text string").json(src)
         start_corpus_dedup_admission(
-            stream, corpus_dir, ckpt, threshold=0.6
+            stream, corpus_dir, ckpt, threshold=0.6, fuse_probe=fuse_probe
         ).awaitTermination()
         batch_secs.append(round(time.perf_counter() - tb, 2))
     wall = time.perf_counter() - t0
@@ -194,9 +199,11 @@ if __name__ == "__main__":
     if len(sys.argv) > 1 and sys.argv[1] == "admission":
         # admission [n_docs] [chunks] — e.g. the 10× batch-size point:
         #   SPARK_GRAFT_SF_DIR=/tmp/sf1 python tools/bench_streaming.py admission 50000 5
+        # trailing "fused" switches on the fused collapse+probe path
         bench_admission(
             n_docs=int(sys.argv[2]) if len(sys.argv) > 2 else 5_000,
             chunks=int(sys.argv[3]) if len(sys.argv) > 3 else 5,
+            fuse_probe="fused" in sys.argv[4:],
         )
     elif len(sys.argv) > 1 and sys.argv[1] == "scd2":
         bench_scd2()

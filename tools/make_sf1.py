@@ -15,7 +15,11 @@ now codified so any session can regenerate it).
   * embeddings: replica 0 verbatim; replicas 1..9 fresh uniform vectors
     (seeded) — ANN corpus grows 10× without planted structure.
 
-Usage: python tools/make_sf1.py [src_dir] [dst_dir]   (defaults below)
+Usage: python tools/make_sf1.py [src_dir] [dst_dir] [replicas]
+(defaults below; replicas=100 from sf0.1 yields the /tmp/sf10 100x
+replica used for the dedup/similarity-family scale evidence — same
+recipe, so the unigram word-set clone groups grow from 10 to 100
+members, the stress the set-identity factorization exists for)
 """
 
 from __future__ import annotations
@@ -30,7 +34,7 @@ import pandas as pd
 
 SRC = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
 DST = sys.argv[2] if len(sys.argv) > 2 else "/tmp/sf1"
-REPLICAS = 10
+REPLICAS = int(sys.argv[3]) if len(sys.argv) > 3 else 10
 
 # table -> columns to shift (every replica i adds i * (max(col0_of_table)+1)
 # to each listed column; col0 is the table's own key so span covers FKs)
