@@ -212,45 +212,105 @@ def bucket_pairs(
     bv_col: str = "bv",
     a_col: str = "doc_id_a",
     b_col: str = "doc_id_b",
+    chunk: int = 2048,
+    dedup: bool = True,
 ) -> DataFrame:
     """(id, band, bucket-value) rows → distinct candidate id pairs, a < b.
 
     Bucket-local pair generation instead of a self-join: group each band
-    bucket, explode id pairs from buckets with >1 member. One pass over
-    the upstream hashing pipeline (a self-join would recompute it for
-    BOTH sides) and one shuffle keyed on (band, band-value). Hot buckets
-    (near-identical corpus slices) are the skew risk — their pair count
-    is quadratic in bucket size, which is the inherent LSH cost, not a
-    join artifact.
+    bucket and expand its id pairs. One pass over the upstream hashing
+    pipeline (a self-join would recompute it for BOTH sides). Hot
+    buckets (near-identical corpus slices) are quadratic in bucket size
+    — that pair COUNT is the inherent LSH cost, but the WORK must not
+    be confined to the bucket's single groupBy partition, so expansion
+    is two-tier on ``chunk``:
 
-    TWO-STAGE explode: first one row per (bucket, left index i) — each
-    carrying the O(n) ids array — then the i-th row emits only its
-    (n-1-i) partners. Peak per-row memory is O(bucket), never
-    O(bucket²): the single-stage form (flatten over all i×j structs)
-    materialized the whole quadratic pair array inside ONE row and
-    OOMed the executor on a ~10k-member template-family bucket at sf1
-    (NOTES r6) — the pair COUNT is inherent to LSH, but it must stream
-    through the generator, not sit in an array."""
+    * buckets ≤ chunk: TWO-STAGE explode in place — one row per
+      (bucket, left index i), each emitting its (n−1−i) partners. Peak
+      per-row memory O(bucket), never O(bucket²) (the single-stage
+      flatten OOMed on a ~10k-member template bucket at sf1, NOTES r6).
+      The per-row copy of the ids array caps at chunk × chunk × 8 B
+      (~34 MB) per bucket — cheap below the threshold, and the pairs
+      never leave the bucket's partition before the final distinct.
+    * buckets > chunk: CHUNKED TRIANGULAR join — members get a rank (by
+      sorted id) and a chunk c = rank÷chunk; the (c1 ≤ c2) chunk-pair
+      grid becomes the join key, so each task expands at most chunk²
+      pairs and a giant bucket spreads over nc²/2 tasks instead of one.
+      Found at 100× scale (SCALE100 r7): a 24.8k-member word-set clone
+      group = 307M pairs and ~5 GB of per-row array copies serialized
+      through ONE task as a >25 min straggler; chunked, the same group
+      is 91 balanced tasks. The b side replicates each member once per
+      possible partner chunk (m × nc rows — ids only, no arrays), which
+      keeps every join key (band, bv, c1, c2) unique to one chunk pair.
+
+    ``dedup`` keeps the final distinct (the multi-band LSH contract — a
+    pair colliding in several bands must emit once). Single-band callers
+    whose buckets partition the ids (e.g. the set-identity within-group
+    expansion) pass False and skip a full shuffle of the quadratic pair
+    stream."""
     buckets = (
         banded.groupBy(band_col, bv_col)
         .agg(F.array_sort(F.collect_list(F.col(id_col))).alias("ids"))
         .filter((F.size("ids") > 1) & F.col(bv_col).isNotNull())
     )
     n = F.size(F.col("ids"))
-    lefts = buckets.select(
+    small = buckets.filter(n <= chunk)
+    lefts = small.select(
         "ids", F.explode(F.sequence(F.lit(0), n - 2)).alias("i")
     )
     partners = F.transform(
         F.sequence(F.col("i") + 1, F.size("ids") - 1),
         lambda j: F.element_at(F.col("ids"), (j + 1).cast("int")),
     )
-    return (
-        lefts.select(
-            F.element_at(F.col("ids"), (F.col("i") + 1).cast("int")).alias(a_col),
-            F.explode(partners).alias(b_col),
-        )
-        .distinct()
+    small_pairs = lefts.select(
+        F.element_at(F.col("ids"), (F.col("i") + 1).cast("int")).alias(a_col),
+        F.explode(partners).alias(b_col),
     )
+    large = buckets.filter(n > chunk).select(
+        band_col,
+        bv_col,
+        F.ceil(n / F.lit(chunk)).cast("int").alias("__nc"),
+        "ids",
+    )
+    mem = large.select(
+        band_col, bv_col, "__nc", F.posexplode("ids").alias("__r", "__id")
+    ).withColumn("__c", (F.col("__r") / F.lit(chunk)).cast("int"))
+    cp = large.select(
+        band_col,
+        bv_col,
+        "__nc",
+        F.explode(F.sequence(F.lit(0), F.col("__nc") - 1)).alias("__c1"),
+    ).select(
+        band_col,
+        bv_col,
+        "__c1",
+        F.explode(F.sequence(F.col("__c1"), F.col("__nc") - 1)).alias("__c2"),
+    )
+    a_side = mem.select(
+        band_col,
+        bv_col,
+        F.col("__c").alias("__c1"),
+        F.col("__r").alias("__ra"),
+        F.col("__id").alias(a_col),
+    )
+    # each member appears once per possible LEFT chunk ≤ its own, so the
+    # join key (band, bv, __c1, __c2) pins exactly one chunk pair
+    b_side = mem.select(
+        band_col,
+        bv_col,
+        F.col("__c").alias("__c2"),
+        F.col("__r").alias("__rb"),
+        F.col("__id").alias(b_col),
+        F.explode(F.sequence(F.lit(0), F.col("__c"))).alias("__c1"),
+    )
+    large_pairs = (
+        cp.join(a_side, [band_col, bv_col, "__c1"])
+        .join(b_side, [band_col, bv_col, "__c1", "__c2"])
+        .filter((F.col("__c1") < F.col("__c2")) | (F.col("__ra") < F.col("__rb")))
+        .select(a_col, b_col)
+    )
+    pairs = small_pairs.unionByName(large_pairs)
+    return pairs.distinct() if dedup else pairs
 
 
 def minhash_dedup_pairs(
@@ -474,6 +534,10 @@ def minhash_dedup_pairs(
     within = bucket_pairs(
         grouped.select(F.col(id_col), F.lit(0).alias("band"), F.col("__k").alias("bv")),
         id_col=id_col,  # ADVICE r6: collect_list must read the caller's id column
+        # single band + one group per doc → pairs are already unique;
+        # dedup would re-shuffle the quadratic within-group pair stream
+        # (380M rows at 100× scale) for nothing
+        dedup=False,
     ).withColumn("jaccard", F.lit(1.0))
     if threshold > 0:
         within = within.filter(F.col("jaccard") >= threshold)

@@ -487,3 +487,65 @@ class TestFusedProbeAdmission:
         assert seq == fus
         # and the set itself is the expected admission outcome
         assert seq == [1, 2, 20, 30, 41]
+
+
+class TestBucketPairsChunked:
+    """SCALE100 r7 disease: a 24.8k-member clone-group bucket put 307M
+    pairs and ~5 GB of per-row array copies through ONE task. bucket_pairs
+    now splits buckets past ``chunk`` into a chunked triangular join; the
+    pair SET must be identical across chunk settings (both tiers, both
+    dedup modes)."""
+
+    def _pairs(self, spark, rows, **kw):
+        from simple_cdc_service_spark.operators.dedup import bucket_pairs
+
+        df = spark.createDataFrame(rows, "doc_id long, band int, bv string")
+        return sorted(
+            (r.doc_id_a, r.doc_id_b) for r in bucket_pairs(df, **kw).collect()
+        )
+
+    def test_chunked_equals_inplace(self, spark):
+        import itertools
+        import random
+
+        rng = random.Random(13)
+        # buckets of size 1..9 across 2 bands; ids deliberately shared
+        # across bands so multi-band dedup matters
+        rows = []
+        for band in (0, 1):
+            ids = list(range(30))
+            rng.shuffle(ids)
+            at = 0
+            for size in (1, 2, 3, 5, 9, 7, 3):
+                bv = f"b{band}v{at}"
+                for d in ids[at : at + size]:
+                    rows.append((d, band, bv))
+                at += size
+        want = self._pairs(spark, rows, chunk=2048)  # all in-place
+        for chunk in (1, 2, 3, 4):
+            got = self._pairs(spark, rows, chunk=chunk)  # all/mixed chunked
+            assert got == want, chunk
+        # expected set from first principles
+        by_bucket = {}
+        for d, band, bv in rows:
+            by_bucket.setdefault((band, bv), []).append(d)
+        expect = sorted(
+            {
+                (min(a, b), max(a, b))
+                for ids in by_bucket.values()
+                for a, b in itertools.combinations(sorted(ids), 2)
+            }
+        )
+        assert want == expect
+
+    def test_dedup_false_single_band_partition(self, spark):
+        """Single band + partitioning buckets: dedup=False must give the
+        same pair set (each pair arises exactly once)."""
+        rows = [(d, 0, f"g{d % 3}") for d in range(20)]
+        assert self._pairs(spark, rows, chunk=4, dedup=False) == self._pairs(
+            spark, rows, chunk=2048, dedup=True
+        )
+
+    def test_null_and_singleton_buckets_drop(self, spark):
+        rows = [(1, 0, None), (2, 0, None), (3, 0, "solo"), (4, 0, "g"), (5, 0, "g")]
+        assert self._pairs(spark, rows, chunk=1) == [(4, 5)]
