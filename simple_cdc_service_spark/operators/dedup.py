@@ -681,6 +681,7 @@ def ngram_jaccard_pairs(
     block_col: str | None = "source",
     text_col: str = "text",
     id_col: str = "doc_id",
+    factorize: bool | None = None,
 ) -> DataFrame:
     """Blocked exact n-gram (here unigram-set) Jaccard dedup: compare only
     pairs within the same block, keep pairs ≥ threshold.
@@ -739,6 +740,7 @@ def ngram_jaccard_pairs(
             block_col=block_col,
             text_col=text_col,
             id_col=id_col,
+            factorize=factorize,
         )
     from ..sources.tables import spread
 
@@ -784,50 +786,15 @@ def ngram_jaccard_pairs(
     )
 
 
-def prefix_jaccard_pairs(
-    df: DataFrame,
-    threshold: float = 0.95,
-    block_col: str = "source",
-    text_col: str = "text",
-    id_col: str = "doc_id",
+def _prefix_filter_verify(
+    w: DataFrame, threshold: float, id_col: str
 ) -> DataFrame:
-    """EXACT set-similarity self-join via prefix filtering (the all-pairs
-    technique of Bayardo et al., WWW'07 / PPJoin) — same result set as
-    the brute-force blocked jaccard join, near-linear cost at high
-    thresholds.
-
-    Order the vocabulary by ascending document frequency (ties by token
-    string). A doc's PREFIX is its first ``p = |X| - ceil(t·|X|) + 1``
-    tokens in that order. Lossless-candidate proof: if j(A,B) ≥ t then
-    o = |A∩B| ≥ ceil(t·max(|A|,|B|)); let x be the SMALLEST shared token
-    — every token of A ordered before x lies in A\\B, and
-    |A\\B| ≤ |A| - o ≤ |A| - ceil(t·|A|) = p_A - 1, so x sits within A's
-    prefix, and symmetrically within B's. Hence every qualifying pair
-    shares an indexed token, and indexing only prefixes is exact.
-
-    Cost shape: the inverted index holds ~(1-t)·|X|+1 tokens per doc
-    (11 of ~200 at t=0.95) and those are each doc's RAREST tokens, so
-    posting lists are short; candidate pairs ≈ true-duplicate families
-    + a thin fringe, and the O(|words|) jaccard verify runs only on
-    those — measured 62M → ~100k verifications at 10× bench scale.
-    Every stage is a hash shuffle on a high-cardinality key (token,
-    doc id) — no few-key reducer, no broadcast requirement (the
-    doc-frequency join is a plain equi-join Spark may broadcast when
-    small; at corpus scale it degrades gracefully to shuffle).
-
-    The ceil uses a 1e-9 guard: t·|X| computed in doubles can land one
-    ulp ABOVE an exact integer (0.95×180 → 171.000…002), which would
-    shorten the prefix and break the losslessness proof; subtracting the
-    guard only ever LENGTHENS the prefix (safe direction)."""
+    """The prefix-filter join core over a staged (id, blk, ws, nw) frame:
+    inverted prefix index → blocked candidates with length prune →
+    exact-Jaccard verify. See prefix_jaccard_pairs for the proof and the
+    cost shape."""
     from pyspark.sql.window import Window
 
-    from ..sources.tables import spread
-
-    w = spread(df).select(
-        F.col(id_col),
-        F.col(block_col).alias("blk"),
-        F.array_distinct(words(F.col(text_col))).alias("ws"),
-    ).withColumn("nw", F.size("ws"))
     tok = w.select(id_col, "blk", "nw", F.explode("ws").alias("w"))
     dfreq = tok.groupBy("w").agg(F.count("*").alias("df_"))
     prefix_len = F.col("nw") - F.ceil(F.col("nw") * threshold - 1e-9) + 1
@@ -878,6 +845,141 @@ def prefix_jaccard_pairs(
         )
         .filter(F.col("jaccard") >= threshold)
     )
+
+
+def prefix_jaccard_pairs(
+    df: DataFrame,
+    threshold: float = 0.95,
+    block_col: str = "source",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    factorize: bool | None = None,
+) -> DataFrame:
+    """EXACT set-similarity self-join via prefix filtering (the all-pairs
+    technique of Bayardo et al., WWW'07 / PPJoin) — same result set as
+    the brute-force blocked jaccard join, near-linear cost at high
+    thresholds.
+
+    SET-IDENTITY FACTORIZATION (``factorize``, adaptive by default —
+    second disease found by the 100× run, SCALE100 r7): a clone-heavy
+    corpus makes even the lossless prefix filter quadratic, because every
+    member of an identical-word-set group is a true ≥ t match of every
+    other — at sf10 the engine verified ~380M within-group candidates
+    with full O(|words|) intersects (>1 h, 14 parallel tasks). When the
+    measured distinct-set ratio (same statistic, same session cache as
+    minhash_dedup_pairs — unigram shingle sets ARE word sets) is below
+    FACTORIZE_MAX_RATIO, the prefix join runs over one REPRESENTATIVE
+    per (block, word-set) group (~4k rows at sf10, not 500k), within-
+    group pairs expand directly with jaccard 1.0 through the chunked
+    bucket_pairs machinery, and cross-group rep pairs expand through the
+    group membership — the verify count collapses from O(Σ group²) to
+    O(distinct-set pairs).
+
+    Order the vocabulary by ascending document frequency (ties by token
+    string). A doc's PREFIX is its first ``p = |X| - ceil(t·|X|) + 1``
+    tokens in that order. Lossless-candidate proof: if j(A,B) ≥ t then
+    o = |A∩B| ≥ ceil(t·max(|A|,|B|)); let x be the SMALLEST shared token
+    — every token of A ordered before x lies in A\\B, and
+    |A\\B| ≤ |A| - o ≤ |A| - ceil(t·|A|) = p_A - 1, so x sits within A's
+    prefix, and symmetrically within B's. Hence every qualifying pair
+    shares an indexed token, and indexing only prefixes is exact.
+
+    Cost shape: the inverted index holds ~(1-t)·|X|+1 tokens per doc
+    (11 of ~200 at t=0.95) and those are each doc's RAREST tokens, so
+    posting lists are short; candidate pairs ≈ true-duplicate families
+    + a thin fringe, and the O(|words|) jaccard verify runs only on
+    those — measured 62M → ~100k verifications at 10× bench scale.
+    Every stage is a hash shuffle on a high-cardinality key (token,
+    doc id) — no few-key reducer, no broadcast requirement (the
+    doc-frequency join is a plain equi-join Spark may broadcast when
+    small; at corpus scale it degrades gracefully to shuffle).
+
+    The ceil uses a 1e-9 guard: t·|X| computed in doubles can land one
+    ulp ABOVE an exact integer (0.95×180 → 171.000…002), which would
+    shorten the prefix and break the losslessness proof; subtracting the
+    guard only ever LENGTHENS the prefix (safe direction)."""
+    from ..sources.tables import spread
+
+    w = spread(df).select(
+        F.col(id_col),
+        F.col(block_col).alias("blk"),
+        F.array_distinct(words(F.col(text_col))).alias("ws"),
+    ).withColumn("nw", F.size("ws")).localCheckpoint(eager=False)
+    if factorize is None:
+        # Same decision statistic, same cache as minhash_dedup_pairs —
+        # unigram shingle sets ARE the word sets, so a corpus measured
+        # for dedup_ngram_lsh never re-pays the pass here (and vice
+        # versa). Commutative xor-of-xxhash64 set hash: ids + 8 bytes
+        # only, riding the checkpoint materialization.
+        ck = _factorize_cache_key(df, 1, text_col)
+        if ck is not None and ck in _FACTORIZE_DECISION_CACHE:
+            factorize = _FACTORIZE_DECISION_CACHE[ck]
+        else:
+            dk = F.when(
+                F.size("ws") > 0,
+                F.aggregate(
+                    F.transform(F.col("ws"), lambda s: F.xxhash64(s)),
+                    F.lit(0).cast("long"),
+                    lambda acc, x: acc.bitwiseXOR(x),
+                ),
+            )
+            stats = w.agg(
+                F.count(dk).alias("docs"),
+                F.approx_count_distinct(dk).alias("sets"),
+            ).first()
+            factorize = (
+                stats["docs"] > 0
+                and stats["sets"] / stats["docs"] < FACTORIZE_MAX_RATIO
+            )
+            if ck is not None:
+                if len(_FACTORIZE_DECISION_CACHE) >= _FACTORIZE_DECISION_CACHE_MAX:
+                    _FACTORIZE_DECISION_CACHE.clear()
+                _FACTORIZE_DECISION_CACHE[ck] = factorize
+    if not factorize:
+        return _prefix_filter_verify(w, threshold, id_col)
+    # Group key = (block, exact word set); empty sets stay out (their
+    # pairwise jaccard is NULL — the brute-force join drops them too).
+    grouped = w.filter(F.size("ws") > 0).withColumn(
+        "__g",
+        F.concat_ws(
+            "\x00", F.col("blk"), F.md5(F.concat_ws("\x00", F.array_sort("ws")))
+        ),
+    )
+    reps = grouped.groupBy("__g").agg(
+        F.min(id_col).alias("__rid"),
+        F.first("blk").alias("blk"),
+        F.first("ws").alias("ws"),
+        F.first("nw").alias("nw"),
+    )
+    rep_w = reps.select(
+        F.col("__rid").alias(id_col), "blk", "ws", "nw"
+    ).localCheckpoint(eager=False)
+    rep_pairs = _prefix_filter_verify(rep_w, threshold, id_col)
+    key_of = reps.select("__rid", "__g")
+    rp = rep_pairs.join(
+        key_of.select(F.col("__rid").alias("doc_id_a"), F.col("__g").alias("__ga")),
+        "doc_id_a",
+    ).join(
+        key_of.select(F.col("__rid").alias("doc_id_b"), F.col("__g").alias("__gb")),
+        "doc_id_b",
+    )
+    ma = grouped.select(F.col("__g").alias("__ga"), F.col(id_col).alias("__xa"))
+    mb = grouped.select(F.col("__g").alias("__gb"), F.col(id_col).alias("__xb"))
+    cross = (
+        rp.join(ma, "__ga")
+        .join(mb, "__gb")
+        .select(
+            F.least("__xa", "__xb").alias("doc_id_a"),
+            F.greatest("__xa", "__xb").alias("doc_id_b"),
+            "jaccard",
+        )
+    )
+    within = bucket_pairs(
+        grouped.select(F.col(id_col), F.lit(0).alias("band"), F.col("__g").alias("bv")),
+        id_col=id_col,
+        dedup=False,  # one group per doc: pairs already unique
+    ).withColumn("jaccard", F.lit(1.0))
+    return cross.unionByName(within)
 
 
 def embedding_dup_pairs_lsh(

@@ -549,3 +549,63 @@ class TestBucketPairsChunked:
     def test_null_and_singleton_buckets_drop(self, spark):
         rows = [(1, 0, None), (2, 0, None), (3, 0, "solo"), (4, 0, "g"), (5, 0, "g")]
         assert self._pairs(spark, rows, chunk=1) == [(4, 5)]
+
+
+class TestPrefixJaccardFactorized:
+    """SCALE100 r7 disease #2: clone-heavy corpora make even the exact
+    prefix-filter join quadratic (every member of an identical-set group
+    truly matches every other). The set-identity factorized path must
+    produce the identical pair set + jaccard values as the direct path,
+    including cross-group near-matches and block boundaries."""
+
+    ROWS = [
+        # clone group A (identical word SET, different order), block s1
+        (1, "s1", "alpha beta gamma delta epsilon zeta eta theta"),
+        (2, "s1", "zeta epsilon delta gamma beta alpha theta eta"),
+        (3, "s1", "theta eta zeta epsilon delta gamma beta alpha"),
+        # near-match of A (7/9 overlap too low for 0.95 but high for 0.8):
+        (4, "s1", "alpha beta gamma delta epsilon zeta eta iota"),
+        # clone group B, block s1
+        (5, "s1", "one two three four five six seven eight nine ten"),
+        (6, "s1", "ten nine eight seven six five four three two one"),
+        # same set as A but DIFFERENT block: must never pair with A
+        (7, "s2", "alpha beta gamma delta epsilon zeta eta theta"),
+        (8, "s2", "theta zeta eta epsilon delta gamma beta alpha"),
+        # empty-TEXT docs: split('') yields [''], so their word set
+        # is {''} — they pair with each other (oracle's string_split
+        # agrees), just not with anything else
+        (9, "s1", ""),
+        (10, "s1", ""),
+    ]
+
+    def _pairs(self, spark, threshold, factorize):
+        from simple_cdc_service_spark.operators.dedup import prefix_jaccard_pairs
+
+        df = spark.createDataFrame(self.ROWS, "doc_id long, source string, text string")
+        return sorted(
+            (r.doc_id_a, r.doc_id_b, r.jaccard)
+            for r in prefix_jaccard_pairs(
+                df, threshold=threshold, factorize=factorize
+            ).collect()
+        )
+
+    @pytest.mark.parametrize("threshold", [0.95, 0.8])
+    def test_factorized_equals_direct(self, spark, threshold):
+        direct = self._pairs(spark, threshold, factorize=False)
+        fact = self._pairs(spark, threshold, factorize=True)
+        assert fact == direct
+        # clone groups fully paired within blocks, never across blocks
+        ids = {(a, b) for a, b, _ in fact}
+        assert {(1, 2), (1, 3), (2, 3), (5, 6), (7, 8)} <= ids
+        assert not any({a, b} & {7, 8} and {a, b} & {1, 2, 3, 4} for a, b in ids)
+        # empty-text docs pair only with each other
+        assert (9, 10) in ids
+        assert not any(
+            ({a, b} & {9, 10}) and ({a, b} - {9, 10}) for a, b in ids
+        )
+
+    def test_adaptive_decision_runs(self, spark):
+        """factorize=None on an in-memory frame (uncacheable key) must
+        still measure and produce the same result set."""
+        adaptive = self._pairs(spark, 0.95, factorize=None)
+        assert adaptive == self._pairs(spark, 0.95, factorize=False)
