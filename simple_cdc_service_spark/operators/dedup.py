@@ -65,6 +65,42 @@ _SHINGLE_STAGE_CACHE: dict = {}
 _SHINGLE_STAGE_CACHE_MAX = 8
 
 
+def _set_factorize_decision(
+    df: DataFrame, staged: DataFrame, set_col: str, n: int, text_col: str
+) -> bool:
+    """Adaptive set-identity factorization decision: measure the
+    distinct-set ratio via a commutative xor-of-xxhash64 set hash over
+    ``staged``'s ``set_col`` (ids + 8 bytes only — the agg rides the
+    staged frame's materialization) and compare to FACTORIZE_MAX_RATIO.
+    Cached per corpus fingerprint (_factorize_cache_key) — callers over
+    the same unchanged corpus and shingle width share one measurement
+    (minhash n=1, the prefix join, and the factorized clusters all key
+    identically because unigram shingle sets ARE word sets)."""
+    ck = _factorize_cache_key(df, n, text_col)
+    if ck is not None and ck in _FACTORIZE_DECISION_CACHE:
+        return _FACTORIZE_DECISION_CACHE[ck]
+    dk = F.when(
+        F.size(set_col) > 0,
+        F.aggregate(
+            F.transform(F.col(set_col), lambda s: F.xxhash64(s)),
+            F.lit(0).cast("long"),
+            lambda acc, x: acc.bitwiseXOR(x),
+        ),
+    )
+    stats = staged.agg(
+        F.count(dk).alias("docs"),
+        F.approx_count_distinct(dk).alias("sets"),
+    ).first()
+    factorize = (
+        stats["docs"] > 0 and stats["sets"] / stats["docs"] < FACTORIZE_MAX_RATIO
+    )
+    if ck is not None:
+        if len(_FACTORIZE_DECISION_CACHE) >= _FACTORIZE_DECISION_CACHE_MAX:
+            _FACTORIZE_DECISION_CACHE.clear()
+        _FACTORIZE_DECISION_CACHE[ck] = factorize
+    return factorize
+
+
 def _factorize_cache_key(df: DataFrame, n: int, text_col: str):
     import os
     from urllib.parse import unquote, urlparse
@@ -466,31 +502,7 @@ def minhash_dedup_pairs(
     # this one count (the exact md5-of-sorted group key is computed
     # only when factorizing). HLL precision is ample for a 0.5 cutoff.
     if factorize is None:
-        if ck is None:
-            ck = _factorize_cache_key(df, n, text_col)
-        if ck is not None and ck in _FACTORIZE_DECISION_CACHE:
-            factorize = _FACTORIZE_DECISION_CACHE[ck]
-        else:
-            dk = F.when(
-                F.size("shingles") > 0,
-                F.aggregate(
-                    F.transform(F.col("shingles"), lambda s: F.xxhash64(s)),
-                    F.lit(0).cast("long"),
-                    lambda acc, x: acc.bitwiseXOR(x),
-                ),
-            )
-            stats = sh.agg(
-                F.count(dk).alias("docs"),
-                F.approx_count_distinct(dk).alias("sets"),
-            ).first()
-            factorize = (
-                stats["docs"] > 0
-                and stats["sets"] / stats["docs"] < FACTORIZE_MAX_RATIO
-            )
-            if ck is not None:
-                if len(_FACTORIZE_DECISION_CACHE) >= _FACTORIZE_DECISION_CACHE_MAX:
-                    _FACTORIZE_DECISION_CACHE.clear()
-                _FACTORIZE_DECISION_CACHE[ck] = factorize
+        factorize = _set_factorize_decision(df, sh, "shingles", n, text_col)
     if not factorize:
         return _verify(sh, minhash_candidates(sh, k, bands, id_col, family))
     # Exact set key: NULL for empty shingle sets (they can never pair —
@@ -909,32 +921,8 @@ def prefix_jaccard_pairs(
         # Same decision statistic, same cache as minhash_dedup_pairs —
         # unigram shingle sets ARE the word sets, so a corpus measured
         # for dedup_ngram_lsh never re-pays the pass here (and vice
-        # versa). Commutative xor-of-xxhash64 set hash: ids + 8 bytes
-        # only, riding the checkpoint materialization.
-        ck = _factorize_cache_key(df, 1, text_col)
-        if ck is not None and ck in _FACTORIZE_DECISION_CACHE:
-            factorize = _FACTORIZE_DECISION_CACHE[ck]
-        else:
-            dk = F.when(
-                F.size("ws") > 0,
-                F.aggregate(
-                    F.transform(F.col("ws"), lambda s: F.xxhash64(s)),
-                    F.lit(0).cast("long"),
-                    lambda acc, x: acc.bitwiseXOR(x),
-                ),
-            )
-            stats = w.agg(
-                F.count(dk).alias("docs"),
-                F.approx_count_distinct(dk).alias("sets"),
-            ).first()
-            factorize = (
-                stats["docs"] > 0
-                and stats["sets"] / stats["docs"] < FACTORIZE_MAX_RATIO
-            )
-            if ck is not None:
-                if len(_FACTORIZE_DECISION_CACHE) >= _FACTORIZE_DECISION_CACHE_MAX:
-                    _FACTORIZE_DECISION_CACHE.clear()
-                _FACTORIZE_DECISION_CACHE[ck] = factorize
+        # versa).
+        factorize = _set_factorize_decision(df, w, "ws", 1, text_col)
     if not factorize:
         return _prefix_filter_verify(w, threshold, id_col)
     # Group key = (block, exact word set); empty sets stay out (their
@@ -1332,3 +1320,84 @@ def dup_cluster_losers_capped(
                 parent[ra] = rb
     losers = sorted(x for x in nodes if find(x) != x)
     return spark.createDataFrame([(x,) for x in losers], out_schema)
+
+
+def ngram_jaccard_clusters(
+    df: DataFrame,
+    threshold: float = 0.95,
+    block_col: str = "source",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    factorize: bool | None = None,
+) -> DataFrame:
+    """Dedup completion in one operator: blocked exact word-set Jaccard
+    pairs → connected components → (doc_id, cluster_id = component min).
+
+    The point of fusing pairs+clusters (vs dup_clusters over
+    ngram_jaccard_pairs) is the factorized path: label propagation over
+    clone-clique edges is quadratic per clique (sf10: ~760M directed
+    edges from 380M within-group pairs), but jaccard is a function of
+    the word SET and blocking is per block column, so docs sharing
+    (block, set) are interchangeable — the components of the full graph
+    are exactly the components of the REPRESENTATIVE graph (one rep per
+    group, ~4k nodes at sf10) expanded through group membership, and
+    each rep is its group's min id so component-min labels agree. Same
+    algebra as the DuckDB oracle's recursive-CTE closure (registry
+    dedup_clusters) and the same adaptive decision + session cache as
+    the pair operators. Membership rule: a doc belongs to the output iff
+    its rep has a cross edge (component label = rep component's label)
+    or its group has ≥ 2 members (within-group jaccard is exactly 1.0;
+    label = rep id).
+
+    Direct path (distinct-set corpora): dup_clusters over
+    ngram_jaccard_pairs, unchanged semantics."""
+    from ..sources.tables import spread
+
+    w = (
+        spread(df)
+        .select(
+            F.col(id_col),
+            F.col(block_col).alias("blk"),
+            F.array_distinct(words(F.col(text_col))).alias("ws"),
+        )
+        .withColumn("nw", F.size("ws"))
+        .localCheckpoint(eager=False)
+    )
+    if factorize is None:
+        factorize = _set_factorize_decision(df, w, "ws", 1, text_col)
+    if not factorize:
+        return dup_clusters(
+            ngram_jaccard_pairs(
+                df, threshold, block_col, text_col, id_col, factorize=False
+            )
+        )
+    grouped = w.filter(F.size("ws") > 0).withColumn(
+        "__g",
+        F.concat_ws(
+            "\x00", F.col("blk"), F.md5(F.concat_ws("\x00", F.array_sort("ws")))
+        ),
+    )
+    reps = grouped.groupBy("__g").agg(
+        F.min(id_col).alias("__rid"),
+        F.count("*").alias("__n"),
+        F.first("blk").alias("blk"),
+        F.first("ws").alias("ws"),
+        F.first("nw").alias("nw"),
+    ).localCheckpoint(eager=False)
+    rep_w = reps.select(F.col("__rid").alias(id_col), "blk", "ws", "nw")
+    rep_pairs = _prefix_filter_verify(rep_w, threshold, id_col)
+    rep_label = dup_clusters(rep_pairs)  # (doc_id=rep id, cluster_id), cross-edged reps only
+    return (
+        grouped.select("__g", F.col(id_col).alias("doc_id"))
+        .join(reps.select("__g", "__rid", "__n"), "__g")
+        .join(
+            rep_label.select(F.col("doc_id").alias("__rid"), "cluster_id"),
+            "__rid",
+            "left",
+        )
+        .filter(F.col("cluster_id").isNotNull() | (F.col("__n") >= 2))
+        .select(
+            "doc_id",
+            F.coalesce("cluster_id", F.col("__rid")).alias("cluster_id"),
+        )
+    )

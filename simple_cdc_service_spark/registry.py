@@ -3209,14 +3209,16 @@ def knn_bruteforce_pandas_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 def dedup_clusters_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Dedup completion: near-dup pairs (blocked jaccard ≥ 0.95) →
     connected components → canonical representative (min doc id) per
-    cluster. Oracle: DuckDB recursive-CTE transitive closure over the
-    (source, word-set) representative graph (see the factorization note
-    above — the naive closure is quadratic per clone clique); the
-    engine side is the iterative label-propagation join that scales."""
-    from .operators.dedup import dup_clusters, ngram_jaccard_pairs
+    cluster. Since r7 the ENGINE walks the same (source, word-set)
+    representative graph as the oracle when the adaptive decision says
+    the corpus is clone-heavy (ngram_jaccard_clusters): label
+    propagation over clone-clique edges is quadratic per clique (~760M
+    directed edges at 100× bench scale), while the rep graph is ~4k
+    nodes expanded through group membership. Distinct-set corpora keep
+    the direct pairs → label-propagation path."""
+    from .operators.dedup import ngram_jaccard_clusters
 
-    pairs = ngram_jaccard_pairs(_t(spark, sf_dir, "documents"), threshold=0.95)
-    return dup_clusters(pairs)
+    return ngram_jaccard_clusters(_t(spark, sf_dir, "documents"), threshold=0.95)
 
 
 @register(

@@ -609,3 +609,55 @@ class TestPrefixJaccardFactorized:
         still measure and produce the same result set."""
         adaptive = self._pairs(spark, 0.95, factorize=None)
         assert adaptive == self._pairs(spark, 0.95, factorize=False)
+
+
+class TestNgramJaccardClustersFactorized:
+    """Factorized dedup completion (engine-side rep-graph closure): the
+    (block, word-set) representative-graph components expanded through
+    membership must equal dup_clusters over the full pair list —
+    including clone groups bridged by a cross-group near-match (the
+    transitive case) and isolated clone groups (within-only)."""
+
+    ROWS = [
+        # clone group A (block s1)
+        (1, "s1", "alpha beta gamma delta epsilon zeta eta theta kappa mu"),
+        (2, "s1", "mu kappa theta eta zeta epsilon delta gamma beta alpha"),
+        # group B: 9/11 union overlap with A -> j ~= 0.818 (bridges at 0.8)
+        (3, "s1", "alpha beta gamma delta epsilon zeta eta theta kappa nu"),
+        (4, "s1", "nu kappa theta eta zeta epsilon delta gamma beta alpha"),
+        # isolated clone group C (block s1)
+        (5, "s1", "one two three four five six seven eight nine ten"),
+        (6, "s1", "ten nine eight seven six five four three two one"),
+        # same set as A in ANOTHER block: its own cluster
+        (7, "s2", "alpha beta gamma delta epsilon zeta eta theta kappa mu"),
+        (8, "s2", "mu kappa theta eta zeta epsilon delta gamma beta alpha"),
+        # unpaired singleton
+        (9, "s1", "totally unrelated prose about glacier radar monitoring"),
+    ]
+
+    def _clusters(self, spark, threshold, factorize):
+        from simple_cdc_service_spark.operators.dedup import ngram_jaccard_clusters
+
+        df = spark.createDataFrame(self.ROWS, "doc_id long, source string, text string")
+        return sorted(
+            (r.doc_id, r.cluster_id)
+            for r in ngram_jaccard_clusters(
+                df, threshold=threshold, factorize=factorize
+            ).collect()
+        )
+
+    @pytest.mark.parametrize("threshold", [0.8, 0.95])
+    def test_factorized_equals_direct(self, spark, threshold):
+        direct = self._clusters(spark, threshold, factorize=False)
+        fact = self._clusters(spark, threshold, factorize=True)
+        assert fact == direct
+        labels = dict(fact)
+        assert 9 not in labels  # singleton never appears
+        assert labels[5] == labels[6] == 5  # isolated clone group
+        assert labels[7] == labels[8] == 7  # block-separated copy of A
+        if threshold == 0.8:
+            # A and B bridge transitively into one component rooted at 1
+            assert labels[1] == labels[2] == labels[3] == labels[4] == 1
+        else:
+            assert labels[1] == labels[2] == 1
+            assert labels[3] == labels[4] == 3
