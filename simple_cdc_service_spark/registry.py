@@ -2238,12 +2238,32 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     TRUE OUTPUT were quadratic; at 64 bits the same threshold is a thin
     left-tail and band buckets are 65536-ary.
 
-    Verify path packs the 64 bits into two longs ONCE PER DOC (map-side
+    FINGERPRINT-IDENTITY FACTORIZATION (third disease found by the 100×
+    run, SCALE100 r7): the simhash is a pure function of the word
+    multiset, so every word-shuffled clone shares the fingerprint —
+    sf10's 24.8k-member clone group collided in all four bands and
+    ground its ~307M hamming-0 pairs through single-task bucket
+    explodes. Docs are therefore grouped by the fingerprint FIRST
+    (16-byte groupBy, nearly free, no adaptivity needed): banding,
+    bucketing and hamming verify run over one representative per
+    distinct fingerprint, within-group pairs expand with hamming 0
+    through the chunked bucket_pairs machinery, and cross-group rep
+    pairs expand through membership. A distinct-fingerprint corpus
+    degenerates to singleton groups and the identical rep-level
+    pipeline.
+
+    Verify path packs the 64 bits into two longs ONCE PER REP (map-side
     conv) so per-pair hamming is two xor+bit_count ops instead of a
-    64-element string zip (~100 µs → ~ns; same integer result the
-    oracle computes from the strings), and the shuffle carries 16 bytes
-    per doc instead of the 64-char fingerprint."""
-    sh = text_simhash(spark, sf_dir).select(
+    64-element string zip — same integer result the oracle computes
+    from the strings."""
+    from .operators.dedup import bucket_pairs
+
+    base = text_simhash(spark, sf_dir)
+    groups = base.groupBy("simhash").agg(
+        F.min("doc_id").alias("__rid"), F.count("*").alias("__n")
+    ).localCheckpoint(eager=False)
+    rep = groups.select(F.col("__rid").alias("doc_id"), "simhash")
+    sh = rep.select(
         "doc_id",
         F.conv(F.substring("simhash", 1, 32), 2, 10).cast("long").alias("h1"),
         F.conv(F.substring("simhash", 33, 32), 2, 10).cast("long").alias("h2"),
@@ -2266,9 +2286,9 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     # Two-stage explode (the bucket_pairs pattern, NOTES r6): one row per
     # (bucket, left index), then that row emits only its partners — peak
-    # per-row memory O(bucket), never the O(bucket²) flattened pair array
-    # (which OOMed the executor on the old 8-bit band space at 10× bench
-    # scale).
+    # per-row memory O(bucket), never the O(bucket²) flattened pair array.
+    # Rep-level buckets hold only DISTINCT fingerprints sharing 16 bits,
+    # so the giant identical-fingerprint bucket cannot exist here.
     n = F.size(F.col("ds"))
     lefts = buckets.select("ds", F.explode(F.sequence(F.lit(0), n - 2)).alias("i"))
     partners = F.transform(
@@ -2290,7 +2310,7 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .distinct()
     )
-    return (
+    rep_pairs = (
         cand.select(
             "doc_id_a",
             "doc_id_b",
@@ -2301,6 +2321,29 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("hamming") <= 6)
     )
+    mem = base.join(groups.select("simhash", "__rid"), "simhash").select(
+        "__rid", "doc_id"
+    )
+    cross = (
+        rep_pairs.join(
+            mem.select(F.col("__rid").alias("doc_id_a"), F.col("doc_id").alias("__xa")),
+            "doc_id_a",
+        )
+        .join(
+            mem.select(F.col("__rid").alias("doc_id_b"), F.col("doc_id").alias("__xb")),
+            "doc_id_b",
+        )
+        .select(
+            F.least("__xa", "__xb").alias("doc_id_a"),
+            F.greatest("__xa", "__xb").alias("doc_id_b"),
+            "hamming",
+        )
+    )
+    within = bucket_pairs(
+        base.select("doc_id", F.lit(0).alias("band"), F.col("simhash").alias("bv")),
+        dedup=False,  # one fingerprint group per doc: pairs already unique
+    ).withColumn("hamming", F.lit(0).cast("int"))
+    return cross.unionByName(within)
 
 
 @register(
