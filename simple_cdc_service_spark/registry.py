@@ -2191,11 +2191,21 @@ def text_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "dedup_simhash",
+    # bits computed once per distinct word MULTISET (the simhash is a
+    # pure function of it; word-shuffled clones share the multiset), and
+    # hamming once per candidate — same oracle algebra as the factorized
+    # minhash/clusters oracles (r6 lesson: oracles need the same scale
+    # algebra as engines). sf1 check: 572 s → well under a minute.
     oracle="""
     WITH w AS (SELECT doc_id, string_split(lower(text), ' ') AS ws FROM documents),
-    hx AS (SELECT doc_id, list_transform(ws, w -> md5(w)) AS hashed FROM w),
+    keyed AS (SELECT doc_id,
+                     md5(list_aggregate(list_sort(ws), 'string_agg', chr(0))) AS k
+              FROM w),
+    grp AS (SELECT k, any_value(ws) AS ws
+            FROM keyed JOIN w USING (doc_id) GROUP BY k),
+    hx AS (SELECT k, list_transform(ws, w -> md5(w)) AS hashed FROM grp),
     bits AS (
-        SELECT doc_id,
+        SELECT k,
                list_aggregate(
                    list_transform(range(1, 65),
                        i -> CASE WHEN list_sum(list_transform(hashed,
@@ -2208,24 +2218,26 @@ def text_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
                    'string_agg', '') AS simhash
         FROM hx
     ),
+    docbits AS (SELECT doc_id, simhash FROM keyed JOIN bits USING (k)),
     banded AS (
         SELECT doc_id, simhash, unnest(range(0, 4)) AS band,
                substr(simhash, CAST(unnest(range(0, 4)) * 16 + 1 AS INT), 16) AS bv
-        FROM bits
+        FROM docbits
     ),
     cand AS (
         SELECT DISTINCT a.doc_id AS doc_id_a, b.doc_id AS doc_id_b,
                a.simhash AS sh_a, b.simhash AS sh_b
         FROM banded a JOIN banded b
           ON a.band = b.band AND a.bv = b.bv AND a.doc_id < b.doc_id
+    ),
+    scored AS (
+        SELECT doc_id_a, doc_id_b,
+               CAST(len(list_filter(range(1, 65),
+                   i -> substr(sh_a, CAST(i AS INT), 1)
+                        <> substr(sh_b, CAST(i AS INT), 1))) AS INT) AS hamming
+        FROM cand
     )
-    SELECT doc_id_a, doc_id_b,
-           CAST(len(list_filter(range(1, 65),
-               i -> substr(sh_a, CAST(i AS INT), 1) <> substr(sh_b, CAST(i AS INT), 1)))
-               AS INT) AS hamming
-    FROM cand
-    WHERE len(list_filter(range(1, 65),
-          i -> substr(sh_a, CAST(i AS INT), 1) <> substr(sh_b, CAST(i AS INT), 1))) <= 6
+    SELECT doc_id_a, doc_id_b, hamming FROM scored WHERE hamming <= 6
     """,
 )
 def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
