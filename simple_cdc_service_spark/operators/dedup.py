@@ -1055,6 +1055,7 @@ def embedding_dup_pairs(
     block_col: str = "label",
     vec_col: str = "embedding",
     id_col: str = "vec_id",
+    tile: int = 2048,
 ) -> DataFrame:
     """Embedding-cosine near-dup within metadata blocks — the oracle-
     replicable mode (DuckDB can reproduce the blocking exactly). The
@@ -1065,10 +1066,10 @@ def embedding_dup_pairs(
     per block computing O(block²) per-pair cosine EXPRESSIONS (20M pairs
     × a ~µs-scale fold each at 10× bench scale; an unrolled-expression
     attempt blew the codegen method budget and ran interpreted). The
-    enumerate-join is replaced by ``applyInPandas`` per block with
-    PER-DIMENSION vectorized accumulation:
+    enumerate-join is replaced by a pandas kernel with PER-DIMENSION
+    vectorized accumulation:
 
-        acc = zeros((n, n)); for i in dims: acc += outer(M[:,i], M[:,i])
+        acc = zeros((na, nb)); for i in dims: acc += outer(A[:,i], B[:,i])
 
     Each acc element is built by the SAME left-fold addition order as
     F.aggregate's accumulator and DuckDB's list_dot_product —
@@ -1078,12 +1079,24 @@ def embedding_dup_pairs(
     pair; a numpy matmul/BLAS path would reorder the sum and flip
     boundary values). Python-side filtering uses a LOOSE margin
     (t − 1e-6); the EXACT half-up round + threshold happens in Spark
-    after return. O(block²) memory per task is the operator's inherent
-    cost — this is the oracle-replicable diagnostic; production is
-    embedding_dup_pairs_lsh."""
+    after return.
+
+    SCALE 100× (SCALE100 r7): a per-BLOCK kernel allocates O(block²)
+    doubles in one python worker — at 100× bench scale (10 labels ×
+    ~20k vectors) that is ~3×3.2 GB of accumulator/temporary per task
+    across 7+ concurrent workers: memory-bound thrash on ONE task per
+    block. The same chunked-triangle cure as ``bucket_pairs``: rows
+    rank within their block by id, chunk c = rank÷tile, and the
+    (c1 ≤ c2) chunk-pair grid keys a COGROUPED kernel — each task
+    computes one tile of the block's cosine matrix (≤ tile² doubles),
+    so a giant block spreads over nc²/2 balanced tasks. Blocks smaller
+    than ``tile`` degenerate to one (0,0) tile running the identical
+    kernel. The tile split never changes a cosine: each pair's value is
+    computed once, in one tile, by the same per-dimension fold."""
     import pandas as pd
 
     from pyspark.sql.types import DoubleType, StructField, StructType
+    from pyspark.sql.window import Window
 
     from ..sources.tables import spread
 
@@ -1098,9 +1111,40 @@ def embedding_dup_pairs(
         # replaces (a.blk = b.blk, and the oracle's a.label = b.label)
         # never matches NULL blocks, but groupBy would put all NULL-blk
         # rows into ONE processed group and pair them with each other.
-        .filter(F.col("blk").isNotNull())
+        # NULL vectors likewise never pair — dropping them BEFORE the
+        # rank keeps chunks dense.
+        .filter(F.col("blk").isNotNull() & F.col("v").isNotNull())
         .withColumn("nrm", norm(F.col("v")))
+        .withColumn(
+            "__r",
+            F.row_number().over(Window.partitionBy("blk").orderBy(id_col)) - 1,
+        )
+        .withColumn("__c", (F.col("__r") / F.lit(tile)).cast("int"))
     )
+    grid = (
+        e.groupBy("blk")
+        .agg(F.max("__c").alias("__mx"))
+        .select("blk", F.explode(F.sequence(F.lit(0), F.col("__mx"))).alias("__c1"), "__mx")
+        .select("blk", "__c1", F.explode(F.sequence(F.col("__c1"), F.col("__mx"))).alias("__c2"))
+    )
+    leg_a = e.withColumnRenamed("__c", "__c1").join(grid, ["blk", "__c1"])
+    # The b leg re-reads the SAME e lineage — alias every column to fresh
+    # attributes (incl. the grid copy) so the cogroup isn't an ambiguous
+    # self-reference.
+    e_b = e.select(
+        F.col(id_col).alias("__idb"),
+        F.col("blk").alias("__blkb"),
+        F.col("v").alias("__vb"),
+        F.col("nrm").alias("__nrmb"),
+        F.col("__r").alias("__rb"),
+        F.col("__c").alias("__c2b"),
+    )
+    grid_b = grid.select(
+        F.col("blk").alias("__blkb"),
+        F.col("__c1").alias("__c1b"),
+        F.col("__c2").alias("__c2b"),
+    )
+    leg_b = e_b.join(grid_b, ["__blkb", "__c2b"])
     id_type = df.schema[id_col].dataType
     out_schema = StructType(
         [
@@ -1111,39 +1155,51 @@ def embedding_dup_pairs(
     )
     loose = threshold - 1e-6
 
-    def block_pairs(pdf: "pd.DataFrame") -> "pd.DataFrame":
+    def tile_pairs(la: "pd.DataFrame", lb: "pd.DataFrame") -> "pd.DataFrame":
         import numpy as np
 
-        pdf = pdf[pdf["v"].notna()].sort_values(id_col)
-        n = len(pdf)
         empty = pd.DataFrame({"vec_id_a": [], "vec_id_b": [], "cos_raw": []})
-        if n < 2:
+        if la.empty or lb.empty:
             return empty
-        ids = pdf[id_col].to_numpy()
+        diagonal = la["__c1"].iat[0] == la["__c2"].iat[0]
+        la = la.sort_values("__r")
+        ids_a = la[id_col].to_numpy()
         # None elements inside a vector become NaN → NaN cosine → fails
         # the keep filter, matching the join form's null-propagation.
-        M = np.stack(pdf["v"].to_numpy()).astype(np.float64)
-        nr = pdf["nrm"].to_numpy()
-        acc = np.zeros((n, n))
-        for i in range(M.shape[1]):
-            col = np.ascontiguousarray(M[:, i])
-            acc += np.multiply.outer(col, col)
-        cos = acc / np.multiply.outer(nr, nr)
-        ia, ib = np.triu_indices(n, 1)
+        A = np.stack(la["v"].to_numpy()).astype(np.float64)
+        nr_a = la["nrm"].to_numpy()
+        if diagonal:
+            ids_b, B, nr_b = ids_a, A, nr_a
+        else:
+            lb = lb.sort_values("__rb")
+            ids_b = lb["__idb"].to_numpy()
+            B = np.stack(lb["__vb"].to_numpy()).astype(np.float64)
+            nr_b = lb["__nrmb"].to_numpy()
+        acc = np.zeros((len(ids_a), len(ids_b)))
+        for i in range(A.shape[1]):
+            acc += np.multiply.outer(
+                np.ascontiguousarray(A[:, i]), np.ascontiguousarray(B[:, i])
+            )
+        cos = acc / np.multiply.outer(nr_a, nr_b)
+        if diagonal:
+            ia, ib = np.triu_indices(len(ids_a), 1)
+        else:
+            ia, ib = np.indices(cos.shape).reshape(2, -1)
         keep = cos[ia, ib] >= loose
         if not keep.any():
             return empty
         return pd.DataFrame(
             {
-                "vec_id_a": ids[ia[keep]],
-                "vec_id_b": ids[ib[keep]],
+                "vec_id_a": ids_a[ia[keep]],
+                "vec_id_b": ids_b[ib[keep]],
                 "cos_raw": cos[ia[keep], ib[keep]],
             }
         )
 
     return (
-        e.groupBy("blk")
-        .applyInPandas(block_pairs, out_schema)
+        leg_a.groupBy("blk", "__c1", "__c2")
+        .cogroup(leg_b.groupBy("__blkb", "__c1b", "__c2b"))
+        .applyInPandas(lambda la, lb: tile_pairs(la, lb), out_schema)
         .select(
             "vec_id_a",
             "vec_id_b",

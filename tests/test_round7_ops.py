@@ -661,3 +661,53 @@ class TestNgramJaccardClustersFactorized:
         else:
             assert labels[1] == labels[2] == 1
             assert labels[3] == labels[4] == 3
+
+
+class TestEmbeddingPairsTiled:
+    """SCALE100 r7: embedding_dup_pairs spreads each metadata block over a
+    (c1 <= c2) chunk-tile grid — one cogrouped task per tile instead of
+    one O(block²)-memory task per block. The tile split must never change
+    the pair set or a single cosine value (each pair is computed once, in
+    one tile, by the same per-dimension left-fold)."""
+
+    def _corpus(self, spark, seed=7, n=120, dim=8, blocks=3):
+        import random
+
+        rng = random.Random(seed)
+        rows = []
+        for i in range(n):
+            base = [rng.uniform(-1, 1) for _ in range(dim)]
+            rows.append((i, f"b{i % blocks}", base))
+            if i % 10 == 0:  # planted near-dups in the same block
+                rows.append(
+                    (10_000 + i, f"b{i % blocks}", [x + 1e-4 for x in base])
+                )
+        return spark.createDataFrame(
+            rows, "vec_id long, label string, embedding array<double>"
+        )
+
+    def test_tile_equivalence(self, spark):
+        from simple_cdc_service_spark.operators.dedup import embedding_dup_pairs
+
+        df = self._corpus(spark)
+        key = lambda rows: sorted(
+            (r.vec_id_a, r.vec_id_b, r.cos_sim) for r in rows
+        )
+        one_tile = key(embedding_dup_pairs(df, threshold=0.3, tile=10**6).collect())
+        assert one_tile  # the comparison must compare something
+        for tile in (1, 7, 32):
+            got = key(embedding_dup_pairs(df, threshold=0.3, tile=tile).collect())
+            assert got == one_tile, f"tile={tile} diverged"
+
+    def test_tile_boundary_pairs_cross_chunks(self, spark):
+        """Rows ranked into DIFFERENT chunks must still pair (the cross-tile
+        leg), and id ordering a < b must hold across chunk boundaries."""
+        from simple_cdc_service_spark.operators.dedup import embedding_dup_pairs
+
+        rows = [(i, "x", [1.0, float(i) * 1e-6]) for i in range(10)]
+        df = spark.createDataFrame(
+            rows, "vec_id long, label string, embedding array<double>"
+        )
+        got = embedding_dup_pairs(df, threshold=0.99, tile=3).collect()
+        assert len(got) == 45  # all C(10,2) near-identical pairs survive
+        assert all(r.vec_id_a < r.vec_id_b for r in got)
