@@ -1029,23 +1029,45 @@ def embedding_dup_pairs_lsh(
     banded = df.select(
         F.col(id_col), F.explode(F.array(*tables)).alias("bb")
     ).select(id_col, "bb.band", "bb.bv")
-    cand = bucket_pairs(banded, id_col=id_col, a_col="vec_id_a", b_col="vec_id_b")
-    e = df.select(F.col(id_col), as_double_array(F.col(vec_col)).alias("v"))
-    a = e.select(F.col(id_col).alias("vec_id_a"), F.col("v").alias("va"))
-    b = e.select(F.col(id_col).alias("vec_id_b"), F.col("v").alias("vb"))
-    # No broadcast hints on the verify join: the joined rows carry full
-    # embedding arrays, so a forced broadcast is exactly the budget
-    # overflow the minhash verify-join pattern avoids — let AQE pick
-    # broadcast vs shuffle from the actual candidate-set size.
+    # SCALE 100× (SCALE100 r7, fifth disease): the former candidate-join
+    # verify (bucket_pairs → a.join(cand).join(b) with cosine in the
+    # residual) ships TWO full vectors per candidate row, and random-pair
+    # collisions at fixed rbits are QUADRATIC in the corpus —
+    # P(collide) = 1-(1-2^-rbits)^bands ≈ 3.1% of all pairs regardless of
+    # scale, ~6×10⁸ candidates × ~1 KB of arrays at sf10: a disk-filling
+    # SMJ spill. Verification now runs INSIDE the buckets via the same
+    # chunk-tiled cogrouped kernel as embedding_dup_pairs: vectors ship
+    # once per (band, bucket) membership, candidates never shuffle — only
+    # threshold SURVIVORS leave the kernel, and the multi-table distinct
+    # dedups that small survivor stream. The cosine value is bit-identical
+    # to the join form (same per-dimension left-fold as F.aggregate /
+    # list_dot_product), so a pair colliding in several tables emits
+    # identical rows and distinct-after-round is exact.
+    e = (
+        df.select(F.col(id_col), as_double_array(F.col(vec_col)).alias("v"))
+        .filter(F.col("v").isNotNull())
+        .withColumn("nrm", norm(F.col("v")))
+        .withColumnRenamed(id_col, "__vid")
+    )
+    eb = banded.join(e, F.col(id_col) == F.col("__vid")).drop("__vid").filter(
+        F.col("bv").isNotNull()
+    )
     return (
-        a.join(cand, "vec_id_a")
-        .join(b, "vec_id_b")
+        _tiled_cosine_pairs(
+            eb,
+            key_cols=["band", "bv"],
+            id_col=id_col,
+            id_type=df.schema[id_col].dataType,
+            loose=threshold - 1e-6,
+            tile=2048,
+        )
         .select(
             "vec_id_a",
             "vec_id_b",
-            F.round(cosine(F.col("va"), F.col("vb")), 6).alias("cos_sim"),
+            F.round(F.col("cos_raw"), 6).alias("cos_sim"),
         )
         .filter(F.col("cos_sim") >= threshold)
+        .distinct()
     )
 
 
@@ -1093,11 +1115,6 @@ def embedding_dup_pairs(
     than ``tile`` degenerate to one (0,0) tile running the identical
     kernel. The tile split never changes a cosine: each pair's value is
     computed once, in one tile, by the same per-dimension fold."""
-    import pandas as pd
-
-    from pyspark.sql.types import DoubleType, StructField, StructType
-    from pyspark.sql.window import Window
-
     from ..sources.tables import spread
 
     e = (
@@ -1115,37 +1132,92 @@ def embedding_dup_pairs(
         # rank keeps chunks dense.
         .filter(F.col("blk").isNotNull() & F.col("v").isNotNull())
         .withColumn("nrm", norm(F.col("v")))
-        .withColumn(
-            "__r",
-            F.row_number().over(Window.partitionBy("blk").orderBy(id_col)) - 1,
+    )
+    return (
+        _tiled_cosine_pairs(
+            e,
+            key_cols=["blk"],
+            id_col=id_col,
+            id_type=df.schema[id_col].dataType,
+            loose=threshold - 1e-6,
+            tile=tile,
         )
-        .withColumn("__c", (F.col("__r") / F.lit(tile)).cast("int"))
+        .select(
+            "vec_id_a",
+            "vec_id_b",
+            F.round(F.col("cos_raw"), 6).alias("cos_sim"),
+        )
+        .filter(F.col("cos_sim") >= threshold)
     )
+
+
+def _tiled_cosine_pairs(
+    e: DataFrame,
+    key_cols: list,
+    id_col: str,
+    id_type,
+    loose: float,
+    tile: int,
+) -> DataFrame:
+    """Chunk-tiled all-pairs cosine within key groups.
+
+    ``e`` carries ``key_cols`` + ``id_col`` + ``v`` (double array, non-
+    null) + ``nrm``. Rows rank within their key group by id, chunk
+    c = rank÷tile, and the (c1 ≤ c2) chunk-pair grid keys a COGROUPED
+    pandas kernel: each task computes one ≤ tile² tile of the group's
+    cosine matrix via PER-DIMENSION left-fold accumulation (the order
+    F.aggregate and DuckDB's list_dot_product use — bit-identical to the
+    per-pair expression, NOTES r6/r7) and emits only pairs with
+    cos ≥ ``loose``. Output: (vec_id_a, vec_id_b, cos_raw), a < b by id
+    order, each within-group pair computed exactly once in one tile.
+
+    Filtering INSIDE the kernel is the scale point: survivors shuffle,
+    candidates don't — a verify JOIN ships every candidate row with two
+    full vectors (measured at 100×: ~6×10⁸ random LSH collisions × ~1 KB
+    of arrays = a disk-filling spill), while the tile kernel ships each
+    vector once per group membership."""
+    import pandas as pd
+
+    from pyspark.sql.types import DoubleType, StructField, StructType
+    from pyspark.sql.window import Window
+
+    e = e.withColumn(
+        "__r",
+        F.row_number().over(Window.partitionBy(*key_cols).orderBy(id_col)) - 1,
+    ).withColumn("__c", (F.col("__r") / F.lit(tile)).cast("int"))
     grid = (
-        e.groupBy("blk")
+        e.groupBy(*key_cols)
         .agg(F.max("__c").alias("__mx"))
-        .select("blk", F.explode(F.sequence(F.lit(0), F.col("__mx"))).alias("__c1"), "__mx")
-        .select("blk", "__c1", F.explode(F.sequence(F.col("__c1"), F.col("__mx"))).alias("__c2"))
+        .select(
+            *key_cols,
+            F.explode(F.sequence(F.lit(0), F.col("__mx"))).alias("__c1"),
+            "__mx",
+        )
+        .select(
+            *key_cols,
+            "__c1",
+            F.explode(F.sequence(F.col("__c1"), F.col("__mx"))).alias("__c2"),
+        )
     )
-    leg_a = e.withColumnRenamed("__c", "__c1").join(grid, ["blk", "__c1"])
+    leg_a = e.withColumnRenamed("__c", "__c1").join(grid, [*key_cols, "__c1"])
     # The b leg re-reads the SAME e lineage — alias every column to fresh
     # attributes (incl. the grid copy) so the cogroup isn't an ambiguous
     # self-reference.
+    kb = [f"__kb{i}" for i in range(len(key_cols))]
     e_b = e.select(
+        *[F.col(k).alias(n) for k, n in zip(key_cols, kb)],
         F.col(id_col).alias("__idb"),
-        F.col("blk").alias("__blkb"),
         F.col("v").alias("__vb"),
         F.col("nrm").alias("__nrmb"),
         F.col("__r").alias("__rb"),
         F.col("__c").alias("__c2b"),
     )
     grid_b = grid.select(
-        F.col("blk").alias("__blkb"),
+        *[F.col(k).alias(n) for k, n in zip(key_cols, kb)],
         F.col("__c1").alias("__c1b"),
         F.col("__c2").alias("__c2b"),
     )
-    leg_b = e_b.join(grid_b, ["__blkb", "__c2b"])
-    id_type = df.schema[id_col].dataType
+    leg_b = e_b.join(grid_b, [*kb, "__c2b"])
     out_schema = StructType(
         [
             StructField("vec_id_a", id_type, True),
@@ -1153,7 +1225,6 @@ def embedding_dup_pairs(
             StructField("cos_raw", DoubleType(), True),
         ]
     )
-    loose = threshold - 1e-6
 
     def tile_pairs(la: "pd.DataFrame", lb: "pd.DataFrame") -> "pd.DataFrame":
         import numpy as np
@@ -1197,15 +1268,9 @@ def embedding_dup_pairs(
         )
 
     return (
-        leg_a.groupBy("blk", "__c1", "__c2")
-        .cogroup(leg_b.groupBy("__blkb", "__c1b", "__c2b"))
+        leg_a.groupBy(*key_cols, "__c1", "__c2")
+        .cogroup(leg_b.groupBy(*kb, "__c1b", "__c2b"))
         .applyInPandas(lambda la, lb: tile_pairs(la, lb), out_schema)
-        .select(
-            "vec_id_a",
-            "vec_id_b",
-            F.round(F.col("cos_raw"), 6).alias("cos_sim"),
-        )
-        .filter(F.col("cos_sim") >= threshold)
     )
 
 
