@@ -22,7 +22,6 @@ from pyspark.sql import functions as F
 
 from ..functions import (
     as_double_array,
-    cosine,
     dot,
     jaccard_distinct,
     minhash_signature,
@@ -1297,29 +1296,36 @@ def semantic_dup_pairs(
     all-pairs cosine over the corpus. Near-dup pairs that straddle a
     cluster boundary are missed — the standard SemDeDup trade-off;
     raise n_clusters for tighter blocks (cost) or lower it for recall.
+    SCALE 100× (SCALE100 r7): the former within-cluster pair join
+    confined each cluster's quadratic enumeration — full vectors on both
+    sides — to n_clusters join keys (~1.25B array-carrying rows over 16
+    reducers at sf10). Pairing now runs through the chunk-tiled cogrouped
+    cosine kernel keyed by centroid_id (shared _tiled_cosine_pairs):
+    balanced ≤ tile² tasks, vectors ship once per cluster membership,
+    only threshold survivors shuffle, identical cosines (same
+    per-dimension left-fold as the expression form).
+
     Returns (vec_id_a, vec_id_b, cos_sim) with a < b."""
     from .similarity import ivf_assign, kmeans_centroids
 
     cents = kmeans_centroids(df, n_clusters, seed, vec_col, id_col)
     assigned = ivf_assign(df, cents, vec_col, id_col)  # (id, centroid_id, v)
-    a = assigned.select(
-        F.col(id_col).alias("vec_id_a"), "centroid_id", F.col("v").alias("va")
-    )
-    b = assigned.select(
-        F.col(id_col).alias("vec_id_b"),
-        F.col("centroid_id").alias("cid_b"),
-        F.col("v").alias("vb"),
-    )
+    e = assigned.select(F.col(id_col), "centroid_id", "v").filter(
+        F.col("v").isNotNull()
+    ).withColumn("nrm", norm(F.col("v")))
     return (
-        a.join(
-            b,
-            (F.col("centroid_id") == F.col("cid_b"))
-            & (F.col("vec_id_a") < F.col("vec_id_b")),
+        _tiled_cosine_pairs(
+            e,
+            key_cols=["centroid_id"],
+            id_col=id_col,
+            id_type=df.schema[id_col].dataType,
+            loose=threshold - 1e-6,
+            tile=2048,
         )
         .select(
             "vec_id_a",
             "vec_id_b",
-            F.round(cosine(F.col("va"), F.col("vb")), 6).alias("cos_sim"),
+            F.round(F.col("cos_raw"), 6).alias("cos_sim"),
         )
         .filter(F.col("cos_sim") >= threshold)
     )

@@ -7150,16 +7150,19 @@ def dedup_cluster_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus − clustered docs (a cluster from pair edges always has
     size ≥ 2, so the size-1 row is unambiguous).
 
-    Plan: the dup_clusters label propagation (checkpoint-bounded
-    iterative join — the scalable CC), then two tiny aggregates and a
-    1-row arithmetic union; everything after the pair generation is
-    cluster-count-sized. Oracle: recursive-CTE transitive closure +
-    identical rollup."""
-    from .operators.dedup import dup_clusters, ngram_jaccard_pairs
+    Plan: the fused ngram_jaccard_clusters (SCALE100 r7 — sixth 100×
+    disease: the previous pairs → dup_clusters form propagated labels
+    over the FULL pair list, and the 121M clone-clique edges at sf10
+    blew the label-propagation aggregate's memory; the fused operator's
+    factorized path walks the (source, word-set) REPRESENTATIVE graph
+    and expands through group membership, provably the same components —
+    exactly what this entry's own oracle has done since r6), then two
+    tiny aggregates and a 1-row arithmetic union; everything after the
+    pair generation is cluster-count-sized."""
+    from .operators.dedup import ngram_jaccard_clusters
 
     d = _t(spark, sf_dir, "documents")
-    pairs = ngram_jaccard_pairs(d, threshold=0.95)
-    labeled = dup_clusters(pairs)
+    labeled = ngram_jaccard_clusters(d, threshold=0.95)
     hist = (
         labeled.groupBy("cluster_id")
         .agg(F.count("*").alias("sz"))
