@@ -49,7 +49,10 @@ FACTORIZE_MAX_RATIO = 0.5
 # whose inputs cannot be fingerprinted (no files / non-local URIs /
 # stat failure) are NEVER cached — the decision is simply re-measured,
 # so the cache can only ever skip a recomputation of an identical
-# statistic, never serve a wrong one.
+# statistic, never serve a wrong one. Values are (owning SparkSession,
+# bool) and a hit must come from the CURRENT frame's session (same
+# identity guard as the shingle cache, VERDICT r7 #5) — a decision
+# measured under a stopped/replaced session is re-measured.
 _FACTORIZE_DECISION_CACHE: dict = {}
 _FACTORIZE_DECISION_CACHE_MAX = 64
 
@@ -76,8 +79,13 @@ def _set_factorize_decision(
     (minhash n=1, the prefix join, and the factorized clusters all key
     identically because unigram shingle sets ARE word sets)."""
     ck = _factorize_cache_key(df, n, text_col)
-    if ck is not None and ck in _FACTORIZE_DECISION_CACHE:
-        return _FACTORIZE_DECISION_CACHE[ck]
+    hit = _FACTORIZE_DECISION_CACHE.get(ck) if ck is not None else None
+    if hit is not None and hit[0] is df.sparkSession:
+        # Same session-identity guard as the shingle-stage cache
+        # (VERDICT r7 #5): a decision measured under a stopped/replaced
+        # session is re-measured, never served — the two caches now key
+        # and guard identically.
+        return hit[1]
     dk = F.when(
         F.size(set_col) > 0,
         F.aggregate(
@@ -96,7 +104,7 @@ def _set_factorize_decision(
     if ck is not None:
         if len(_FACTORIZE_DECISION_CACHE) >= _FACTORIZE_DECISION_CACHE_MAX:
             _FACTORIZE_DECISION_CACHE.clear()
-        _FACTORIZE_DECISION_CACHE[ck] = factorize
+        _FACTORIZE_DECISION_CACHE[ck] = (df.sparkSession, factorize)
     return factorize
 
 
@@ -124,6 +132,27 @@ def _factorize_cache_key(df: DataFrame, n: int, text_col: str):
             return None
         fps.append((p, st.st_mtime_ns, st.st_size))
     return (sem, tuple(fps), n, text_col)
+
+
+def _exact_set_key(arr):
+    """md5 over an INJECTIVE encoding of the exact token set: tokens are
+    sorted, then length-prefixed ("len:token") before joining on chr(0).
+    A bare chr(0)-join aliases distinct sets whose tokens embed the
+    separator ({'a\\x00b'} vs {'a','b'} — ADVICE r7); the length prefix
+    pins each token's boundary regardless of its bytes (greedy parse:
+    digits → ':' → that many chars → separator/end), so equal keys imply
+    equal sets up to md5 collision. Space-split tokens can't embed
+    chr(0) in practice — this is the defensive contract for arbitrary
+    tokenizers feeding the factorized paths."""
+    return F.md5(
+        F.concat_ws(
+            "\x00",
+            F.transform(
+                F.array_sort(arr),
+                lambda t: F.concat(F.length(t).cast("string"), F.lit(":"), t),
+            ),
+        )
+    )
 
 
 def dedup_exact(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
@@ -505,14 +534,14 @@ def minhash_dedup_pairs(
     if not factorize:
         return _verify(sh, minhash_candidates(sh, k, bands, id_col, family))
     # Exact set key: NULL for empty shingle sets (they can never pair —
-    # the same contract as the NULL-band guard). chr(0) delimiter cannot
-    # occur inside space-split tokens.
+    # the same contract as the NULL-band guard). Injective encoding via
+    # _exact_set_key (embedded-separator-proof, ADVICE r7).
     gm = sh.select(
         F.col(id_col),
         F.col("shingles"),
         F.when(
             F.size("shingles") > 0,
-            F.md5(F.concat_ws("\x00", F.array_sort("shingles"))),
+            _exact_set_key(F.col("shingles")),
         ).alias("__k"),
     )
     grouped = gm.filter(F.col("__k").isNotNull())
@@ -925,12 +954,16 @@ def prefix_jaccard_pairs(
     if not factorize:
         return _prefix_filter_verify(w, threshold, id_col)
     # Group key = (block, exact word set); empty sets stay out (their
-    # pairwise jaccard is NULL — the brute-force join drops them too).
-    grouped = w.filter(F.size("ws") > 0).withColumn(
+    # pairwise jaccard is NULL — the brute-force join drops them too),
+    # and NULL blocks stay out (ADVICE r7: the direct path's blk == blk_b
+    # equi-join and the oracle's a.source = b.source are never true on
+    # NULL, but concat_ws SKIPS nulls — grouping NULL-block docs together
+    # would emit within-group pairs the direct path never emits). The
+    # md5 is the injective _exact_set_key; blk||chr(0)||md5 is itself
+    # injective because the md5 tail has fixed length 32.
+    grouped = w.filter(F.col("blk").isNotNull() & (F.size("ws") > 0)).withColumn(
         "__g",
-        F.concat_ws(
-            "\x00", F.col("blk"), F.md5(F.concat_ws("\x00", F.array_sort("ws")))
-        ),
+        F.concat_ws("\x00", F.col("blk"), _exact_set_key(F.col("ws"))),
     )
     reps = grouped.groupBy("__g").agg(
         F.min(id_col).alias("__rid"),
@@ -1498,11 +1531,11 @@ def ngram_jaccard_clusters(
                 df, threshold, block_col, text_col, id_col, factorize=False
             )
         )
-    grouped = w.filter(F.size("ws") > 0).withColumn(
+    # NULL blocks excluded + injective set key — same null-parity and
+    # embedded-separator contracts as prefix_jaccard_pairs (ADVICE r7).
+    grouped = w.filter(F.col("blk").isNotNull() & (F.size("ws") > 0)).withColumn(
         "__g",
-        F.concat_ws(
-            "\x00", F.col("blk"), F.md5(F.concat_ws("\x00", F.array_sort("ws")))
-        ),
+        F.concat_ws("\x00", F.col("blk"), _exact_set_key(F.col("ws"))),
     )
     reps = grouped.groupBy("__g").agg(
         F.min(id_col).alias("__rid"),

@@ -1,0 +1,152 @@
+"""Round-8 regression tests: the two ADVICE r7 findings (NULL-block
+parity and embedded-separator key collisions on the factorized text
+paths) plus the decision-cache session-identity guard (VERDICT r7 #5)."""
+
+import pytest
+
+
+def _pairs(df):
+    return sorted((r.doc_id_a, r.doc_id_b, r.jaccard) for r in df.collect())
+
+
+def _clusters(df):
+    return sorted((r.doc_id, r.cluster_id) for r in df.collect())
+
+
+class TestFactorizedTextNullBlocks:
+    """ADVICE r7 (medium): the factorized group key in
+    prefix_jaccard_pairs / ngram_jaccard_clusters used concat_ws, which
+    SKIPS NULL block values — NULL-block docs with identical word sets
+    grouped together and emitted jaccard-1.0 pairs (or cluster labels)
+    that the direct path's blk == blk_b equi-join and the DuckDB
+    oracle's a.source = b.source never produce."""
+
+    # two identical docs in a NULL block (would pair if NULL blocks were
+    # grouped), plus a real block with a genuine clone pair
+    ROWS = [
+        (1, None, "alpha beta gamma delta epsilon zeta"),
+        (2, None, "alpha beta gamma delta epsilon zeta"),
+        (3, "web", "storage engines compact sorted runs nightly"),
+        (4, "web", "storage engines compact sorted runs nightly"),
+        (5, "web", "completely unrelated text about gardens and rain"),
+    ]
+    SCHEMA = "doc_id long, source string, text string"
+
+    def test_prefix_pairs_null_block_parity(self, spark):
+        from simple_cdc_service_spark.operators.dedup import prefix_jaccard_pairs
+
+        df = spark.createDataFrame(self.ROWS, self.SCHEMA)
+        fact = _pairs(prefix_jaccard_pairs(df, threshold=0.9, factorize=True))
+        direct = _pairs(prefix_jaccard_pairs(df, threshold=0.9, factorize=False))
+        assert fact == direct == [(3, 4, 1.0)]
+
+    def test_clusters_null_block_parity(self, spark):
+        from simple_cdc_service_spark.operators.dedup import ngram_jaccard_clusters
+
+        df = spark.createDataFrame(self.ROWS, self.SCHEMA)
+        fact = _clusters(ngram_jaccard_clusters(df, threshold=0.9, factorize=True))
+        direct = _clusters(ngram_jaccard_clusters(df, threshold=0.9, factorize=False))
+        assert fact == direct == [(3, 3), (4, 3)]
+
+    def test_all_null_blocks_empty(self, spark):
+        from simple_cdc_service_spark.operators.dedup import (
+            ngram_jaccard_clusters,
+            prefix_jaccard_pairs,
+        )
+
+        df = spark.createDataFrame(self.ROWS[:2], self.SCHEMA)
+        assert prefix_jaccard_pairs(df, factorize=True).count() == 0
+        assert ngram_jaccard_clusters(df, factorize=True).count() == 0
+
+
+class TestExactSetKeyInjective:
+    """ADVICE r7 (low): a bare chr(0)-joined set key aliases distinct
+    sets whose tokens embed the separator — {'a\\x00b'} vs {'a','b'}
+    hashed identically and produced false jaccard-1.0 pairs on the
+    factorized path only. The key now length-prefixes tokens, making the
+    encoding injective."""
+
+    def test_embedded_separator_sets_do_not_collide(self, spark):
+        from simple_cdc_service_spark.operators.dedup import prefix_jaccard_pairs
+
+        rows = [
+            (1, "b", "a\x00b"),  # one token containing the separator
+            (2, "b", "a b"),  # two tokens {'a','b'}
+            (3, "b", "a\x00b"),  # true clone of doc 1
+        ]
+        df = spark.createDataFrame(rows, "doc_id long, source string, text string")
+        fact = _pairs(prefix_jaccard_pairs(df, threshold=0.9, factorize=True))
+        direct = _pairs(prefix_jaccard_pairs(df, threshold=0.9, factorize=False))
+        assert fact == direct == [(1, 3, 1.0)]
+
+    def test_minhash_factorized_separator_parity(self, spark):
+        from simple_cdc_service_spark.operators.dedup import minhash_dedup_pairs
+
+        rows = [
+            (1, "x\x00y z"),
+            (2, "x y\x00z"),  # same chr(0)-concat, different set
+            (3, "x\x00y z"),
+        ]
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+        fact = {
+            (r.doc_id_a, r.doc_id_b)
+            for r in minhash_dedup_pairs(df, n=1, factorize=True).collect()
+        }
+        # only the true clone pair survives the exact-jaccard verify on
+        # the direct path; the factorized path must agree
+        direct = {
+            (r.doc_id_a, r.doc_id_b)
+            for r in minhash_dedup_pairs(df, n=1, factorize=False).collect()
+        }
+        assert (1, 3) in fact
+        assert (1, 2) not in fact and (2, 3) not in fact
+        assert fact == direct
+
+    def test_cluster_separator_parity(self, spark):
+        from simple_cdc_service_spark.operators.dedup import ngram_jaccard_clusters
+
+        rows = [
+            (1, "b", "a\x00b"),
+            (2, "b", "a b"),
+            (3, "b", "a\x00b"),
+        ]
+        df = spark.createDataFrame(rows, "doc_id long, source string, text string")
+        fact = _clusters(ngram_jaccard_clusters(df, threshold=0.9, factorize=True))
+        direct = _clusters(ngram_jaccard_clusters(df, threshold=0.9, factorize=False))
+        assert fact == direct == [(1, 1), (3, 1)]
+
+
+class TestDecisionCacheSessionGuard:
+    """VERDICT r7 #5: a cached factorization decision belongs to the
+    session that measured it. An entry whose owning session is not the
+    current frame's session must be ignored and re-measured (same
+    identity guard as the shingle-stage cache)."""
+
+    def test_stale_session_entry_remeasured(self, spark, tmp_path):
+        from simple_cdc_service_spark.operators import dedup
+
+        path = str(tmp_path / "guard.parquet")
+        spark.createDataFrame(
+            [(i, "alpha beta gamma delta") for i in range(6)],
+            "doc_id long, text string",
+        ).write.parquet(path)
+        df = spark.read.parquet(path)
+
+        dedup._FACTORIZE_DECISION_CACHE.clear()
+        dedup._SHINGLE_STAGE_CACHE.clear()
+        dedup.minhash_dedup_pairs(df, n=1).collect()
+        assert len(dedup._FACTORIZE_DECISION_CACHE) == 1
+        key, (sess, val) = next(iter(dedup._FACTORIZE_DECISION_CACHE.items()))
+        assert sess is spark
+
+        # poison the entry with a foreign "session" and a WRONG decision:
+        # a served hit would flip the factorize branch; re-measurement
+        # restores both the owner and the measured value
+        class _NotASession:
+            pass
+
+        dedup._FACTORIZE_DECISION_CACHE[key] = (_NotASession(), not val)
+        dedup.minhash_dedup_pairs(df, n=1).collect()
+        sess2, val2 = dedup._FACTORIZE_DECISION_CACHE[key]
+        assert sess2 is spark
+        assert val2 == val

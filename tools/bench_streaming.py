@@ -145,6 +145,119 @@ def bench_admission(
     spark.stop()
 
 
+def bench_admission_store_scale(
+    preload_dir: str = "/tmp/sf10",
+    n_docs: int = 50_000,
+    chunks: int = 5,
+    dup_fraction: float = 0.1,
+) -> None:
+    """Admission against a 100×-scale signature store (VERDICT r7 #4):
+    preload the store with the ENTIRE sf10 documents corpus (500k docs,
+    one admission batch, timed separately), compact it, then feed
+    10×-size micro-batches of FRESH docs (seeded word-shuffles of sf0.1
+    texts — same vocabulary statistics, not near-dups of anything
+    stored) laced with planted near-copies of PRELOADED docs. Steady
+    state measures the O(batch + collisions) claim against a store two
+    decades larger than the batch; the planted copies must all be
+    rejected by the STORE probe (not the within-batch collapse)."""
+    import random
+
+    import duckdb
+
+    from simple_cdc_service_spark.streaming.pipeline import (
+        compact_corpus,
+        read_corpus,
+        start_corpus_dedup_admission,
+    )
+
+    spark = get_spark("bench-admission-store")
+    spark.sparkContext.setLogLevel("ERROR")
+    d = tempfile.mkdtemp()
+    src, corpus_dir, ckpt = f"{d}/src", f"{d}/corpus", f"{d}/ckpt"
+    pre_src, pre_ckpt = f"{d}/pre_src", f"{d}/pre_ckpt"
+    os.makedirs(src)
+    os.makedirs(pre_src)
+    load_start = os.getloadavg()[0]
+
+    # ---- preload: the full sf10 corpus as one admission batch ----
+    os.symlink(
+        os.path.join(preload_dir, "documents.parquet"),
+        os.path.join(pre_src, "documents.parquet"),
+    )
+    t_pre = time.perf_counter()
+    pre_stream = spark.readStream.schema("doc_id long, text string").parquet(
+        pre_src
+    )
+    start_corpus_dedup_admission(
+        pre_stream.select("doc_id", "text"), corpus_dir, pre_ckpt, threshold=0.6
+    ).awaitTermination()
+    preload_sec = round(time.perf_counter() - t_pre, 2)
+    t_cmp = time.perf_counter()
+    compact_corpus(spark, corpus_dir, min_versions=1)
+    compact_sec = round(time.perf_counter() - t_cmp, 2)
+    store_docs = read_corpus(spark, corpus_dir)
+    store_n = store_docs.count()
+
+    # ---- feed: fresh word-shuffles + planted copies of STORED docs ----
+    rows = duckdb.connect().execute(
+        f"SELECT doc_id, text FROM read_parquet('{preload_dir}/documents.parquet') "
+        f"ORDER BY doc_id LIMIT {n_docs}"
+    ).fetchall()
+    per = len(rows) // chunks
+    n_dup = int(per * dup_fraction)
+    batch_secs = []
+    total_fed = 0
+    t0 = time.perf_counter()
+    for c in range(chunks):
+        lo, hi = c * per, (c + 1) * per if c < chunks - 1 else len(rows)
+        with open(f"{src}/c{c}.json", "w") as f:
+            for did, text in rows[lo:hi]:
+                ws = text.split(" ")
+                random.Random((did, "r8-fresh")).shuffle(ws)
+                f.write(json.dumps(
+                    {"doc_id": 10_000_000 + did, "text": " ".join(ws)}
+                ) + "\n")
+                total_fed += 1
+            # planted near-copies of docs that live ONLY in the store —
+            # rejection must come from the cross-batch probe
+            for did, text in rows[lo : lo + n_dup]:
+                f.write(json.dumps(
+                    {"doc_id": 20_000_000 + 1_000_000 * c + did,
+                     "text": text + " tail"}
+                ) + "\n")
+                total_fed += 1
+        tb = time.perf_counter()
+        stream = spark.readStream.schema("doc_id long, text string").json(src)
+        start_corpus_dedup_admission(
+            stream, corpus_dir, ckpt, threshold=0.6
+        ).awaitTermination()
+        batch_secs.append(round(time.perf_counter() - tb, 2))
+    wall = time.perf_counter() - t0
+    corpus = read_corpus(spark, corpus_dir)
+    planted_admitted = corpus.filter("doc_id >= 20000000").count()
+    fresh_admitted = corpus.filter(
+        "doc_id >= 10000000 AND doc_id < 20000000"
+    ).count()
+    print(json.dumps({
+        "metric": "admission_docs_per_sec_500k_store",
+        "value": round(total_fed / wall, 1),
+        "unit": "docs/sec",
+        "store_docs_preloaded": store_n,
+        "preload_sec": preload_sec,
+        "compact_sec": compact_sec,
+        "docs_fed": total_fed,
+        "fresh_admitted": fresh_admitted,
+        "planted_dups_all_rejected": planted_admitted == 0,
+        "planted_dups_admitted": planted_admitted,
+        "micro_batches": chunks,
+        "wall_sec": round(wall, 2),
+        "batch_sec": batch_secs,
+        "loadavg_start": round(load_start, 1),
+        "loadavg_end": round(os.getloadavg()[0], 1),
+    }))
+    spark.stop()
+
+
 def bench_scd2(n_events: int = 50_000, chunks: int = 5) -> None:
     """SCD2-history-sink throughput: the same seeded workload as the CDC
     replica leg, through start_scd2_merge — per batch the sink rewrites
@@ -204,6 +317,13 @@ if __name__ == "__main__":
             n_docs=int(sys.argv[2]) if len(sys.argv) > 2 else 5_000,
             chunks=int(sys.argv[3]) if len(sys.argv) > 3 else 5,
             fuse_probe="fused" in sys.argv[4:],
+        )
+    elif len(sys.argv) > 1 and sys.argv[1] == "admission-store":
+        # admission-store [n_docs] [chunks] — 500k-doc store leg:
+        #   python tools/bench_streaming.py admission-store 50000 5
+        bench_admission_store_scale(
+            n_docs=int(sys.argv[2]) if len(sys.argv) > 2 else 50_000,
+            chunks=int(sys.argv[3]) if len(sys.argv) > 3 else 5,
         )
     elif len(sys.argv) > 1 and sys.argv[1] == "scd2":
         bench_scd2()

@@ -1,19 +1,30 @@
-"""100x scale evidence for the dedup/similarity family (VERDICT r6 #2).
+"""100x scale evidence for the dedup/similarity family (VERDICT r6 #2)
+and, with --all, the FULL registry (VERDICT r7 #1).
 
-Runs the candidate-generation heavies at sf0.1 -> sf1 -> sf10 (the
-/tmp/sf1 and /tmp/sf10 replicas from tools/make_sf1.py) and records
-engine wall + output rows per decade. ENGINE ONLY, no oracle — at
-100x the point is survival and growth shape, not re-verification (the
-hash evidence lives in the CORRECTNESS_FULL artifacts at <= sf1).
+Runs registry entries at sf0.1 -> sf1 -> sf10 (the /tmp/sf1 and
+/tmp/sf10 replicas from tools/make_sf1.py) and records engine wall +
+output rows per decade. ENGINE ONLY, no oracle — at 100x the point is
+survival and growth shape, not re-verification (the hash evidence lives
+in the CORRECTNESS_FULL artifacts at <= sf1).
 
-Materialization is .count(), not .collect(): the pair outputs are the
-product being measured, and at sf10 the by-construction word-set clone
-groups have 100 members each, so the within-group expansion alone is
-~110x sf1's pair count (C(100,2)/C(10,2)) — billions of rows that must
-flow through the full plan but never belong on the driver. count()
-executes the identical generation plan and aggregates map-side.
+Materialization forces EVERY output column, not bare .count(): the pair
+outputs are the product being measured, and at sf10 the by-construction
+word-set clone groups have 100 members each, so the within-group
+expansion alone is ~110x sf1's pair count (C(100,2)/C(10,2)) — billions
+of rows that must flow through the full plan but never belong on the
+driver. A bare count() lets Catalyst COLUMN-PRUNE map-only projections
+(text_simhash's 64 fold expressions measured 6.8s "wall" at sf10 while
+the real compute was ~80s — found r8), so the sweep aggregates
+count + sum(xxhash64(*cols)) map-side: one extra hash per row, every
+expression actually evaluated, nothing on the driver.
 
-Usage: python tools/scale100_proof.py [out.json] [query ...]
+Survival-sweep mode (--all): every registry entry, results written
+INCREMENTALLY after each (entry, sf) so a JVM death loses nothing;
+re-running with the same out.json resumes past completed cells, and a
+per-entry exception is recorded as {"error": ...} instead of killing
+the sweep. --sf A,B limits the scales (e.g. --sf 1.0,10.0).
+
+Usage: python tools/scale100_proof.py [out.json] [--all] [--sf 1.0,10.0] [query ...]
 """
 
 from __future__ import annotations
@@ -22,6 +33,7 @@ import json
 import os
 import sys
 import time
+import traceback
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
@@ -47,28 +59,98 @@ DEFAULT_QUERIES = [
     "knn_ivf_kmeans",
 ]
 
+NOTE = (
+    "single-run warmed-JVM engine wall, count() materialization "
+    "(full plan executes, rows aggregate map-side); growth_a_to_b "
+    "= t(b)/t(a) per 10x data step. Word-set clone groups grow "
+    "10 -> 100 members between sf1 and sf10 by construction, so "
+    "pair-emitting unigram entries are expected to grow "
+    "super-linearly in OUTPUT (quadratic within-group expansion) "
+    "while staying sub-quadratic in wall — that asymmetry is the "
+    "factorization working, not failing."
+)
+
+
+def _materialize(df) -> int:
+    """Execute the full plan with every output column forced (see module
+    doc) and return the row count. Falls back to count() for column
+    types xxhash64 can't digest."""
+    import pyspark.sql.functions as F
+
+    try:
+        row = df.agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.xxhash64(*[F.col(c) for c in df.columns])).alias("h"),
+        ).first()
+        return int(row["n"])
+    except Exception:
+        return df.count()
+
+
+def _flush(out: str, results: dict) -> None:
+    payload = {"note": NOTE, "loadavg": os.getloadavg()[0], "queries": results}
+    tmp = out + ".tmp"
+    with open(tmp, "w") as f:
+        json.dump(payload, f, indent=1)
+    os.replace(tmp, out)
+
 
 def main() -> int:
     args = sys.argv[1:]
     out = args.pop(0) if args and args[0].endswith(".json") else "SCALE100_r07.json"
-    names = args or DEFAULT_QUERIES
+    run_all = "--all" in args
+    if run_all:
+        args.remove("--all")
+    sfs = None
+    if "--sf" in args:
+        i = args.index("--sf")
+        sfs = {float(x) for x in args[i + 1].split(",")}
+        del args[i : i + 2]
+    names = list(REGISTRY) if run_all else (args or DEFAULT_QUERIES)
+
+    # resume: completed (entry, sf) cells in an existing out.json are kept
+    results: dict[str, dict] = {}
+    if os.path.exists(out):
+        with open(out) as f:
+            results = json.load(f).get("queries", {})
+        print(f"resuming from {out}: {len(results)} entries present")
+    for n in names:
+        results.setdefault(n, {"sec": {}, "rows": {}})
+
     spark = get_spark("scale100-proof")
     spark.sparkContext.setLogLevel("ERROR")
     REGISTRY["q1_pricing_summary"].fn(spark, SF_DIRS[0][0]).collect()  # warm
 
-    results: dict[str, dict] = {n: {"sec": {}, "rows": {}} for n in names}
     for sf_dir, sf in SF_DIRS:
+        if sfs is not None and sf not in sfs:
+            continue
         if not os.path.isdir(sf_dir):
             print(f"skip {sf_dir}: missing")
             continue
         for n in names:
+            cell = results[n]
+            key = str(sf)
+            if key in cell["sec"] or key in cell.get("error", {}):
+                continue  # resumed
             fn = REGISTRY[n].fn
             t0 = time.time()
-            rows = fn(spark, sf_dir).count()
+            try:
+                rows = _materialize(fn(spark, sf_dir))
+            except Exception as e:  # record, keep sweeping
+                dt = time.time() - t0
+                cell.setdefault("error", {})[key] = (
+                    f"{type(e).__name__}: {str(e).splitlines()[0][:300]}"
+                )
+                print(f"{n} @ sf{sf}: ERROR after {dt:.2f}s — {type(e).__name__}",
+                      flush=True)
+                traceback.print_exc(limit=3)
+                _flush(out, results)
+                continue
             dt = time.time() - t0
-            results[n]["sec"][str(sf)] = round(dt, 2)
-            results[n]["rows"][str(sf)] = rows
+            cell["sec"][key] = round(dt, 2)
+            cell["rows"][key] = rows
             print(f"{n} @ sf{sf}: {dt:.2f}s, {rows} rows", flush=True)
+            _flush(out, results)
 
     for n in names:
         pts = results[n]["sec"]
@@ -78,22 +160,7 @@ def main() -> int:
                     pts[hi] / max(pts[lo], 0.05), 1
                 )
 
-    payload = {
-        "note": (
-            "single-run warmed-JVM engine wall, count() materialization "
-            "(full plan executes, rows aggregate map-side); growth_a_to_b "
-            "= t(b)/t(a) per 10x data step. Word-set clone groups grow "
-            "10 -> 100 members between sf1 and sf10 by construction, so "
-            "pair-emitting unigram entries are expected to grow "
-            "super-linearly in OUTPUT (quadratic within-group expansion) "
-            "while staying sub-quadratic in wall — that asymmetry is the "
-            "factorization working, not failing."
-        ),
-        "loadavg": os.getloadavg()[0],
-        "queries": results,
-    }
-    with open(out, "w") as f:
-        json.dump(payload, f, indent=1)
+    _flush(out, results)
     print(f"wrote {out}")
     return 0
 
