@@ -109,6 +109,24 @@ def _seeded_sample(ids, vecs, seed: int, cap: int):
     return vecs[order]
 
 
+def _adaptive_n_centroids(
+    n_rows: int, target_per_list: int = 1024, lo: int = 16, hi: int = 1024
+) -> int:
+    """Mirror of operators/similarity.py::adaptive_n_centroids — the
+    oracle recomputes the engine's scale-adaptive list/cluster count
+    from its own COUNT(*) so the trained reference uses the identical
+    k at every sf."""
+    import math
+
+    if n_rows <= 0:
+        return lo
+    return max(lo, min(hi, math.ceil(n_rows / target_per_list)))
+
+
+def _count(con, src_sql: str) -> int:
+    return int(con.execute(f"SELECT count(*) FROM ({src_sql})").fetchone()[0])
+
+
 def kmeans_centroids_ref(con, src_sql: str, n_centroids: int, seed: int = 42):
     """Mirror of operators/similarity.py::kmeans_centroids — seeded-hash
     sample, default_rng(seed) init, 20 Lloyd rounds over the identical
@@ -180,16 +198,16 @@ def _assign_lists(ids, vecs, cent, nprobe: int):
 
 
 def setup_knn_ivf_kmeans(con) -> None:
-    """Registers ref_cents_ivf16: k-means centroids trained on the
-    vec_id >= 5 corpus — the only non-SQL piece of knn_ivf_kmeans."""
+    """Registers ref_cents_ivf: k-means centroids trained on the
+    vec_id >= 5 corpus — the only non-SQL piece of knn_ivf_kmeans.
+    List count is the engine's scale-adaptive formula (16 at sf ≤ 0.1)."""
     import pandas as pd
 
-    cent = kmeans_centroids_ref(
-        con, "SELECT vec_id, embedding FROM embeddings WHERE vec_id >= 5", 16
-    )
+    src = "SELECT vec_id, embedding FROM embeddings WHERE vec_id >= 5"
+    cent = kmeans_centroids_ref(con, src, _adaptive_n_centroids(_count(con, src)))
     _register(
         con,
-        "ref_cents_ivf16",
+        "ref_cents_ivf",
         pd.DataFrame(
             {"centroid_id": range(len(cent)), "cv": [list(c) for c in cent]}
         ),
@@ -197,14 +215,17 @@ def setup_knn_ivf_kmeans(con) -> None:
 
 
 def setup_dedup_semantic(con) -> None:
-    """Registers ref_cents_sem16: k-means centroids trained on the
-    planted-duplicate UNION frame (dedup_semantic's input)."""
+    """Registers ref_cents_sem: k-means centroids trained on the
+    planted-duplicate UNION frame (dedup_semantic's input). Cluster
+    count is the engine's scale-adaptive formula (16 at sf ≤ 0.1)."""
     import pandas as pd
 
-    cent = kmeans_centroids_ref(con, _UNION_PLANTED, 16)
+    cent = kmeans_centroids_ref(
+        con, _UNION_PLANTED, _adaptive_n_centroids(_count(con, _UNION_PLANTED))
+    )
     _register(
         con,
-        "ref_cents_sem16",
+        "ref_cents_sem",
         pd.DataFrame(
             {"centroid_id": range(len(cent)), "cv": [list(c) for c in cent]}
         ),
@@ -335,7 +356,12 @@ def setup_knn_ivfpq(con) -> None:
             con,
             "SELECT vec_id, embedding FROM embeddings WHERE vec_id >= 5",
             "SELECT vec_id, embedding FROM embeddings WHERE vec_id < 5",
-            k=10, m=8, ksub=16, rerank=50, n_centroids=16, nprobe=8,
+            k=10, m=8, ksub=16, rerank=50,
+            n_centroids=_adaptive_n_centroids(_count(
+                con,
+                "SELECT vec_id, embedding FROM embeddings WHERE vec_id >= 5",
+            )),
+            nprobe=8,
         ),
     )
 

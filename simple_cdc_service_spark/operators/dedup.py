@@ -1043,24 +1043,6 @@ def embedding_dup_pairs_lsh(
         dim = len(probe[0])
     rng = np.random.RandomState(seed)
     planes = rng.standard_normal((bands * rbits, dim))
-    from ..functions import dot
-
-    v = as_double_array(F.col(vec_col))
-    tables = []
-    for t in range(bands):
-        bits = [
-            F.when(
-                dot(v, F.array(*[F.lit(float(x)) for x in planes[t * rbits + j]])) >= 0,
-                F.lit("1"),
-            ).otherwise(F.lit("0"))
-            for j in range(rbits)
-        ]
-        tables.append(
-            F.struct(F.lit(t).alias("band"), F.concat(*bits).alias("bv"))
-        )
-    banded = df.select(
-        F.col(id_col), F.explode(F.array(*tables)).alias("bb")
-    ).select(id_col, "bb.band", "bb.bv")
     # SCALE 100× (SCALE100 r7, fifth disease): the former candidate-join
     # verify (bucket_pairs → a.join(cand).join(b) with cosine in the
     # residual) ships TWO full vectors per candidate row, and random-pair
@@ -1075,15 +1057,63 @@ def embedding_dup_pairs_lsh(
     # to the join form (same per-dimension left-fold as F.aggregate /
     # list_dot_product), so a pair colliding in several tables emits
     # identical rows and distinct-after-round is exact.
-    e = (
-        df.select(F.col(id_col), as_double_array(F.col(vec_col)).alias("v"))
-        .filter(F.col("v").isNotNull())
-        .withColumn("nrm", norm(F.col("v")))
-        .withColumnRenamed(id_col, "__vid")
+    #
+    # BANDING KERNEL (r8): the former expression form built bands·rbits
+    # interpreted `dot(v, plane)` folds PER ROW (64 folds × dim lambda
+    # steps — the fixed per-row cost that dominated the 115s sf10 wall)
+    # and then joined the vectors back onto the banded rows. One Arrow
+    # batch kernel now computes all projections per batch via
+    # per-dimension left folds — ``acc[:, j] += X[:, d] * P[j, d]`` in
+    # index order, bit-identical to the F.aggregate fold and to the
+    # oracle's list_dot_product — and emits (id, band, bv, v, nrm)
+    # directly, so the vector join disappears too. nrm uses the same
+    # per-dimension fold as norm() (sqrt of the self-dot fold).
+    import pandas as pd
+
+    from ..sources.tables import spread
+
+    id_field = df.schema[id_col].dataType.simpleString()
+    eb_schema = (
+        f"{id_col} {id_field}, band int, bv string, v array<double>, nrm double"
     )
-    eb = banded.join(e, F.col(id_col) == F.col("__vid")).drop("__vid").filter(
-        F.col("bv").isNotNull()
-    )
+
+    def band_rows(batches):
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            X = np.stack(pdf["v"].to_numpy()).astype(np.float64)
+            n = len(X)
+            proj = np.zeros((n, bands * rbits))
+            dv = np.zeros(n)
+            for d in range(dim):
+                xd = X[:, d]
+                dv += xd * xd
+                proj += xd[:, None] * planes[None, :, d]
+            nrm = np.sqrt(dv)
+            bits = np.where(proj >= 0, "1", "0")
+            out = []
+            for t in range(bands):
+                bv = [
+                    "".join(row) for row in bits[:, t * rbits : (t + 1) * rbits]
+                ]
+                out.append(
+                    pd.DataFrame(
+                        {
+                            id_col: pdf[id_col],
+                            "band": t,
+                            "bv": bv,
+                            "v": pdf["v"],
+                            "nrm": nrm,
+                        }
+                    )
+                )
+            yield pd.concat(out, ignore_index=True)
+
+    eb = spread(
+        df.select(F.col(id_col), as_double_array(F.col(vec_col)).alias("v")).filter(
+            F.col("v").isNotNull()
+        )
+    ).mapInPandas(band_rows, eb_schema)
     return (
         _tiled_cosine_pairs(
             eb,
@@ -1309,7 +1339,7 @@ def _tiled_cosine_pairs(
 def semantic_dup_pairs(
     df: DataFrame,
     threshold: float = 0.95,
-    n_clusters: int = 16,
+    n_clusters: int | None = None,
     seed: int = 42,
     vec_col: str = "embedding",
     id_col: str = "vec_id",
@@ -1329,6 +1359,13 @@ def semantic_dup_pairs(
     all-pairs cosine over the corpus. Near-dup pairs that straddle a
     cluster boundary are missed — the standard SemDeDup trade-off;
     raise n_clusters for tighter blocks (cost) or lower it for recall.
+    ``n_clusters`` defaults to the scale-adaptive count
+    (similarity.adaptive_n_centroids, VERDICT r7 #2): a FIXED cluster
+    count makes per-cluster pair mass grow quadratically with the
+    corpus — 200k/16 ≈ 12.5k-vector clusters cost ~78M in-kernel
+    cosines EACH at 100× bench scale; with k ∝ N the per-cluster mass
+    stays ~constant. Small corpora (< 16·1024 rows) land on the
+    historical k=16 exactly.
     SCALE 100× (SCALE100 r7): the former within-cluster pair join
     confined each cluster's quadratic enumeration — full vectors on both
     sides — to n_clusters join keys (~1.25B array-carrying rows over 16
@@ -1339,8 +1376,10 @@ def semantic_dup_pairs(
     per-dimension left-fold as the expression form).
 
     Returns (vec_id_a, vec_id_b, cos_sim) with a < b."""
-    from .similarity import ivf_assign, kmeans_centroids
+    from .similarity import adaptive_n_centroids, ivf_assign, kmeans_centroids
 
+    if n_clusters is None:
+        n_clusters = adaptive_n_centroids(df.count())
     cents = kmeans_centroids(df, n_clusters, seed, vec_col, id_col)
     assigned = ivf_assign(df, cents, vec_col, id_col)  # (id, centroid_id, v)
     e = assigned.select(F.col(id_col), "centroid_id", "v").filter(

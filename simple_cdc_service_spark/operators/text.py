@@ -136,6 +136,60 @@ def simhash_bits(ws: Column, n_bits: int = 64) -> Column:
     )
 
 
+def simhash_docs(
+    df,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n_bits: int = 64,
+    factorize: bool | None = None,
+):
+    """(id, simhash) over space-split lowercased words, with the bits
+    computed once per distinct word MULTISET when the corpus is
+    clone-heavy (adaptive — same measured distinct-set decision and
+    session cache as the minhash family).
+
+    The simhash is a pure function of the word multiset: the per-bit
+    vote is a commutative ±1 sum over words, so word-shuffled clones
+    share the fingerprint bit-for-bit. At 100× bench scale 500k docs
+    hold only ~5k distinct multisets, and the 64 vote folds — measured
+    ~80s of dedup_simhash's sf10 wall (r8 profile; a bare count() hid
+    it behind column pruning) — run ~100× fewer times; docs join their
+    group's fingerprint back by the multiset key. Distinct corpora keep
+    the map-only direct path (no shuffle — the factorized path pays a
+    groupBy+join of the word arrays, which only the fold savings can
+    justify). Output is identical either way; the dedup_simhash oracle
+    (registry) factorizes with the same algebra.
+
+    The multiset key reuses the injective sorted length-prefixed
+    encoding of the factorized dedup paths (_exact_set_key — it never
+    deduplicates, so on a sorted-with-duplicates array it keys the
+    multiset exactly)."""
+    from ..sources.tables import spread
+    from .dedup import _exact_set_key, _set_factorize_decision
+
+    w = spread(df).select(
+        F.col(id_col), F.split(F.lower(F.col(text_col)), " ").alias("ws")
+    )
+    if factorize is None:
+        # decision statistic on word SETS — byte-compatible with the
+        # minhash n=1 cache entry (unigram shingle sets ARE word sets),
+        # so a corpus measured by either family never re-pays the pass.
+        # Set ratio lower-bounds multiset ratio: at the 0.5 cutoff a
+        # factorize=True call is at worst break-even, never wrong.
+        staged = w.select(F.col(id_col), F.array_distinct("ws").alias("wset"))
+        factorize = _set_factorize_decision(df, staged, "wset", 1, text_col)
+    if not factorize:
+        return w.select(
+            F.col(id_col), simhash_bits(F.col("ws"), n_bits).alias("simhash")
+        )
+    keyed = w.withColumn("__k", _exact_set_key(F.col("ws")))
+    groups = keyed.groupBy("__k").agg(F.first("ws").alias("ws"))
+    bits = groups.select(
+        "__k", simhash_bits(F.col("ws"), n_bits).alias("simhash")
+    )
+    return keyed.join(bits, "__k").select(F.col(id_col), "simhash")
+
+
 def hamming_bits(a: Column, b: Column, n_bits: int = 32) -> Column:
     """Hamming distance between two equal-length '0'/'1' strings."""
     return F.size(

@@ -1203,7 +1203,9 @@ def knn_ivfpq_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return knn_ivfpq(
         emb.filter(F.col("vec_id") >= 5),
         emb.filter(F.col("vec_id") < 5),
-        k=10, n_centroids=16, nprobe=8, rerank=50,
+        # n_centroids omitted -> scale-adaptive list count (r8): 16 at
+        # sf <= 0.1 (unchanged hash evidence), ~N/1024 beyond
+        k=10, nprobe=8, rerank=50,
     )
 
 
@@ -1233,7 +1235,7 @@ def _ref_sem_setup(con) -> None:
                       list_dot_product(v, cv)
                       / (sqrt(list_dot_product(v, v)) * sqrt(list_dot_product(cv, cv)))
                       DESC, centroid_id) AS rn
-           FROM src CROSS JOIN (SELECT centroid_id, cv FROM ref_cents_sem16)),
+           FROM src CROSS JOIN (SELECT centroid_id, cv FROM ref_cents_sem)),
     asg AS (SELECT vec_id, v, centroid_id FROM ca WHERE rn = 1)
     SELECT a.vec_id AS vec_id_a, b.vec_id AS vec_id_b,
            round(list_dot_product(a.v, b.v)
@@ -1370,7 +1372,7 @@ def _ref_ivfk_setup(con) -> None:
                FROM embeddings),
     corpus AS (SELECT vec_id, v FROM e WHERE vec_id >= 5),
     q AS (SELECT vec_id, v FROM e WHERE vec_id < 5),
-    cents AS (SELECT centroid_id, cv FROM ref_cents_ivf16),
+    cents AS (SELECT centroid_id, cv FROM ref_cents_ivf),
     ca AS (SELECT vec_id AS neighbor_id, v AS cv2, centroid_id,
                   row_number() OVER (PARTITION BY vec_id ORDER BY
                       list_dot_product(v, cv)
@@ -1408,11 +1410,19 @@ def knn_ivf_kmeans_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     and reach the same recall probing far fewer lists. The cost model is
     the point: each query scores nprobe/n_centroids of the corpus,
     tunable per workload."""
-    from .operators.similarity import kmeans_centroids, knn_ivf
+    from .operators.similarity import (
+        adaptive_n_centroids,
+        kmeans_centroids,
+        knn_ivf,
+    )
 
     emb = _t(spark, sf_dir, "embeddings")
     corpus = emb.filter(F.col("vec_id") >= 5)
-    cents = kmeans_centroids(corpus, n_centroids=16, seed=42)
+    # scale-adaptive list count (r8): 16 at sf <= 0.1 (unchanged hash
+    # evidence), ~N/1024 beyond — the oracle recomputes the same k
+    cents = kmeans_centroids(
+        corpus, n_centroids=adaptive_n_centroids(corpus.count()), seed=42
+    )
     return knn_ivf(
         corpus, emb.filter(F.col("vec_id") < 5), k=10, centroids=cents, nprobe=8
     )
@@ -2179,14 +2189,13 @@ def cdc_incremental_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
 def text_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash document fingerprint (64-bit, md5-digit hash family; width
     rationale in simhash_bits) — the third near-dup scheme alongside
-    MinHash-LSH and n-gram Jaccard."""
-    from .operators import text as T
-    from .sources.tables import spread
+    MinHash-LSH and n-gram Jaccard. Bits are computed once per distinct
+    word multiset on clone-heavy corpora (adaptive; see
+    operators/text.py::simhash_docs — the fingerprint is a pure function
+    of the multiset, so the output is identical either way)."""
+    from .operators.text import simhash_docs
 
-    d = spread(_t(spark, sf_dir, "documents"))
-    return d.select(
-        "doc_id", T.simhash_bits(F.split(F.lower("text"), " ")).alias("simhash")
-    )
+    return simhash_docs(_t(spark, sf_dir, "documents"))
 
 
 @register(

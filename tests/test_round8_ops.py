@@ -116,6 +116,144 @@ class TestExactSetKeyInjective:
         assert fact == direct == [(1, 1), (3, 1)]
 
 
+class TestSimhashMultisetFactorization:
+    """VERDICT r7 #3: simhash bits computed once per distinct word
+    MULTISET on clone-heavy corpora (the fingerprint is a pure function
+    of the multiset). The contract is exact output parity with the
+    direct map-only path."""
+
+    def _run(self, spark, rows, factorize):
+        from simple_cdc_service_spark.operators.text import simhash_docs
+
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+        return dict(
+            (r.doc_id, r.simhash)
+            for r in simhash_docs(df, factorize=factorize).collect()
+        )
+
+    def test_clone_corpus_parity_and_sharing(self, spark):
+        rows = (
+            [(i, "alpha beta gamma delta epsilon") for i in range(5)]
+            + [(10 + i, "epsilon delta gamma beta alpha") for i in range(3)]
+            + [(20, "totally different words entirely here")]
+        )
+        fact = self._run(spark, rows, True)
+        direct = self._run(spark, rows, False)
+        assert fact == direct
+        # word-shuffled clones share the fingerprint bit-for-bit
+        assert fact[0] == fact[10]
+        assert len(fact[0]) == 64
+
+    def test_multiset_not_set(self, spark):
+        # duplicate words change the vote sums — the key must separate
+        # "a a b" from "a b" (a SET key would merge them)
+        rows = [(1, "a a b"), (2, "a b"), (3, "a a b")]
+        fact = self._run(spark, rows, True)
+        direct = self._run(spark, rows, False)
+        assert fact == direct
+        assert fact[1] == fact[3]
+
+    def test_embedded_separator_parity(self, spark):
+        rows = [(1, "x\x00y z"), (2, "x y\x00z"), (3, "x\x00y z")]
+        fact = self._run(spark, rows, True)
+        direct = self._run(spark, rows, False)
+        assert fact == direct
+        assert fact[1] == fact[3]
+
+
+class TestAdaptiveCentroids:
+    """VERDICT r7 #2: scale-adaptive cluster/list counts. The formula is
+    the contract both engine and oracle compute (k ≈ N/1024 clamped to
+    [16, 1024]); small corpora land on the historical k=16 exactly so
+    committed sf ≤ 0.1 hash evidence is unchanged."""
+
+    def test_formula(self):
+        from simple_cdc_service_spark.operators.similarity import (
+            adaptive_n_centroids,
+        )
+        from simple_cdc_service_spark.functions.ref_oracle import (
+            _adaptive_n_centroids,
+        )
+
+        cases = [0, 1, 500, 2050, 16 * 1024, 16 * 1024 + 1, 200_050,
+                 2_000_000, 10**9]
+        for n in cases:
+            k = adaptive_n_centroids(n)
+            assert k == _adaptive_n_centroids(n)  # oracle mirror
+            assert 16 <= k <= 1024
+        assert adaptive_n_centroids(500) == 16          # lo clamp
+        assert adaptive_n_centroids(2050) == 16         # sf0.1 → historical k
+        assert adaptive_n_centroids(16 * 1024) == 16    # boundary
+        assert adaptive_n_centroids(16 * 1024 + 1) == 17
+        assert adaptive_n_centroids(200_050) == 196     # sf10
+        assert adaptive_n_centroids(10**9) == 1024      # hi clamp
+
+
+class TestIvfAssignKernel:
+    """The nprobe=1 assignment kernel (per-dimension left folds) must
+    reproduce the sequential-fold cosine argmax with the (sim DESC,
+    centroid_id ASC) tie-break — the protocol of the former
+    crossJoin+window path and of every assignment oracle."""
+
+    def _fold_cos(self, a, b):
+        num = 0.0
+        for x, y in zip(a, b):
+            num += x * y
+        da = 0.0
+        for x in a:
+            da += x * x
+        db = 0.0
+        for y in b:
+            db += y * y
+        import math
+
+        return num / (math.sqrt(da) * math.sqrt(db))
+
+    def test_kernel_matches_fold_argmax(self, spark):
+        import random
+
+        from simple_cdc_service_spark.operators.similarity import ivf_assign
+
+        rng = random.Random(7)
+        vecs = [(i, [rng.uniform(-1, 1) for _ in range(8)]) for i in range(60)]
+        cents = [(c, [rng.uniform(-1, 1) for _ in range(8)]) for c in range(5)]
+        corpus = spark.createDataFrame(vecs, "vec_id long, embedding array<double>")
+        cdf = spark.createDataFrame(
+            cents, "centroid_id long, embedding array<double>"
+        )
+        got = {
+            r.vec_id: r.centroid_id for r in ivf_assign(corpus, cdf).collect()
+        }
+        for vid, v in vecs:
+            sims = [(-self._fold_cos(v, cv), ci) for ci, cv in cents]
+            sims.sort()
+            assert got[vid] == sims[0][1], f"vec {vid}"
+
+    def test_duplicate_centroid_tiebreak(self, spark):
+        from simple_cdc_service_spark.operators.similarity import ivf_assign
+
+        corpus = spark.createDataFrame(
+            [(1, [1.0, 0.0]), (2, [0.0, 1.0])],
+            "vec_id long, embedding array<double>",
+        )
+        # centroids 1 and 2 are identical — ties must go to the SMALLER id
+        cdf = spark.createDataFrame(
+            [(0, [0.0, 1.0]), (1, [1.0, 0.0]), (2, [1.0, 0.0])],
+            "centroid_id long, embedding array<double>",
+        )
+        got = {r.vec_id: r.centroid_id for r in ivf_assign(corpus, cdf).collect()}
+        assert got == {1: 1, 2: 0}
+
+    def test_empty_centroids(self, spark):
+        from simple_cdc_service_spark.operators.similarity import ivf_assign
+
+        corpus = spark.createDataFrame(
+            [(1, [1.0, 0.0])], "vec_id long, embedding array<double>"
+        )
+        cdf = spark.createDataFrame([], "centroid_id long, embedding array<double>")
+        assert ivf_assign(corpus, cdf).count() == 0
+
+
 class TestDecisionCacheSessionGuard:
     """VERDICT r7 #5: a cached factorization decision belongs to the
     session that measured it. An entry whose owning session is not the

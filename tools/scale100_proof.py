@@ -78,9 +78,13 @@ def _materialize(df) -> int:
     import pyspark.sql.functions as F
 
     try:
+        # sum in double: the value is discarded, it exists only to force
+        # every column's evaluation — a long sum overflows under ANSI
         row = df.agg(
             F.count(F.lit(1)).alias("n"),
-            F.sum(F.xxhash64(*[F.col(c) for c in df.columns])).alias("h"),
+            F.sum(
+                F.xxhash64(*[F.col(c) for c in df.columns]).cast("double")
+            ).alias("h"),
         ).first()
         return int(row["n"])
     except Exception:
