@@ -4826,23 +4826,52 @@ def fuzzy_pair_edit(spark: SparkSession, sf_dir: str) -> DataFrame:
     the prefix cap bounds the per-pair cost independently of document
     length. Global result is TakeOrderedAndProject (per-partition heaps)
     with a total (dist, id, id) order — deterministic across engines.
+
+    BAND JOIN SHAPE (r8, found by the full-registry survival sweep): the
+    former join's only EQUI key was source (20 values) — a 20-reducer
+    sort-merge join whose non-equi length band is a residual filter, so
+    every source block pays its full O(block²) candidate stream on one
+    task (5.9 s → 546 s per 10× step; ~15 h extrapolated at 100× bench
+    scale). The length band is now part of the join key: rows bucket by
+    floor(n_chars / 40) and the probe side expands to its three
+    neighboring buckets — any pair within 40 chars lands in exactly one
+    (source, bucket) key, the exact band re-checked in the residual.
+    Keys go 20 → ~20·buckets, per-key mass drops quadratically, the
+    Levenshtein count is UNCHANGED (that work is the operator's
+    contract — argmin needs every banded pair scored).
+
     Production near-dup at 100 TB swaps the metadata block for LSH
     bucketing (dedup_ngram_lsh) and uses this metric only on candidate
     pairs."""
-    d = _t(spark, sf_dir, "documents").select(
+    from .sources.tables import spread
+
+    d = spread(_t(spark, sf_dir, "documents")).select(
         "doc_id", "source", "n_chars", F.substring(F.lower("text"), 1, 80).alias("pfx")
     )
-    a = d.alias("a")
-    b = d.alias("b")
+    a = d.withColumn("bkt", F.floor(F.col("n_chars") / 40))
+    b = d.select(
+        F.col("doc_id").alias("doc_id_b"),
+        F.col("source").alias("source_b"),
+        F.col("n_chars").alias("n_chars_b"),
+        F.col("pfx").alias("pfx_b"),
+        F.explode(
+            F.array(
+                F.floor(F.col("n_chars") / 40) - 1,
+                F.floor(F.col("n_chars") / 40),
+                F.floor(F.col("n_chars") / 40) + 1,
+            )
+        ).alias("bkt_b"),
+    )
     pairs = a.join(
         b,
-        (F.col("a.source") == F.col("b.source"))
-        & (F.col("a.doc_id") < F.col("b.doc_id"))
-        & (F.abs(F.col("a.n_chars") - F.col("b.n_chars")) <= 40),
+        (F.col("source") == F.col("source_b"))
+        & (F.col("bkt") == F.col("bkt_b"))
+        & (F.col("doc_id") < F.col("doc_id_b"))
+        & (F.abs(F.col("n_chars") - F.col("n_chars_b")) <= 40),
     ).select(
-        F.col("a.doc_id").alias("doc_id_a"),
-        F.col("b.doc_id").alias("doc_id_b"),
-        F.levenshtein(F.col("a.pfx"), F.col("b.pfx")).cast("long").alias("edit_dist"),
+        F.col("doc_id").alias("doc_id_a"),
+        "doc_id_b",
+        F.levenshtein(F.col("pfx"), F.col("pfx_b")).cast("long").alias("edit_dist"),
     )
     return pairs.orderBy("edit_dist", "doc_id_a", "doc_id_b").limit(20)
 
@@ -4989,6 +5018,17 @@ def recursive_cte(spark: SparkSession, sf_dir: str) -> DataFrame:
     # each iteration handles ~|customers| rows, task count is the cost.
     anchor = ord_chain.filter(F.col("i") == 1).coalesce(1).localCheckpoint(eager=True)
     anchor.createOrReplaceTempView("order_chain_anchor")
+    # Spark 4's recursion guard (spark.sql.cteRecursionRowLimit) defaults
+    # to 1M ACCUMULATED rows — the recursion accumulates ~|customers| rows
+    # per iteration, so at 100× bench scale (1.5M customers × ~5 chunked
+    # iterations) the guard fires on a perfectly-converging query (r8
+    # survival sweep). Derive the limit from the anchor: 16× headroom
+    # over the ~ceil(25/8)+1 iterations chain length implies, keeping the
+    # runaway-recursion protection proportionate instead of absolute.
+    spark.conf.set(
+        "spark.sql.cteRecursionRowLimit",
+        str(max(1_000_000, 16 * anchor.count())),
+    )
     chunks = (
         ord_chain.filter(F.col("i") > 1)
         .withColumn("base", F.expr(f"((i - 2) div {B}) * {B} + 1"))
@@ -6977,14 +7017,34 @@ def interval_join_distinct_hll_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("ts_ms").alias("lo"),
         (F.col("ts_ms") + W).alias("hi"),
     )
+    # WINDOW FACTORIZATION (r8 survival sweep): both the sketch estimate
+    # and the exact distinct are pure functions of the WINDOW (lo, hi) —
+    # incidents sharing a timestamp share every output value — so both
+    # legs compute once per DISTINCT window and expand through the
+    # incident → window membership join. At 100× bench scale the
+    # replicas repeat timestamps and 2M incidents collapse to ~19.8k
+    # windows: the per-incident form shipped ~2M sketch-carrying rows
+    # through the interior union + a ~9.4B-row pair stream through the
+    # exact distinct (JVM-OOM-dead at the default heap); factorized, the
+    # whole entry is seconds. Same compute-per-equivalence-class algebra
+    # as the dedup factorizations; distinct-window corpora pay only the
+    # cheap dedup pass. The exact leg's early distinct (map-side partial
+    # dedup, NULL users excluded to match count(DISTINCT)) replaces a
+    # countDistinct whose Expand carried the full pair stream.
+    win = inc.select("lo", "hi").distinct()
     est = interval_join_distinct_hll(
-        e.select("ts_ms", "user_id"), inc, "ts_ms", "lo", "hi", 60_000, "user_id"
+        e.select("ts_ms", "user_id"), win, "ts_ms", "lo", "hi", 60_000, "user_id"
     )
-    pairs = interval_join_bucketed(e.select("ts_ms", "user_id"), inc, "ts_ms", "lo", "hi", W)
-    exact = pairs.groupBy("incident_id", "lo").agg(
-        F.countDistinct("user_id").alias("n_users")
+    pairs = interval_join_bucketed(e.select("ts_ms", "user_id"), win, "ts_ms", "lo", "hi", W)
+    exact = (
+        pairs.filter(F.col("user_id").isNotNull())
+        .select("lo", "hi", "user_id")
+        .distinct()
+        .groupBy("lo", "hi")
+        .agg(F.count("*").alias("n_users"))
     )
-    return exact.join(est, ["incident_id", "lo"]).select(
+    per_window = exact.join(est, ["lo", "hi"])
+    return inc.join(per_window, ["lo", "hi"]).select(
         "incident_id",
         F.col("lo").alias("incident_start_ms"),
         F.col("n_users").cast("long").alias("n_users_exact"),

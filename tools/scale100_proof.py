@@ -121,9 +121,19 @@ def main() -> int:
     for n in names:
         results.setdefault(n, {"sec": {}, "rows": {}})
 
-    spark = get_spark("scale100-proof")
-    spark.sparkContext.setLogLevel("ERROR")
-    REGISTRY["q1_pricing_summary"].fn(spark, SF_DIRS[0][0]).collect()  # warm
+    def fresh_spark():
+        s = get_spark("scale100-proof")
+        s.sparkContext.setLogLevel("ERROR")
+        REGISTRY["q1_pricing_summary"].fn(s, SF_DIRS[0][0]).collect()  # warm
+        return s
+
+    def session_alive(s) -> bool:
+        try:
+            return not s.sparkContext._jsc.sc().isStopped()
+        except Exception:
+            return False
+
+    spark = fresh_spark()
 
     for sf_dir, sf in SF_DIRS:
         if sfs is not None and sf not in sfs:
@@ -149,6 +159,17 @@ def main() -> int:
                       flush=True)
                 traceback.print_exc(limit=3)
                 _flush(out, results)
+                if not session_alive(spark):
+                    # an entry that kills the JVM must not poison the
+                    # rest of the sweep with instant dead-session errors
+                    # (r8: interval_join_distinct_hll took 5 entries
+                    # down with it). In local mode the py4j gateway dies
+                    # with the JVM, so an in-process rebuild is
+                    # impossible — exit with the error recorded; a rerun
+                    # resumes past every completed cell.
+                    print("SparkSession/JVM died — exiting for resume "
+                          "(rerun the same command)", flush=True)
+                    return 2
                 continue
             dt = time.time() - t0
             cell["sec"][key] = round(dt, 2)
