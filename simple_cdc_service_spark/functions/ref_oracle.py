@@ -127,6 +127,39 @@ def _count(con, src_sql: str) -> int:
     return int(con.execute(f"SELECT count(*) FROM ({src_sql})").fetchone()[0])
 
 
+def _adaptive_lsh_params(
+    n_rows: int,
+    threshold: float,
+    base_bands: int = 8,
+    base_rbits: int = 8,
+    target_per_bucket: int = 1024,
+    hi_rbits: int = 16,
+) -> tuple[int, int]:
+    """Mirror of operators/dedup.py::adaptive_lsh_params — the oracle
+    recomputes the engine's scale-adaptive (bands, rbits) from its own
+    COUNT(*) so the registered hyperplane table has the identical shape
+    at every sf (N <= 262,144 stays on the historical (8, 8))."""
+    import math
+
+    if n_rows <= target_per_bucket:
+        return base_bands, base_rbits
+    rbits = max(
+        base_rbits,
+        min(hi_rbits, (-(-n_rows // target_per_bucket) - 1).bit_length()),
+    )
+    if rbits == base_rbits:
+        return base_bands, base_rbits
+    p = 1.0 - math.acos(min(max(threshold, -1.0), 1.0)) / math.pi
+    p = min(max(p, 1e-9), 1.0 - 1e-9)
+    bands = math.ceil(
+        base_bands
+        * math.log(1.0 - p**base_rbits)
+        / math.log(1.0 - p**rbits)
+        - 1e-9
+    )
+    return max(base_bands, bands), rbits
+
+
 def kmeans_centroids_ref(con, src_sql: str, n_centroids: int, seed: int = 42):
     """Mirror of operators/similarity.py::kmeans_centroids — seeded-hash
     sample, default_rng(seed) init, 20 Lloyd rounds over the identical
@@ -234,21 +267,34 @@ def setup_dedup_semantic(con) -> None:
 
 def setup_dedup_embedding_lsh(con) -> None:
     """Registers ref_lsh_planes (band, j, p): the RandomState(42)
-    hyperplanes of operators/dedup.py::embedding_dup_pairs_lsh
-    (bands=8, rbits=8) — sign buckets + verification are pure SQL."""
+    hyperplanes of operators/dedup.py::embedding_dup_pairs_lsh at the
+    scale-adaptive (bands, rbits) of the registry corpus (embeddings +
+    the <50 planted copies, non-null vectors — the same N the engine
+    counts). Sign buckets + verification are pure SQL; the oracle query
+    groups by the table's band column and string_aggs ORDER BY j, so it
+    adapts to any registered shape with no SQL change."""
     import numpy as np
     import pandas as pd
 
+    n = _count(
+        con,
+        "SELECT vec_id FROM embeddings WHERE embedding IS NOT NULL",
+    ) + _count(
+        con,
+        "SELECT vec_id FROM embeddings "
+        "WHERE embedding IS NOT NULL AND vec_id < 50",
+    )
+    bands, rbits = _adaptive_lsh_params(n, threshold=0.98)
     dim = con.execute("SELECT len(embedding) FROM embeddings LIMIT 1").fetchone()
-    planes = np.random.RandomState(42).standard_normal((8 * 8, int(dim[0])))
+    planes = np.random.RandomState(42).standard_normal((bands * rbits, int(dim[0])))
     _register(
         con,
         "ref_lsh_planes",
         pd.DataFrame(
             {
-                "band": [i // 8 for i in range(64)],
-                "j": [i % 8 for i in range(64)],
-                "p": [list(planes[i]) for i in range(64)],
+                "band": [i // rbits for i in range(bands * rbits)],
+                "j": [i % rbits for i in range(bands * rbits)],
+                "p": [list(planes[i]) for i in range(bands * rbits)],
             }
         ),
     )

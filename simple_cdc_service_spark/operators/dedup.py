@@ -1002,11 +1002,66 @@ def prefix_jaccard_pairs(
     return cross.unionByName(within)
 
 
+def adaptive_lsh_params(
+    n_rows: int,
+    threshold: float,
+    base_bands: int = 8,
+    base_rbits: int = 8,
+    target_per_bucket: int = 1024,
+    hi_rbits: int = 16,
+) -> tuple[int, int]:
+    """Scale-adaptive hyperplane-LSH shape (mirrored in
+    functions/ref_oracle.py::_adaptive_lsh_params — the oracle recomputes
+    the identical (bands, rbits) from its own COUNT(*)).
+
+    FIXED rbits is a fixed-parameter quadratic, the same family as the
+    fixed cluster count adaptive_n_centroids killed (NOTES r8
+    carry-forward): random pairs collide in a table at ~2^-rbits
+    regardless of corpus size, so candidate mass grows as
+    bands·N²·2^-rbits — ~3.1% of ALL pairs at (8, 8), which is what made
+    the r7 verify join fill the disk at sf10. Growing rbits with N keeps
+    the expected random bucket at ~target_per_bucket rows, so in-kernel
+    verify work per decade grows ~linearly; bands is then re-solved so
+    the true-pair recall at ``threshold`` never drops below the
+    historical (base_bands, base_rbits) design point:
+
+        rbits = max(base, ceil(log2(N / target)))   (capped at hi_rbits)
+        recall(b, r) = 1 - (1 - p^r)^b,  p = 1 - acos(threshold)/pi
+        bands = smallest b with recall(b, rbits) >= recall(base_b, base_r)
+
+    The base clamp keeps every corpus with N <= target·2^base_rbits
+    (262,144 at the defaults — all committed sf <= 10 evidence) on
+    exactly the historical (8, 8); the hi clamp bounds key width.
+    Integer-exact (bit_length, no float log2), deterministic."""
+    import math
+
+    if n_rows <= target_per_bucket:
+        return base_bands, base_rbits
+    rbits = max(
+        base_rbits,
+        min(hi_rbits, (-(-n_rows // target_per_bucket) - 1).bit_length()),
+    )
+    if rbits == base_rbits:
+        return base_bands, base_rbits
+    p = 1.0 - math.acos(min(max(threshold, -1.0), 1.0)) / math.pi
+    p = min(max(p, 1e-9), 1.0 - 1e-9)
+    # ln(1 - recall_floor) = base_bands * ln(1 - p^base_rbits): solve
+    # recall(bands, rbits) >= recall_floor in closed form (the -1e-9
+    # absorbs float noise so the equality case stays exact).
+    bands = math.ceil(
+        base_bands
+        * math.log(1.0 - p**base_rbits)
+        / math.log(1.0 - p**rbits)
+        - 1e-9
+    )
+    return max(base_bands, bands), rbits
+
+
 def embedding_dup_pairs_lsh(
     df: DataFrame,
     threshold: float = 0.9,
-    bands: int = 8,
-    rbits: int = 8,
+    bands: int | None = None,
+    rbits: int | None = None,
     seed: int = 42,
     vec_col: str = "embedding",
     id_col: str = "vec_id",
@@ -1028,8 +1083,19 @@ def embedding_dup_pairs_lsh(
 
     Scale: one map pass to bucket, one shuffle on bucket keys, pair count
     quadratic only in real near-dup clusters. Compare embedding_dup_pairs
-    (metadata blocking, oracle-replicable)."""
+    (metadata blocking, oracle-replicable).
+
+    ``bands``/``rbits`` default to the scale-adaptive shape (one count()
+    of the non-null-vector corpus feeds adaptive_lsh_params; the DuckDB
+    oracle recomputes the identical shape from its COUNT(*)). Explicit
+    values pin the historical fixed shape."""
     import numpy as np
+
+    if bands is None or rbits is None:
+        n_vecs = df.filter(F.col(vec_col).isNotNull()).count()
+        a_bands, a_rbits = adaptive_lsh_params(n_vecs, threshold)
+        bands = a_bands if bands is None else bands
+        rbits = a_rbits if rbits is None else rbits
 
     if dim is None:
         # Probe one row only when the caller didn't supply the dimension.

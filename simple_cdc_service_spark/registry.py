@@ -1165,7 +1165,12 @@ def dedup_embedding_lsh_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     duplicates (vec_id + 1_000_000) and must recover every planted pair at
     cos ≥ 0.98 — asserted in tests. Hash-checked since r6 via a
     registered-hyperplane oracle (functions/ref_oracle.py); still
-    rows-only in the driver's vanilla-SQL gate."""
+    rows-only in the driver's vanilla-SQL gate. The LSH shape is
+    scale-adaptive since r8 (adaptive_lsh_params: rbits grows with N so
+    random buckets stay ~1k rows, bands re-solved for the historical
+    recall floor; every corpus ≤ 262k vectors — all committed evidence —
+    stays on the historical (8, 8), and the oracle_setup recomputes the
+    identical shape from COUNT(*))."""
     from .operators.dedup import embedding_dup_pairs_lsh
 
     emb = _t(spark, sf_dir, "embeddings").select("vec_id", "embedding")

@@ -288,3 +288,80 @@ class TestDecisionCacheSessionGuard:
         sess2, val2 = dedup._FACTORIZE_DECISION_CACHE[key]
         assert sess2 is spark
         assert val2 == val
+
+
+class TestAdaptiveLshParams:
+    """Scale-adaptive hyperplane-LSH shape (the r8 carry-forward made
+    code): fixed rbits is a fixed-parameter quadratic — random pairs
+    collide at ~bands·2^-rbits of ALL pairs regardless of N — so rbits
+    grows with the corpus while bands re-solves for the historical
+    recall floor. Everything at today's scales must stay on (8, 8)."""
+
+    def test_current_scales_keep_historical_shape(self):
+        from simple_cdc_service_spark.operators.dedup import adaptive_lsh_params
+
+        # every committed corpus (sf0.001 .. sf10: up to 200,050 vectors)
+        # stays on the historical shape for any sane threshold
+        for n in (0, 1, 100, 2_050, 20_050, 200_050, 262_144):
+            for t in (0.9, 0.98, -1.0):
+                assert adaptive_lsh_params(n, t) == (8, 8), (n, t)
+        # first decade past the clamp grows rbits
+        assert adaptive_lsh_params(262_145, 0.98)[1] == 9
+
+    def test_oracle_mirror_identical(self):
+        from simple_cdc_service_spark.functions.ref_oracle import (
+            _adaptive_lsh_params,
+        )
+        from simple_cdc_service_spark.operators.dedup import adaptive_lsh_params
+
+        for n in (0, 1024, 200_050, 262_145, 2_000_000, 50_000_000):
+            for t in (0.9, 0.95, 0.98):
+                assert adaptive_lsh_params(n, t) == _adaptive_lsh_params(n, t)
+
+    def test_recall_floor_held_and_buckets_bounded(self):
+        """Independent check of the closed-form bands solve: brute-force
+        the smallest b with recall(b, rbits) >= recall(8, 8) and compare;
+        expected random bucket size stays ~<= target."""
+        import math
+
+        from simple_cdc_service_spark.operators.dedup import adaptive_lsh_params
+
+        for n, t in [(2_000_000, 0.98), (2_000_000, 0.9), (50_000_000, 0.95)]:
+            bands, rbits = adaptive_lsh_params(n, t)
+            p = 1.0 - math.acos(t) / math.pi
+            floor = 1.0 - (1.0 - p**8) ** 8
+            b = 1
+            while 1.0 - (1.0 - p**rbits) ** b < floor - 1e-12:
+                b += 1
+            assert bands == max(8, b), (n, t, bands, b)
+            # bucket bound: rbits is the smallest >=8 with n <= 1024*2^r
+            # (or the hi cap)
+            assert rbits == min(16, max(8, math.ceil(math.log2(n / 1024)))), (n, t)
+            assert 1.0 - (1.0 - p**rbits) ** bands >= floor - 1e-12
+
+    def test_adaptive_default_matches_explicit_small_corpus(self, spark):
+        """embedding_dup_pairs_lsh() with the adaptive default resolves
+        to (8, 8) on a small corpus — byte-identical result to the
+        explicit historical shape (committed hash evidence unchanged)."""
+        import numpy as np
+
+        from simple_cdc_service_spark.operators.dedup import embedding_dup_pairs_lsh
+
+        rng = np.random.default_rng(7)
+        base = rng.standard_normal((40, 16)).round(3)
+        rows = [(i, [float(x) for x in base[i]]) for i in range(40)]
+        rows += [(1_000 + i, rows[i][1]) for i in range(5)]  # planted dups
+        df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+        got_adaptive = sorted(
+            (r.vec_id_a, r.vec_id_b, r.cos_sim)
+            for r in embedding_dup_pairs_lsh(df, threshold=0.98).collect()
+        )
+        got_explicit = sorted(
+            (r.vec_id_a, r.vec_id_b, r.cos_sim)
+            for r in embedding_dup_pairs_lsh(
+                df, threshold=0.98, bands=8, rbits=8
+            ).collect()
+        )
+        assert got_adaptive == got_explicit
+        planted = {(i, 1_000 + i) for i in range(5)}
+        assert planted <= {(a, b) for a, b, _ in got_adaptive}
