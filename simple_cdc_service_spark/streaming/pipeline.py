@@ -1208,6 +1208,7 @@ def start_corpus_dedup_admission(
     quality_filter=None,
     cache_store: bool = False,
     fuse_probe: bool = False,
+    allow_checkpoint_rebind: bool = False,
 ):
     """Streaming corpus admission with incremental near-dup gating.
 
@@ -1279,7 +1280,17 @@ def start_corpus_dedup_admission(
     Admitted set is IDENTICAL to the sequential path (pinned in tests):
     cross-verifying a doc that the in-batch collapse will drop is wasted
     verify rows, never a change to the final anti-join algebra. See
-    BENCH_streaming_r07 for the measured A/B."""
+    BENCH_streaming_r07 for the measured A/B.
+
+    ``allow_checkpoint_rebind``: a checkpoint is BOUND to its corpus_dir
+    on first use and a fresh checkpoint may only start an empty corpus
+    (_bind_checkpoint_to_corpus — refuses the silent-data-loss modes the
+    r8 500k-store bench measured: a fresh checkpoint's batch ids restart
+    at 0, so its batches are either skipped whole as phantom replays or
+    written below the compaction base and vacuumed). Pass True ONLY for
+    lost-checkpoint recovery where the source re-delivers
+    previously-processed data — there the marker short-circuit is the
+    idempotence you want."""
     from ..operators.dedup import (
         dup_cluster_losers_capped,
         jaccard_verify_pairs,
@@ -1447,12 +1458,100 @@ def start_corpus_dedup_admission(
                 spark.read.parquet(docs_path),
             )
 
+    _bind_checkpoint_to_corpus(checkpoint, corpus_dir, allow_checkpoint_rebind)
     writer = stream.writeStream.foreachBatch(handle).option(
         "checkpointLocation", checkpoint
     )
     if trigger_available_now:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+def _bind_checkpoint_to_corpus(
+    checkpoint: str, corpus_dir: str, allow_rebind: bool = False
+) -> None:
+    """Refuse the two SILENT-DATA-LOSS modes of a checkpoint/corpus
+    mismatch (found by the r8 500k-store admission bench, which preloaded
+    through one checkpoint and fed through another):
+
+      * a FRESH checkpoint restarts micro-batch ids at 0, so against a
+        corpus with committed versions its batch N collides with the
+        existing v{N}: if v{N}'s sig marker survives, handle() treats the
+        incoming batch as a crash REPLAY and silently drops it whole; if
+        compaction already folded v{N} (marker vacuumed), the batch
+        WRITES below the base's _THROUGH id — invisible to read_corpus
+        and deleted by the next vacuum (measured: 9,999 admitted docs
+        silently absent from the logical corpus);
+      * a checkpoint bound to corpus A pointed at corpus B replays A's
+        batch-id sequence against B's version history — same two
+        failure shapes.
+
+    The binding is a marker file inside the CHECKPOINT directory (the
+    thing whose identity the batch ids belong to), written on first use:
+    a checkpoint may only ever drive the corpus_dir it was born with,
+    and a brand-new checkpoint may only start an EMPTY corpus. Restarts
+    of the same (checkpoint, corpus) pair — the availableNow chunk
+    harness, crash replay — see their own binding and pass. Exactly the
+    guard-rail Delta's txn-appId/version pair provides for idempotent
+    writers; parquet-protocol equivalent here.
+
+    ``allow_rebind=True`` is the EXPLICIT recovery escape hatch for a
+    lost/discarded checkpoint: it (re)writes the binding and accepts the
+    old marker-skip semantics, which are only safe when the new stream's
+    source re-delivers PREVIOUSLY-PROCESSED data (full source replay —
+    committed versions short-circuit, nothing duplicates; writes that
+    land below a compaction base are already-folded content and stay
+    invisible by design). With genuinely NEW data in the re-delivered
+    stream the id collision semantics apply — that is exactly the silent
+    drop this guard exists to refuse, so rebind is an operator assertion,
+    never a default."""
+    import json as _json
+
+    binding = os.path.join(checkpoint, "corpus_binding.json")
+    target = os.path.abspath(corpus_dir)
+
+    def _write() -> None:
+        os.makedirs(checkpoint, exist_ok=True)
+        tmp = binding + ".tmp"
+        with open(tmp, "w") as f:
+            _json.dump({"corpus_dir": target}, f)
+        os.replace(tmp, binding)
+
+    if os.path.exists(binding):
+        with open(binding) as f:
+            bound = _json.load(f)["corpus_dir"]
+        if bound != target:
+            if allow_rebind:
+                _write()
+                return
+            raise ValueError(
+                f"checkpoint {checkpoint!r} is bound to corpus {bound!r} "
+                f"but was asked to drive {target!r}: batch ids from one "
+                "corpus' history replayed against another lose data "
+                "silently (batches skipped as phantom replays or written "
+                "below the compaction base). Use the corpus' own "
+                "checkpoint, a new checkpoint with a new corpus_dir, or "
+                "pass allow_checkpoint_rebind=True if this stream "
+                "re-delivers previously-processed source data."
+            )
+        return
+    has_committed = any(
+        _latest_base(corpus_dir, kind)[0] is not None
+        or _committed_versions(corpus_dir, -1, kind)
+        for kind in ("docs", "sigs")
+    )
+    if has_committed and not allow_rebind:
+        raise ValueError(
+            f"corpus {target!r} already has committed versions but "
+            f"checkpoint {checkpoint!r} is new: its micro-batch ids "
+            "restart at 0 and collide with the existing version history "
+            "(batches silently skipped as replays, or written below the "
+            "compaction base and vacuumed). Resume with the checkpoint "
+            "that built this corpus, start a fresh corpus_dir, or pass "
+            "allow_checkpoint_rebind=True if this stream re-delivers "
+            "previously-processed source data (lost-checkpoint recovery)."
+        )
+    _write()
 
 
 def _latest_base(corpus_dir: str, kind: str) -> tuple[str | None, int]:

@@ -365,3 +365,137 @@ class TestAdaptiveLshParams:
         assert got_adaptive == got_explicit
         planted = {(i, 1_000 + i) for i in range(5)}
         assert planted <= {(a, b) for a, b, _ in got_adaptive}
+
+
+class TestCheckpointCorpusBinding:
+    """The 500k-store admission bench (r8) surfaced a silent-data-loss
+    protocol hole: a FRESH checkpoint restarts micro-batch ids at 0, so
+    against a corpus with committed versions its batches are either
+    skipped whole (marker present -> treated as crash replay) or written
+    below the compaction base (marker vacuumed -> invisible to
+    read_corpus, deleted by the next vacuum; measured: 9,999 admitted
+    docs silently absent). start_corpus_dedup_admission now binds a
+    checkpoint to its corpus on first use and refuses mismatches."""
+
+    def _mk(self, tmp_path, name):
+        p = tmp_path / name
+        p.mkdir(parents=True, exist_ok=True)
+        return str(p)
+
+    def test_new_pair_binds_and_rebinds_idempotently(self, tmp_path):
+        from simple_cdc_service_spark.streaming.pipeline import (
+            _bind_checkpoint_to_corpus,
+        )
+
+        ckpt = self._mk(tmp_path, "ckpt")
+        corpus = self._mk(tmp_path, "corpus")
+        _bind_checkpoint_to_corpus(ckpt, corpus)
+        # restart of the same pair (availableNow chunk harness) passes
+        _bind_checkpoint_to_corpus(ckpt, corpus)
+
+    def test_bound_checkpoint_refuses_other_corpus(self, tmp_path):
+        import pytest as _pytest
+
+        from simple_cdc_service_spark.streaming.pipeline import (
+            _bind_checkpoint_to_corpus,
+        )
+
+        ckpt = self._mk(tmp_path, "ckpt")
+        a = self._mk(tmp_path, "corpus_a")
+        b = self._mk(tmp_path, "corpus_b")
+        _bind_checkpoint_to_corpus(ckpt, a)
+        with _pytest.raises(ValueError, match="bound to corpus"):
+            _bind_checkpoint_to_corpus(ckpt, b)
+
+    def test_new_checkpoint_refuses_corpus_with_committed_delta(self, tmp_path):
+        import pytest as _pytest
+
+        from simple_cdc_service_spark.streaming.pipeline import (
+            _bind_checkpoint_to_corpus,
+        )
+
+        corpus = tmp_path / "corpus"
+        (corpus / "docs" / "v0").mkdir(parents=True)
+        (corpus / "sigs" / "v0").mkdir(parents=True)
+        (corpus / "sigs" / "v0" / "_SUCCESS").touch()
+        with _pytest.raises(ValueError, match="already has committed versions"):
+            _bind_checkpoint_to_corpus(
+                str(tmp_path / "fresh_ckpt"), str(corpus)
+            )
+
+    def test_new_checkpoint_refuses_compacted_corpus(self, tmp_path):
+        """The nastier half: compaction vacuumed the deltas, so only the
+        base betrays the history — a fresh checkpoint's batch 0 would
+        write BELOW the base's _THROUGH id and be invisible/vacuumed."""
+        import pytest as _pytest
+
+        from simple_cdc_service_spark.streaming.pipeline import (
+            _bind_checkpoint_to_corpus,
+        )
+
+        corpus = tmp_path / "corpus"
+        (corpus / "docs" / "base_v0").mkdir(parents=True)
+        (corpus / "docs" / "base_v0" / "_THROUGH").touch()
+        with _pytest.raises(ValueError, match="already has committed versions"):
+            _bind_checkpoint_to_corpus(
+                str(tmp_path / "fresh_ckpt"), str(corpus)
+            )
+
+    def test_admission_stream_writes_binding(self, spark, tmp_path):
+        """End-to-end: the admission stream creates the binding file and
+        a second stream over the same pair (chunked restart) proceeds;
+        pointing the same checkpoint at a different corpus_dir raises."""
+        import json as _json
+        import os as _os
+
+        import pytest as _pytest
+
+        from simple_cdc_service_spark.streaming.pipeline import (
+            read_corpus,
+            start_corpus_dedup_admission,
+        )
+
+        src = tmp_path / "src"
+        src.mkdir()
+        corpus = str(tmp_path / "corpus")
+        ckpt = str(tmp_path / "ckpt")
+        with open(src / "b1.json", "w") as f:
+            f.write(_json.dumps({"doc_id": 1, "text": "alpha beta gamma "
+                                 "delta epsilon zeta eta theta"}) + "\n")
+        stream = spark.readStream.schema("doc_id long, text string").json(str(src))
+        start_corpus_dedup_admission(stream, corpus, ckpt).awaitTermination()
+        assert _os.path.exists(_os.path.join(ckpt, "corpus_binding.json"))
+        assert {r.doc_id for r in read_corpus(spark, corpus).collect()} == {1}
+        # same pair restarts fine (no new data -> no-op query)
+        stream = spark.readStream.schema("doc_id long, text string").json(str(src))
+        start_corpus_dedup_admission(stream, corpus, ckpt).awaitTermination()
+        # same checkpoint, different corpus -> refused before any write
+        stream = spark.readStream.schema("doc_id long, text string").json(str(src))
+        with _pytest.raises(ValueError, match="bound to corpus"):
+            start_corpus_dedup_admission(
+                stream, str(tmp_path / "other_corpus"), ckpt
+            )
+
+    def test_rebind_flag_is_the_explicit_recovery_hatch(self, tmp_path):
+        """allow_rebind=True rewrites the binding (lost-checkpoint
+        recovery over a re-delivering source) — both for a new
+        checkpoint on a non-empty corpus and for a checkpoint bound
+        elsewhere."""
+        from simple_cdc_service_spark.streaming.pipeline import (
+            _bind_checkpoint_to_corpus,
+        )
+
+        corpus = tmp_path / "corpus"
+        (corpus / "docs" / "base_v0").mkdir(parents=True)
+        (corpus / "docs" / "base_v0" / "_THROUGH").touch()
+        ckpt = str(tmp_path / "fresh_ckpt")
+        _bind_checkpoint_to_corpus(ckpt, str(corpus), allow_rebind=True)
+        # now bound; pointing at another corpus refuses without the flag
+        other = self._mk(tmp_path, "other")
+        import pytest as _pytest
+
+        with _pytest.raises(ValueError, match="bound to corpus"):
+            _bind_checkpoint_to_corpus(ckpt, other)
+        _bind_checkpoint_to_corpus(ckpt, other, allow_rebind=True)
+        # rebind is sticky: the new binding now passes unflagged
+        _bind_checkpoint_to_corpus(ckpt, other)

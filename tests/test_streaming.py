@@ -1003,14 +1003,29 @@ class TestCorpusDedupAdmission:
         got2 = {r.doc_id for r in read_corpus(spark, corpus_dir).collect()}
         assert got2 == {1, 2, 20, 30}, got2
 
-        # replay protection: re-running with a fresh checkpoint re-delivers
-        # everything; committed versions must short-circuit, not duplicate
-        run_again_ckpt = str(tmp_path / "ckpt2")
-        stream = spark.readStream.schema("doc_id long, text string").json(src)
+        # replay protection (contract tightened in r8): a fresh checkpoint
+        # against a non-empty corpus is REFUSED by default — its batch ids
+        # restart at 0 and collide with committed versions, which silently
+        # drops genuinely-new batches (measured in the r8 500k-store
+        # bench). Lost-checkpoint recovery over a source that re-delivers
+        # only previously-processed data is an EXPLICIT opt-in
+        # (allow_checkpoint_rebind=True); there the committed-version
+        # markers short-circuit and nothing duplicates.
+        import pytest as _pytest
+
         from simple_cdc_service_spark.streaming.pipeline import (
             start_corpus_dedup_admission as sda,
         )
-        sda(stream, corpus_dir, run_again_ckpt, threshold=0.5).awaitTermination()
+
+        run_again_ckpt = str(tmp_path / "ckpt2")
+        stream = spark.readStream.schema("doc_id long, text string").json(src)
+        with _pytest.raises(ValueError, match="already has committed versions"):
+            sda(stream, corpus_dir, run_again_ckpt, threshold=0.5)
+        stream = spark.readStream.schema("doc_id long, text string").json(src)
+        sda(
+            stream, corpus_dir, run_again_ckpt, threshold=0.5,
+            allow_checkpoint_rebind=True,
+        ).awaitTermination()
         got3 = [r.doc_id for r in read_corpus(spark, corpus_dir).collect()]
         assert sorted(got3) == sorted(got2), got3
 

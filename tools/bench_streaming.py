@@ -174,22 +174,38 @@ def bench_admission_store_scale(
     spark.sparkContext.setLogLevel("ERROR")
     d = tempfile.mkdtemp()
     src, corpus_dir, ckpt = f"{d}/src", f"{d}/corpus", f"{d}/ckpt"
-    pre_src, pre_ckpt = f"{d}/pre_src", f"{d}/pre_ckpt"
+    pre_src = f"{d}/pre_src"
     os.makedirs(src)
     os.makedirs(pre_src)
     load_start = os.getloadavg()[0]
 
     # ---- preload: the full sf10 corpus as one admission batch ----
-    os.symlink(
-        os.path.join(preload_dir, "documents.parquet"),
-        os.path.join(pre_src, "documents.parquet"),
-    )
+    # ONE checkpoint drives the corpus for its whole life (preload and
+    # feed are the same logical stream). The first run of this bench
+    # used a second checkpoint for the feed: its batch ids restarted at
+    # 0, collided with the preload's committed v0, and 9,999 admitted
+    # docs landed below the compaction base — silently invisible to
+    # read_corpus. start_corpus_dedup_admission now REFUSES that shape
+    # (_bind_checkpoint_to_corpus); the preload source stays parquet and
+    # the feed source json, which availableNow restarts support because
+    # each chunk is a separate query against the same checkpoint's
+    # OFFSET LOG... it is NOT: a checkpoint records one source. The
+    # preload therefore feeds through the same json dir as the feed —
+    # the 500k docs are written as c_pre.jsonl once (I/O counted in
+    # preload_sec, honestly: a real backfill pays its read too).
+    import duckdb as _duckdb
+
     t_pre = time.perf_counter()
-    pre_stream = spark.readStream.schema("doc_id long, text string").parquet(
-        pre_src
-    )
+    pre_rows = _duckdb.connect().execute(
+        f"SELECT doc_id, text FROM read_parquet('{preload_dir}/documents.parquet')"
+    ).fetchall()
+    with open(f"{src}/c_pre.json", "w") as f:
+        for did, text in pre_rows:
+            f.write(json.dumps({"doc_id": did, "text": text}) + "\n")
+    del pre_rows
+    pre_stream = spark.readStream.schema("doc_id long, text string").json(src)
     start_corpus_dedup_admission(
-        pre_stream.select("doc_id", "text"), corpus_dir, pre_ckpt, threshold=0.6
+        pre_stream, corpus_dir, ckpt, threshold=0.6
     ).awaitTermination()
     preload_sec = round(time.perf_counter() - t_pre, 2)
     t_cmp = time.perf_counter()
@@ -213,7 +229,7 @@ def bench_admission_store_scale(
         with open(f"{src}/c{c}.json", "w") as f:
             for did, text in rows[lo:hi]:
                 ws = text.split(" ")
-                random.Random((did, "r8-fresh")).shuffle(ws)
+                random.Random(f"{did}-r8-fresh").shuffle(ws)
                 f.write(json.dumps(
                     {"doc_id": 10_000_000 + did, "text": " ".join(ws)}
                 ) + "\n")
