@@ -1473,16 +1473,32 @@ def approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     exact counts (hash-checked) plus |approx − exact| ≤ 5%·exact booleans
     — 5σ of the requested rsd=0.01, so the boolean is TRUE whenever the
     sketch meets its own published error bound, and the oracle can assert
-    it as a literal."""
+    it as a literal.
+
+    PLAN SHAPE (r8, flagged by the full-registry survival sweep at
+    13.4×/decade): TWO count_distinct columns in ONE aggregate plan via
+    Catalyst's Expand strategy — every event row triplicated with a gid,
+    shuffled on (user_id, event_type, gid), and the HLL sketches carried
+    PER (user, type, gid) GROUP through the exchange (50 s at 100× bench
+    scale). Each column now gets its own single-distinct aggregate —
+    Spark's two-phase partial-dedup plan, map-side combine, no Expand —
+    and the two 1-row results crossJoin (the allowed 1-row pattern). Two
+    scans of a columnar source beat one scan that triples and shuffles
+    itself: scans are the cheap part at 100 TB, the Expand exchange is
+    not."""
     within = lambda approx, exact: (  # noqa: E731
         F.abs(approx - exact) <= exact * F.lit(0.05)
     )
-    return _t(spark, sf_dir, "events").agg(
-        F.approx_count_distinct("user_id", 0.01).alias("au"),
-        F.approx_count_distinct("event_type", 0.01).alias("at"),
+    ev = _t(spark, sf_dir, "events")
+    users = ev.agg(
         F.count_distinct(F.col("user_id")).alias("exact_users"),
+        F.approx_count_distinct("user_id", 0.01).alias("au"),
+    )
+    types = ev.agg(
         F.count_distinct(F.col("event_type")).alias("exact_types"),
-    ).select(
+        F.approx_count_distinct("event_type", 0.01).alias("at"),
+    )
+    return users.crossJoin(types).select(
         "exact_users",
         "exact_types",
         within(F.col("au"), F.col("exact_users")).alias("users_within_5pct"),
