@@ -172,8 +172,15 @@ def kmeans_centroids_ref(con, src_sql: str, n_centroids: int, seed: int = 42):
     rng = np.random.default_rng(seed)
     cent = x[rng.permutation(len(x))[:n_centroids]].copy()
     for _ in range(20):
-        d2 = -2.0 * x @ cent.T + (cent * cent).sum(axis=1)[None, :]
-        assign = d2.argmin(axis=1)
+        # tiled assign (r8) — tile size mirrors kmeans_centroids so the
+        # engine and this reference keep identical BLAS call shapes
+        assign = np.empty(len(x), dtype=np.int64)
+        cn = (cent * cent).sum(axis=1)
+        for s in range(0, len(x), 16384):
+            xb = x[s : s + 16384]
+            assign[s : s + 16384] = (
+                -2.0 * xb @ cent.T + cn[None, :]
+            ).argmin(axis=1)
         new = cent.copy()
         for c in range(len(cent)):
             mask = assign == c

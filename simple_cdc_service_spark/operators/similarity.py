@@ -278,9 +278,21 @@ def kmeans_centroids(
     cent = x[rng.permutation(len(x))[:n_centroids]].copy()
     for _ in range(20):
         # assign to nearest centroid by squared euclidean (argmin via the
-        # expanded form; x·x is constant per row, so omit it)
-        d2 = -2.0 * x @ cent.T + (cent * cent).sum(axis=1)[None, :]
-        assign = d2.argmin(axis=1)
+        # expanded form; x·x is constant per row, so omit it). TILED over
+        # rows (r8): the one-shot form materializes a cap×k float64
+        # distance matrix — 700 MB per iteration at the adaptive k=586 /
+        # cap=150k of the 600k-vector decade, and the Lloyd loop went
+        # memory-bound (measured 4.4 s/iter one-shot vs 0.6 s tiled,
+        # identical assignments; the GEMM flops are the same, the
+        # temporary is 1/9th). Tile size mirrored in kmeans_centroids_ref
+        # so engine and oracle keep identical BLAS shapes.
+        assign = np.empty(len(x), dtype=np.int64)
+        cn = (cent * cent).sum(axis=1)
+        for s in range(0, len(x), 16384):
+            xb = x[s : s + 16384]
+            assign[s : s + 16384] = (
+                -2.0 * xb @ cent.T + cn[None, :]
+            ).argmin(axis=1)
         new = cent.copy()
         for c in range(n_centroids):
             mask = assign == c
