@@ -151,13 +151,14 @@ def _adaptive_lsh_params(
         return base_bands, base_rbits
     p = 1.0 - math.acos(min(max(threshold, -1.0), 1.0)) / math.pi
     p = min(max(p, 1e-9), 1.0 - 1e-9)
-    bands = math.ceil(
-        base_bands
-        * math.log(1.0 - p**base_rbits)
-        / math.log(1.0 - p**rbits)
-        - 1e-9
-    )
-    return max(base_bands, bands), rbits
+    num = 1.0 - p**base_rbits
+    den = 1.0 - p**rbits
+    if num >= 1.0 or den >= 1.0:
+        # underflow guard — mirrors the engine exactly (threshold near
+        # -1 makes log(1.0) == 0; fall back to the historical shape).
+        return base_bands, base_rbits
+    bands = math.ceil(base_bands * math.log(num) / math.log(den) - 1e-9)
+    return min(max(base_bands, bands), 8 * base_bands), rbits
 
 
 def kmeans_centroids_ref(con, src_sql: str, n_centroids: int, seed: int = 42):
@@ -465,5 +466,147 @@ def setup_embedding_kmeans(con) -> None:
         "ref_embedding_kmeans",
         _expected_kmeans_summary(
             con, "SELECT vec_id, embedding FROM embeddings", 8
+        ),
+    )
+
+
+# ---------------------------------------------------------------------------
+# IMI (inverted multi-index) references — mirror of
+# operators/similarity.py::{adaptive_imi_khalf, imi_codebooks, imi_assign,
+# knn_imi} (r9, VERDICT r8 #3)
+# ---------------------------------------------------------------------------
+
+
+def _adaptive_imi_khalf(
+    n_rows: int, target_per_list: int = 1024, lo: int = 16, hi_khalf: int = 4096
+) -> int:
+    """Mirror of operators/similarity.py::adaptive_imi_khalf."""
+    import math
+
+    cells = max(lo, math.ceil(n_rows / target_per_list)) if n_rows > 0 else lo
+    return max(2, min(hi_khalf, math.ceil(math.sqrt(cells))))
+
+
+def imi_codebooks_ref(con, src_sql: str, k_half: int, seed: int = 42):
+    """Mirror of operators/similarity.py::imi_codebooks — identical
+    seeded-hash sample, row normalization (np.linalg.norm on the SAME
+    full sample matrix → identical low bits), one default_rng consumed
+    across halves in order, tiled expanded-form Lloyd assign."""
+    import numpy as np
+
+    ids, vecs = _fetch(con, src_sql)
+    if len(ids) == 0:
+        return None
+    cap = max(4096, 256 * k_half)
+    x = _seeded_sample(ids, vecs, seed, cap)
+    nrm = np.linalg.norm(x, axis=1, keepdims=True)
+    nrm[nrm == 0.0] = 1.0
+    x = x / nrm
+    dsub = x.shape[1] // 2
+    rng = np.random.default_rng(seed)
+    books = []
+    for xj in (x[:, :dsub], x[:, dsub:]):
+        kj = min(k_half, len(xj))
+        cent = xj[rng.permutation(len(xj))[:kj]].copy()
+        for _ in range(20):
+            assign = np.empty(len(xj), dtype=np.int64)
+            cn = (cent * cent).sum(axis=1)
+            for s in range(0, len(xj), 16384):
+                xb = xj[s : s + 16384]
+                assign[s : s + 16384] = (-2.0 * xb @ cent.T + cn[None, :]).argmin(
+                    axis=1
+                )
+            new = cent.copy()
+            for c in range(len(cent)):
+                mask = assign == c
+                if mask.any():
+                    new[c] = xj[mask].mean(axis=0)
+            if np.allclose(new, cent):
+                break
+            cent = new
+        books.append(cent)
+    return books[0], books[1]
+
+
+def _imi_cell_distances(vecs, cb1, cb2):
+    """The imi_assign kernel's distance algebra over a full matrix:
+    per-dimension elementwise folds in index order (IEEE per-element →
+    identical values at any batching). Returns (d1, d2)."""
+    import numpy as np
+
+    n = len(vecs)
+    dsub = cb1.shape[1]
+    d = dsub + cb2.shape[1]
+    nrm = np.zeros(n)
+    for dd in range(d):
+        xd = vecs[:, dd]
+        nrm += xd * xd
+    nrm = np.sqrt(nrm)
+    nrm[nrm == 0.0] = 1.0
+    xn = vecs / nrm[:, None]
+    d1 = np.zeros((n, len(cb1)))
+    for dd in range(dsub):
+        diff = xn[:, dd, None] - cb1[None, :, dd]
+        d1 += diff * diff
+    d2 = np.zeros((n, len(cb2)))
+    for dd in range(d - dsub):
+        diff = xn[:, dsub + dd, None] - cb2[None, :, dd]
+        d2 += diff * diff
+    return d1, d2
+
+
+def _expected_imi_result(
+    con, corpus_sql: str, queries_sql: str, k: int, nprobe: int, seed: int = 42,
+    k_half: int | None = None,
+):
+    """Full expected result of knn_imi: cell assignment (first-min argmin
+    per half), query cells ranked by d1+d2 (stable ascending = lowest
+    cell id on ties), exact sequential-fold cosine on candidates,
+    (round6 DESC, id) ranking. Returns (query_id, neighbor_id, rank,
+    cos_sim)."""
+    import numpy as np
+    import pandas as pd
+
+    c_ids, c_vecs = _fetch(con, corpus_sql)
+    q_ids, q_vecs = _fetch(con, queries_sql)
+    if k_half is None:
+        k_half = _adaptive_imi_khalf(len(c_ids))
+    cb = imi_codebooks_ref(con, corpus_sql, k_half, seed)
+    out_cols = ["query_id", "neighbor_id", "rank", "cos_sim"]
+    if cb is None or len(q_ids) == 0:
+        return pd.DataFrame([], columns=out_cols)
+    cb1, cb2 = cb
+    k2 = len(cb2)
+    d1c, d2c = _imi_cell_distances(c_vecs, cb1, cb2)
+    c_cells = d1c.argmin(axis=1) * k2 + d2c.argmin(axis=1)
+    d1q, d2q = _imi_cell_distances(q_vecs, cb1, cb2)
+    probe = min(nprobe, len(cb1) * k2)
+    out = []
+    for qi, qid in enumerate(q_ids):
+        g = (d1q[qi][:, None] + d2q[qi][None, :]).ravel()
+        cells = set(int(t) for t in np.argsort(g, kind="stable")[:probe])
+        rows = []
+        for idx, (ci, cid) in enumerate(zip(c_cells, c_ids)):
+            if int(ci) in cells:
+                rows.append(
+                    (int(cid), _round_spark(_cos(q_vecs[qi], c_vecs[idx])))
+                )
+        rows.sort(key=lambda r: (-r[1], r[0]))
+        for rank, (nb, cs) in enumerate(rows[:k], 1):
+            out.append(
+                {"query_id": int(qid), "neighbor_id": nb, "rank": rank, "cos_sim": cs}
+            )
+    return pd.DataFrame(out, columns=out_cols)
+
+
+def setup_knn_imi(con) -> None:
+    _register(
+        con,
+        "ref_knn_imi",
+        _expected_imi_result(
+            con,
+            "SELECT vec_id, embedding FROM embeddings WHERE vec_id >= 5",
+            "SELECT vec_id, embedding FROM embeddings WHERE vec_id < 5",
+            k=10, nprobe=8,
         ),
     )

@@ -317,6 +317,249 @@ def deterministic_centroids(
     )
 
 
+def adaptive_coarse_shape(
+    n_rows: int, target_per_list: int = 1024, lo: int = 16, flat_hi: int = 1024
+) -> tuple[str, int]:
+    """Scale-adaptive coarse-quantizer SHAPE (VERDICT r8 #3 — the
+    documented residual of adaptive_n_centroids): ('flat', k) while
+    ceil(N/target) <= flat_hi — byte-identical to adaptive_n_centroids
+    at every committed scale, so all existing hash evidence is
+    untouched; ('imi', k_half) past the flat cap (N > flat_hi·target ≈
+    1.05M vectors), where a flat quantizer is cornered — k stuck at the
+    cap means per-list mass grows ∝ N again, while raising the cap makes
+    the O(N·k) assignment pass quadratic. The inverted multi-index
+    (Babenko & Lempitsky 2012, "The Inverted Multi-Index" — public
+    method) splits the vector into two halves with k_half centroids
+    each: cells = k_half² >= ceil(N/target) keep per-cell mass <=
+    target, but assignment scores only 2·k_half half-vectors per row —
+    O(N·sqrt(cells)·dim) instead of O(N·cells·dim). At 2M vectors:
+    k_half = 45 (2025 cells) scores 90 half-vectors/row vs the flat
+    cap's 1024 full vectors — ~23× less assignment work with MORE
+    lists. Deterministic; mirrored in functions/ref_oracle.py."""
+    import math
+
+    if n_rows <= 0 or math.ceil(n_rows / target_per_list) <= flat_hi:
+        return ("flat", adaptive_n_centroids(n_rows, target_per_list, lo, flat_hi))
+    return ("imi", adaptive_imi_khalf(n_rows, target_per_list, lo))
+
+
+def adaptive_imi_khalf(
+    n_rows: int, target_per_list: int = 1024, lo: int = 16, hi_khalf: int = 4096
+) -> int:
+    """Half-space codebook size for the IMI grid: the smallest k_half
+    whose k_half² cells hold per-cell mass at ~target (cells >=
+    ceil(N/target), no flat cap — growing the GRID is the IMI point).
+    The hi clamp (4096 → 16.7M cells) bounds codebook training and the
+    per-row half-scan; past it per-cell mass grows linearly again, the
+    standard IMI regime at 1e9+ vectors. Deterministic and
+    oracle-replicable from COUNT(*)."""
+    import math
+
+    cells = max(lo, math.ceil(n_rows / target_per_list)) if n_rows > 0 else lo
+    return max(2, min(hi_khalf, math.ceil(math.sqrt(cells))))
+
+
+def imi_codebooks(
+    corpus: DataFrame,
+    k_half: int,
+    seed: int = 42,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    max_train_rows: int | None = None,
+):
+    """Train the two half-space codebooks of an inverted multi-index:
+    L2-normalize, split at dim//2, seeded Lloyd per half — the
+    pq_train_codebooks protocol (ONE default_rng consumed across halves
+    in order) over the kmeans_centroids sample protocol (seeded-hash
+    rank capped at max(4096, 256·k_half), TakeOrderedAndProject — index
+    build is O(cap) regardless of corpus size). Returns (cb1, cb2)
+    float64 arrays of shape (k_half, dsub) / (k_half, dim-dsub), or
+    None on an empty corpus. Mirrored byte-for-byte in
+    functions/ref_oracle.py::imi_codebooks_ref."""
+    import numpy as np
+
+    cap = max_train_rows if max_train_rows is not None else max(4096, 256 * k_half)
+    rows = (
+        corpus.select(
+            as_double_array(F.col(vec_col)).alias("__v"),
+            F.xxhash64(F.col(id_col), F.lit(seed)).alias("__h"),
+        )
+        .orderBy("__h")
+        .limit(cap)
+        .select("__v")
+        .collect()
+    )
+    if not rows:
+        return None
+    x = np.array([r[0] for r in rows], dtype=np.float64)
+    if x.shape[1] < 2:
+        raise ValueError("IMI needs dim >= 2 to split into half-spaces")
+    nrm = np.linalg.norm(x, axis=1, keepdims=True)
+    nrm[nrm == 0.0] = 1.0
+    x = x / nrm
+    dsub = x.shape[1] // 2
+    rng = np.random.default_rng(seed)
+    books = []
+    for xj in (x[:, :dsub], x[:, dsub:]):
+        kj = min(k_half, len(xj))
+        cent = xj[rng.permutation(len(xj))[:kj]].copy()
+        for _ in range(20):
+            # tiled expanded-form assign — the kmeans_centroids protocol
+            # (TRAP #30: never materialize a cap×k distance matrix)
+            assign = np.empty(len(xj), dtype=np.int64)
+            cn = (cent * cent).sum(axis=1)
+            for s in range(0, len(xj), 16384):
+                xb = xj[s : s + 16384]
+                assign[s : s + 16384] = (-2.0 * xb @ cent.T + cn[None, :]).argmin(
+                    axis=1
+                )
+            new = cent.copy()
+            for c in range(len(cent)):
+                mask = assign == c
+                if mask.any():
+                    new[c] = xj[mask].mean(axis=0)
+            if np.allclose(new, cent):
+                break
+            cent = new
+        books.append(cent)
+    return books[0], books[1]
+
+
+def imi_assign(
+    df: DataFrame,
+    cb1,
+    cb2,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    nprobe: int = 1,
+) -> DataFrame:
+    """Drop-in for ivf_assign over an IMI cell grid: returns (id,
+    centroid_id, v) where centroid_id = c1·k2 + c2 and each half is
+    assigned independently to its codebook — squared L2 over the
+    normalized halves via PER-DIMENSION folds in index order (the
+    ivf_assign kernel protocol: elementwise accumulation is
+    batch-size-independent, so the distributed kernel and the
+    single-pass oracle mirror produce bit-identical distances), argmin
+    taking the first minimum = lowest centroid id.
+
+    Map-only Arrow kernel, no shuffle: the two codebooks ship in the
+    closure (2·k_half·dim/2 doubles). nprobe > 1 (query side) ranks
+    cells by d1[c1] + d2[c2] — since the halves partition the
+    dimensions, that sum IS the exact squared L2 to the cell's virtual
+    concatenated centroid — ascending with ties to the lower cell id
+    (stable argsort over the ravel-ordered grid)."""
+    import numpy as np
+    import pandas as pd
+
+    from ..sources.tables import spread
+
+    c = spread(df.select(F.col(id_col), as_double_array(F.col(vec_col)).alias("v")))
+    id_field = df.schema[id_col].dataType.simpleString()
+    out_schema = f"{id_col} {id_field}, centroid_id long, v array<double>"
+    if cb1 is None or cb2 is None or len(cb1) == 0 or len(cb2) == 0:
+        return df.sparkSession.createDataFrame([], out_schema)
+    cb1 = np.asarray(cb1, dtype=np.float64)
+    cb2 = np.asarray(cb2, dtype=np.float64)
+    k2 = len(cb2)
+    dsub = cb1.shape[1]
+    d = dsub + cb2.shape[1]
+    n_cells = len(cb1) * k2
+    probe = min(nprobe, n_cells)
+
+    def assign(batches):
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            X = np.array(list(pdf["v"]), dtype=np.float64)
+            n = len(X)
+            nrm = np.zeros(n)
+            for dd in range(d):
+                xd = X[:, dd]
+                nrm += xd * xd
+            nrm = np.sqrt(nrm)
+            nrm[nrm == 0.0] = 1.0
+            Xn = X / nrm[:, None]
+            d1 = np.zeros((n, len(cb1)))
+            for dd in range(dsub):
+                diff = Xn[:, dd, None] - cb1[None, :, dd]
+                d1 += diff * diff
+            d2 = np.zeros((n, k2))
+            for dd in range(d - dsub):
+                diff = Xn[:, dsub + dd, None] - cb2[None, :, dd]
+                d2 += diff * diff
+            if probe == 1:
+                cell = d1.argmin(axis=1) * k2 + d2.argmin(axis=1)
+                yield pd.DataFrame(
+                    {id_col: pdf[id_col], "centroid_id": cell, "v": pdf["v"]}
+                )
+            else:
+                ids_rep, cells_rep, vs_rep = [], [], []
+                for i in range(n):
+                    g = (d1[i][:, None] + d2[i][None, :]).ravel()
+                    top = np.argsort(g, kind="stable")[:probe]
+                    ids_rep.extend([pdf[id_col].iloc[i]] * len(top))
+                    cells_rep.extend(int(t) for t in top)
+                    vs_rep.extend([pdf["v"].iloc[i]] * len(top))
+                yield pd.DataFrame(
+                    {id_col: ids_rep, "centroid_id": cells_rep, "v": vs_rep}
+                )
+
+    return c.mapInPandas(assign, out_schema)
+
+
+def knn_imi(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    k_half: int | None = None,
+    nprobe: int = 8,
+    seed: int = 42,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Approximate top-k over an inverted multi-index: corpus vectors
+    live in their (c1, c2) cell; each query probes its ``nprobe``
+    nearest cells (exact virtual-centroid L2 order) and scores only
+    those candidates — the same join/window tail as knn_ivf, with the
+    coarse stage swapped for the two-level grid. This is the kmeans
+    family's next-decade path: past the flat quantizer's k=1024 cap
+    (N ≈ 1M) assignment cost stays O(N·sqrt(cells)) while per-cell mass
+    stays ~target (see adaptive_coarse_shape)."""
+    if k_half is None:
+        n = corpus.count()
+        k_half = adaptive_imi_khalf(n)
+    cb = imi_codebooks(corpus, k_half, seed, vec_col, id_col)
+    if cb is None:
+        return corpus.sparkSession.createDataFrame(
+            [], "query_id long, neighbor_id long, rank int, cos_sim double"
+        )
+    corpus_a = imi_assign(corpus, *cb, vec_col=vec_col, id_col=id_col).select(
+        F.col(id_col).alias("neighbor_id"), F.col("centroid_id"), F.col("v").alias("cv")
+    )
+    queries_a = imi_assign(
+        queries, *cb, vec_col=vec_col, id_col=id_col, nprobe=nprobe
+    ).select(
+        F.col(id_col).alias("query_id"),
+        F.col("centroid_id").alias("centroid_q"),
+        F.col("v").alias("qv"),
+    )
+    scored = corpus_a.join(
+        F.broadcast(queries_a), F.col("centroid_id") == F.col("centroid_q")
+    ).select(
+        "query_id",
+        "neighbor_id",
+        F.round(cosine(F.col("qv"), F.col("cv")), 6).alias("cos_sim"),
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cos_sim").desc(), F.col("neighbor_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "rank", "cos_sim")
+    )
+
+
 def knn_ivf(
     corpus: DataFrame,
     queries: DataFrame,
@@ -329,9 +572,16 @@ def knn_ivf(
 ) -> DataFrame:
     """Approximate top-k: corpus vectors live in their nearest centroid's
     inverted list; each query probes its ``nprobe`` nearest lists and
-    scores only those candidates. ``centroids`` defaults to the
-    deterministic every-Nth sample (reproducible stand-in); pass
-    kmeans_centroids(...) for the production quality/recall."""
+    scores only those candidates.
+
+    PRODUCTION = knn_ivf_kmeans (kmeans_centroids + this join): the
+    default every-Nth centroid grid exists ONLY as the oracle-replicable
+    stand-in — centroid count grows ∝ corpus (N/every), so ASSIGNMENT is
+    O(N²/every) BY DESIGN (measured: 45.8 s at sf10 vs knn_ivf_kmeans's
+    12.5 s with its adaptive capped k; the gap widens every decade). Pass
+    kmeans_centroids(...) (adaptive, capped list count) for any corpus
+    past bench scale; the deterministic grid is for cross-engine
+    verification, not serving."""
     cents = (
         centroids
         if centroids is not None
@@ -732,13 +982,24 @@ def knn_ivfpq(
     from pyspark.sql import types as T
 
     if n_centroids is None:
-        # scale-adaptive list count (see adaptive_n_centroids): one
+        # scale-adaptive coarse shape (see adaptive_coarse_shape): one
         # cheap count() against the corpus scan, replicated by the
-        # oracle from COUNT(*)
-        n_centroids = adaptive_n_centroids(corpus.count())
-    cents = kmeans_centroids(corpus, n_centroids, seed, vec_col, id_col)
-    corpus_a = ivf_assign(corpus, cents, vec_col, id_col)
-    queries_a = ivf_assign(queries, cents, vec_col, id_col, nprobe=nprobe)
+        # oracle from COUNT(*). Flat k-means lists to the k=1024 cap
+        # (byte-identical to r8 at every committed scale), IMI cells
+        # beyond it (r9 — the oracle never runs past the cap).
+        kind, val = adaptive_coarse_shape(corpus.count())
+    else:
+        kind, val = ("flat", n_centroids)
+    if kind == "imi":
+        cb = imi_codebooks(corpus, val, seed, vec_col, id_col) or (None, None)
+        corpus_a = imi_assign(corpus, *cb, vec_col=vec_col, id_col=id_col)
+        queries_a = imi_assign(
+            queries, *cb, vec_col=vec_col, id_col=id_col, nprobe=nprobe
+        )
+    else:
+        cents = kmeans_centroids(corpus, val, seed, vec_col, id_col)
+        corpus_a = ivf_assign(corpus, cents, vec_col, id_col)
+        queries_a = ivf_assign(queries, cents, vec_col, id_col, nprobe=nprobe)
     probe_rows = queries_a.select(id_col, "centroid_id").collect()
     probe_sets: dict[int, set[int]] = {}
     for r in probe_rows:

@@ -1349,12 +1349,17 @@ def knn_bruteforce_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def knn_ivf_q(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """E4 scale path: IVF single-probe approximate top-k (deterministic
-    centroid sample standing in for k-means). Hash-checked since r5: the
-    every-Nth centroid rule is engine-independent, so the full pipeline
-    (assignment ranks compare UNROUNDED cosines — bit-identical doubles,
-    the fold order both engines share) has an exact SQL oracle; recall-
-    vs-bruteforce stays asserted in tests."""
+    """E4 ORACLE-REPLICABLE STAND-IN — production is knn_ivf_kmeans.
+    IVF single-probe approximate top-k over the deterministic every-Nth
+    centroid grid: centroid count grows ∝ corpus, so assignment is
+    O(N²/100) by design (45.8 s at sf10 vs knn_ivf_kmeans 12.5 s, gap
+    widening per decade — SCALE100_FULL_r08). The grid's value is exact
+    cross-engine verifiability: the every-Nth rule is engine-
+    independent, so the full pipeline (assignment ranks compare
+    UNROUNDED cosines — bit-identical doubles, the fold order both
+    engines share) has an exact SQL oracle; recall-vs-bruteforce stays
+    asserted in tests. Serve with knn_ivf_kmeans (adaptive capped list
+    count), verified against its seeded numpy reference."""
     from .operators.similarity import knn_ivf
 
     emb = _t(spark, sf_dir, "embeddings")
@@ -1414,22 +1419,67 @@ def knn_ivf_kmeans_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     recall: 0.62 at nprobe=4, 0.88 at 8); real embedding corpora cluster
     and reach the same recall probing far fewer lists. The cost model is
     the point: each query scores nprobe/n_centroids of the corpus,
-    tunable per workload."""
+    tunable per workload. Past the flat quantizer's k=1024 cap (N ≈ 1M,
+    beyond any committed oracle scale) the coarse stage switches to the
+    IMI grid (adaptive_coarse_shape; algebra hash-matched by the
+    knn_imi entry) — the flat branch below the cap is byte-identical to
+    r8."""
     from .operators.similarity import (
-        adaptive_n_centroids,
+        adaptive_coarse_shape,
         kmeans_centroids,
+        knn_imi,
         knn_ivf,
     )
 
     emb = _t(spark, sf_dir, "embeddings")
     corpus = emb.filter(F.col("vec_id") >= 5)
-    # scale-adaptive list count (r8): 16 at sf <= 0.1 (unchanged hash
-    # evidence), ~N/1024 beyond — the oracle recomputes the same k
-    cents = kmeans_centroids(
-        corpus, n_centroids=adaptive_n_centroids(corpus.count()), seed=42
-    )
-    return knn_ivf(
-        corpus, emb.filter(F.col("vec_id") < 5), k=10, centroids=cents, nprobe=8
+    queries = emb.filter(F.col("vec_id") < 5)
+    # scale-adaptive list count (r8) + past-cap IMI switch (r9): 16 flat
+    # lists at sf <= 0.1 (unchanged hash evidence), ~N/1024 to the cap,
+    # IMI cells beyond — the oracle recomputes the same flat k (it never
+    # runs past the cap; engine-only sweeps cover that decade)
+    kind, val = adaptive_coarse_shape(corpus.count())
+    if kind == "imi":
+        return knn_imi(corpus, queries, k=10, k_half=val, nprobe=8)
+    cents = kmeans_centroids(corpus, n_centroids=val, seed=42)
+    return knn_ivf(corpus, queries, k=10, centroids=cents, nprobe=8)
+
+
+def _ref_imi_setup(con) -> None:
+    from .functions.ref_oracle import setup_knn_imi
+
+    setup_knn_imi(con)
+
+
+@register(
+    "knn_imi",
+    # Expected-result oracle: half-space codebooks, cell assignment,
+    # exact-L2 cell probing, candidate cosines, and (round6 DESC, id)
+    # ranking re-run in numpy with the engine's exact op order —
+    # functions/ref_oracle.py::_expected_imi_result.
+    oracle="SELECT * FROM ref_knn_imi",
+    oracle_setup=_ref_imi_setup,
+)
+def knn_imi_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E4 next-decade coarse quantizer: inverted multi-index ANN
+    (Babenko & Lempitsky 2012 — two half-space codebooks of k_half
+    centroids whose product grid gives k_half² cells). The flat kmeans
+    quantizer is cornered past its k=1024 cap (N ≈ 1M): per-list mass
+    grows ∝ N again, and raising the cap makes the O(N·k) assignment
+    pass quadratic. IMI keeps per-cell mass at ~target while assignment
+    scores only 2·k_half HALF-vectors per row — O(N·sqrt(cells)) — so
+    the decade past the cap (2M+ vectors) stays linear-ish. This entry
+    runs the IMI path at EVERY scale (k_half adaptive: 4 half-centroids
+    = 16 cells at bench scale) so the algebra carries committed
+    hash-match evidence; knn_ivf_kmeans/knn_ivfpq/dedup_semantic switch
+    to this quantizer automatically past the flat cap
+    (adaptive_coarse_shape)."""
+    from .operators.similarity import knn_imi
+
+    emb = _t(spark, sf_dir, "embeddings")
+    return knn_imi(
+        emb.filter(F.col("vec_id") >= 5), emb.filter(F.col("vec_id") < 5),
+        k=10, nprobe=8,
     )
 
 
@@ -1447,12 +1497,21 @@ def knn_ivf_kmeans_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def distinct_count(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Exact distinct aggregation (expands to a two-stage partial/final
-    plan under the hood)."""
-    return _t(spark, sf_dir, "events").agg(
-        F.countDistinct("user_id").alias("n_users"),
-        F.countDistinct("event_type").alias("n_types"),
-    )
+    """Exact distinct aggregation over two columns.
+
+    PLAN SHAPE (r9, caught by the plan gate's new Expand rule — the
+    TRAP #29 family): two countDistinct columns in ONE .agg() plan via
+    Catalyst's Expand strategy — every event row duplicated with a gid
+    and shuffled on (user_id, event_type, gid), doubling the exchange
+    volume. Same fix as approx_distinct (r8): each column gets its own
+    single-distinct aggregate (two-phase partial dedup, map-side
+    combine, no Expand) and the two 1-row results crossJoin (the
+    allowed 1-row pattern). Two columnar scans beat one scan that
+    doubles itself through the shuffle."""
+    ev = _t(spark, sf_dir, "events")
+    users = ev.agg(F.countDistinct("user_id").alias("n_users"))
+    types = ev.agg(F.countDistinct("event_type").alias("n_types"))
+    return users.crossJoin(types)
 
 
 @register(
@@ -4848,53 +4907,21 @@ def fuzzy_pair_edit(spark: SparkSession, sf_dir: str) -> DataFrame:
     length. Global result is TakeOrderedAndProject (per-partition heaps)
     with a total (dist, id, id) order — deterministic across engines.
 
-    BAND JOIN SHAPE (r8, found by the full-registry survival sweep): the
-    former join's only EQUI key was source (20 values) — a 20-reducer
-    sort-merge join whose non-equi length band is a residual filter, so
-    every source block pays its full O(block²) candidate stream on one
-    task (5.9 s → 546 s per 10× step; ~15 h extrapolated at 100× bench
-    scale). The length band is now part of the join key: rows bucket by
-    floor(n_chars / 40) and the probe side expands to its three
-    neighboring buckets — any pair within 40 chars lands in exactly one
-    (source, bucket) key, the exact band re-checked in the residual.
-    Keys go 20 → ~20·buckets, per-key mass drops quadratically, the
-    Levenshtein count is UNCHANGED (that work is the operator's
-    contract — argmin needs every banded pair scored).
+    Delegates to operators/dedup.py::fuzzy_pair_edit_topk — the r8 band
+    join shape (length buckets in the equi-key, probe side exploded to
+    its three neighbor buckets; sf1 546 → 25 s) PLUS the r9 DENSITY
+    GUARD: argmin edit distance must score every banded pair (quadratic
+    in block density BY CONTRACT), so the operator measures the banded
+    mass first (O(corpus) bucket-count pass) and refuses past 1e8
+    candidates, naming the production path — LSH candidate generation
+    (dedup_ngram_lsh) with edit distance scored on candidates only.
+    The sf10 replica (~1.45e9 banded pairs, 3675 s unguarded in
+    SCALE100_FULL_r08) is now a designed abort, like
+    interval_join_bucketed's; every committed bench scale <= sf1
+    (<= 1.45e7 pairs) runs unchanged."""
+    from .operators.dedup import fuzzy_pair_edit_topk
 
-    Production near-dup at 100 TB swaps the metadata block for LSH
-    bucketing (dedup_ngram_lsh) and uses this metric only on candidate
-    pairs."""
-    from .sources.tables import spread
-
-    d = spread(_t(spark, sf_dir, "documents")).select(
-        "doc_id", "source", "n_chars", F.substring(F.lower("text"), 1, 80).alias("pfx")
-    )
-    a = d.withColumn("bkt", F.floor(F.col("n_chars") / 40))
-    b = d.select(
-        F.col("doc_id").alias("doc_id_b"),
-        F.col("source").alias("source_b"),
-        F.col("n_chars").alias("n_chars_b"),
-        F.col("pfx").alias("pfx_b"),
-        F.explode(
-            F.array(
-                F.floor(F.col("n_chars") / 40) - 1,
-                F.floor(F.col("n_chars") / 40),
-                F.floor(F.col("n_chars") / 40) + 1,
-            )
-        ).alias("bkt_b"),
-    )
-    pairs = a.join(
-        b,
-        (F.col("source") == F.col("source_b"))
-        & (F.col("bkt") == F.col("bkt_b"))
-        & (F.col("doc_id") < F.col("doc_id_b"))
-        & (F.abs(F.col("n_chars") - F.col("n_chars_b")) <= 40),
-    ).select(
-        F.col("doc_id").alias("doc_id_a"),
-        "doc_id_b",
-        F.levenshtein(F.col("pfx"), F.col("pfx_b")).cast("long").alias("edit_dist"),
-    )
-    return pairs.orderBy("edit_dist", "doc_id_a", "doc_id_b").limit(20)
+    return fuzzy_pair_edit_topk(_t(spark, sf_dir, "documents"), k=20)
 
 
 def _ref_pq_setup(con) -> None:

@@ -1508,7 +1508,10 @@ def _bind_checkpoint_to_corpus(
     import json as _json
 
     binding = os.path.join(checkpoint, "corpus_binding.json")
-    target = os.path.abspath(corpus_dir)
+    # realpath, not abspath: the same corpus reached via a symlink or a
+    # different cwd-relative spelling is the SAME identity — refusing it
+    # would be fail-safe but needless operational friction (ADVICE r8).
+    target = os.path.realpath(corpus_dir)
 
     def _write() -> None:
         os.makedirs(checkpoint, exist_ok=True)

@@ -14,6 +14,16 @@ asserts three structural invariants on the physical plan:
      global ``keys=[]`` aggregate (1-row totals pattern) or a
      TakeOrdered/Limit (k-row pattern) before any other join/scan.
   3. NO ``CartesianProduct`` — same tiny-side exception.
+  4. NO ``Expand`` fed by an unbounded scan (TRAP #29 promoted to a
+     plan-shape rule, VERDICT r8 #4): Expand replicates EVERY input row
+     once per projection list, so an Expand over a raw FileScan
+     multiplies the exchange volume by its list count — the
+     approx_distinct multi-distinct rewrite (rows ×3 through the
+     shuffle, sf10 50.4 → 20.7 s) was caught by wall time in the r8
+     sweep; this rule catches the next one by shape. Deliberate
+     grouping-sets entries (cube/rollup — Expand IS their contract)
+     are allowlisted by explicit reason; an Expand over a provably
+     small frame (global agg / limit evidence) passes.
 
 Violations that are deliberate must be declared in ALLOWLIST with an
 audited reason; an empty allowlist entry never silences a NEW violation
@@ -68,6 +78,37 @@ ALLOWLIST: dict[str, dict[str, str]] = {
         "single_partition": "prefix-sum over the SEGMENTS frame "
         "(corpus/1000 rows) feeding a broadcast — the segment-offset "
         "trick's reduced frame, documented in the docstring",
+    },
+    # --- rule 4 (Expand): entries where row replication IS the contract,
+    # with a bounded, declared fan-out factor ---
+    "rollup_revenue": {
+        "expand": "ROLLUP grouping sets: Expand emits one copy per "
+        "grouping set (3 here) — the grouping-sets contract; fan-out is "
+        "the fixed set count, map-side partial agg collapses before the "
+        "exchange",
+    },
+    "cube_revenue": {
+        "expand": "CUBE grouping sets: fixed 4-way Expand (2^dims), "
+        "same contract as rollup_revenue",
+    },
+    "grouping_sets_revenue": {
+        "expand": "explicit GROUPING SETS: fixed 3-way Expand, same "
+        "contract as rollup_revenue",
+    },
+    "corpus_stats": {
+        "expand": "GROUPING SETS over (lang, source): fixed 3-way "
+        "Expand, same contract as rollup_revenue",
+    },
+    "unpivot_metrics": {
+        "expand": "unpivot/stack is IMPLEMENTED as Expand — one copy "
+        "per unpivoted metric column (3), bounded by the declared "
+        "column list, over an already-aggregated per-source frame",
+    },
+    "window_sliding": {
+        "expand": "sliding event-time windows: Expand duplicates each "
+        "event into the windows it overlaps (window/slide = 2 here) — "
+        "the sliding-window contract; fan-out bounded by the declared "
+        "window/slide ratio",
     },
 }
 
@@ -190,6 +231,19 @@ def check_plan(plan: str) -> list[str]:
                 break
             if not ok:
                 bad.append(f"single_partition: {node[:120]}")
+        elif re.match(r"^[*()0-9+\- ]*Expand\b", node):
+            sub = _subtree(tree, i)
+            # splice ReusedExchange aliases so evidence behind a reuse
+            # is visible, same as the BNLJ sides
+            for s in list(sub):
+                if s.startswith("ReusedExchange"):
+                    m = re.search(r"\[plan_id=(\d+)\]", s)
+                    if m and m.group(1) in defs:
+                        j = defs[m.group(1)]
+                        sub.extend([tree[j][1]] + _subtree(tree, j))
+            fed_by_scan = any("FileScan" in s for s in sub)
+            if fed_by_scan and not _tiny_evidence(sub):
+                bad.append(f"expand: {node[:120]}")
         elif "BroadcastNestedLoopJoin" in node or "CartesianProduct" in node:
             rule = ("bnlj" if "BroadcastNestedLoopJoin" in node
                     else "cartesian")

@@ -44,6 +44,14 @@ SF_DIRS = [
     ("/root/testdata/sf0.1", 0.1),
     ("/tmp/sf1", 1.0),
     ("/tmp/sf10", 10.0),
+    # r9: the first adaptive-engaged decade (600k vectors — past the
+    # 262,144 LSH clamp and 3x past adaptive_n_centroids' sf10 k=196);
+    # build with: python tools/make_sf1.py /root/testdata/sf0.1 /tmp/sf30 300
+    ("/tmp/sf30", 30.0),
+    # r9: the vector decade past the flat quantizer's k=1024 cap
+    # (2M vectors, embeddings+documents only — similarity/dedup entries;
+    # build with: python tools/make_vec_decade.py /tmp/sf100vec 1000)
+    ("/tmp/sf100vec", 100.0),
 ]
 
 DEFAULT_QUERIES = [
