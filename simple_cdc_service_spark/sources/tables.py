@@ -119,7 +119,20 @@ def load_table(spark: SparkSession, name: str, sf_dir: str | None = None) -> Dat
     sf_dir = sf_dir or default_sf_dir()
     if name == "events":
         return load_events(spark, sf_dir)
-    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    if name == "documents":
+        # The text corpus feeds CPU-bound per-row pipelines (tokenizers,
+        # quality scores, shingles — milliseconds per row, unlike the
+        # columnar-cheap TPC-H scans), and the test replicas ship it as
+        # 1-2 giant row groups, so a bare scan runs those pipelines on
+        # 1-2 of 32 cores no matter how many byte-range partitions the
+        # reader reports (TRAP #31: curation_pipeline at sf30 spent
+        # 746 s in ONE task evaluating split/lower over 1.05M docs while
+        # 30 tasks read zero rows). spread() is conditional — real
+        # multi-file deployments with enough row groups pay nothing;
+        # filters still push through the repartition to the scan.
+        return spread(df)
+    return df
 
 
 def spread(df: DataFrame) -> DataFrame:
@@ -135,10 +148,51 @@ def spread(df: DataFrame) -> DataFrame:
 
     Conditional: when the source already has >= core-count partitions
     (the many-files case of any real deployment) this is a no-op — never
-    pay a full-corpus shuffle for parallelism you already have."""
+    pay a full-corpus shuffle for parallelism you already have.
+
+    TRAP #31 (r9, found by the sf30 sweep): the partition COUNT alone
+    lies for parquet. Scan partitions are byte ranges, but rows only
+    materialize at ROW-GROUP boundaries — a 500 MB single-file corpus
+    written as 2 giant row groups scans as 32 "partitions" of which 30
+    are EMPTY and 2 carry the whole corpus (measured: stage with 30
+    tasks at 0 recordsRead, one 690 s straggler evaluating the shingle
+    pipeline over 1.05M docs alone). When the count looks sufficient
+    but the input is a FEW parquet files, the footer metadata (cheap,
+    no data read) arbitrates: fewer total row groups than cores means
+    the scan CANNOT parallelize past them, so the explicit repartition
+    is still required. Many files (>= cores) are splittable by
+    construction and skip the footer probe — at 100 TB nobody reads a
+    thousand footers to decide."""
     target = df.sparkSession.sparkContext.defaultParallelism
     if df.rdd.getNumPartitions() >= target:
-        return df
+        try:
+            # Distrust the count ONLY for scan-side pipelines: any plan
+            # with a redistribution point (repartition, join, aggregate,
+            # window, sort) has real post-shuffle partitions — probing
+            # footers there would re-shuffle an already-spread frame
+            # (idempotency: spread(spread(df)) must be a no-op).
+            plan = str(df._jdf.queryExecution().optimizedPlan())
+            if any(
+                k in plan
+                for k in ("Repartition", "Join", "Aggregate", "Window", "Sort")
+            ):
+                return df
+            files = [f for f in df.inputFiles() if f.endswith(".parquet")]
+            if not files or len(files) >= target:
+                return df
+            import pyarrow.parquet as pq
+
+            ngroups = 0
+            for f in files:
+                ngroups += pq.read_metadata(
+                    f.removeprefix("file:").removeprefix("//")
+                    if f.startswith("file:")
+                    else f
+                ).num_row_groups
+                if ngroups >= target:
+                    return df
+        except Exception:
+            return df  # non-parquet / unreadable footer: trust the count
     return df.repartition(target)
 
 

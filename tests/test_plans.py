@@ -163,10 +163,17 @@ class TestRound2LateAdditions:
         assert plan.count("lineitem.parquet") == 1
 
     def test_pipeline_maponly_ops_have_no_exchange(self, spark):
-        # repetition/mix-sample/PII are map-only curation passes — an
-        # Exchange anywhere means a shuffle snuck into a scan-speed op.
+        # repetition/mix-sample/PII are map-only curation passes — the
+        # ONLY allowed Exchange is the documents loader's round-robin
+        # spread (TRAP #31, r9: text pipelines must parallelize past the
+        # corpus files' row-group count); any OTHER shuffle means one
+        # snuck into a scan-speed op.
         for name in ("repetition_score", "domain_mix_sample", "pii_scrub"):
-            assert_not_in_plan(q(spark, name), "Exchange")
+            plan = plan_string(q(spark, name))
+            n_exchanges = plan.count("- Exchange (")
+            assert n_exchanges <= 1, f"{name}: {n_exchanges} exchanges"
+            if n_exchanges == 1:
+                assert "RoundRobinPartitioning" in plan, name
 
 
 class TestRuntimeFilters:
@@ -361,12 +368,15 @@ class TestRound4Plans:
 
     def test_quality_rules_two_shuffles(self, spark):
         """The whole rule stack costs exactly the two hash aggregates of
-        the token pipeline — no per-rule re-scan."""
+        the token pipeline — no per-rule re-scan. (Plus the documents
+        loader's round-robin spread, r9 TRAP #31 — a third Exchange node
+        but not an aggregate re-shuffle.)"""
         plan = plan_string(q(spark, "quality_rules"))
         assert plan.count("documents.parquet") == 1
         # formatted mode prints each node in the tree and again in the
         # detail section; "- Exchange (" matches only tree entries
-        assert plan.count("- Exchange (") == 2
+        n_rr = 1 if "RoundRobinPartitioning" in plan else 0
+        assert plan.count("- Exchange (") == 2 + n_rr
 
     def test_knn_filtered_hash_join_not_cross(self, spark):
         """The filter joins INTO the scoring: a broadcast HASH join on the

@@ -318,3 +318,80 @@ class TestKnnImi:
         a = imi_assign(df, cb1, cb2).collect()
         cells = {r.vec_id: r.centroid_id for r in a}
         assert cells[100] == cells[101]
+
+
+class TestSpreadRowGroupTrap:
+    """TRAP #31 (r9, found by the sf30 sweep): parquet scan partitions
+    are byte ranges but rows materialize only at row-group boundaries —
+    a single-file corpus written as 1-2 giant row groups reports >=
+    core-count partitions while 30 of 32 tasks read ZERO rows and one
+    straggler carries the corpus. spread() now arbitrates with the
+    footer metadata: enough apparent partitions but fewer row groups
+    than cores still forces the explicit repartition."""
+
+    def test_few_row_groups_forces_repartition(self, spark, tmp_path):
+        import pandas as pd
+
+        from simple_cdc_service_spark.sources.tables import spread
+
+        p = str(tmp_path / "one_group.parquet")
+        # one fat row group: pandas default writes a single group here
+        pd.DataFrame({"doc_id": range(200_000), "x": range(200_000)}).to_parquet(
+            p, index=False
+        )
+        df = spark.read.parquet(p)
+        out = spread(df)
+        plan = out._jdf.queryExecution().executedPlan().toString()
+        target = spark.sparkContext.defaultParallelism
+        assert out.rdd.getNumPartitions() == target
+        assert "Exchange RoundRobinPartitioning" in plan
+
+    def test_many_row_groups_stays_noop(self, spark, tmp_path):
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        from simple_cdc_service_spark.sources.tables import spread
+
+        target = spark.sparkContext.defaultParallelism
+        p = str(tmp_path / "many_groups.parquet")
+        n = max(64, target * 2) * 100
+        tbl = pa.table({"doc_id": list(range(n)), "x": list(range(n))})
+        pq.write_table(tbl, p, row_group_size=100)  # >= 2x cores groups
+        df = spark.read.parquet(p)
+        if df.rdd.getNumPartitions() >= target:
+            out = spread(df)
+            assert "Exchange" not in out._jdf.queryExecution().executedPlan().toString()
+
+
+class TestSpreadIdempotentAndDocumentsLoader:
+    """spread(spread(df)) must be a no-op (the footer probe only
+    distrusts scan-side pipelines), and the documents loader spreads
+    centrally so every text pipeline parallelizes past the replica
+    files' 1-2 giant row groups (TRAP #31's curation_pipeline leg)."""
+
+    def test_spread_is_idempotent(self, spark, tmp_path):
+        import pandas as pd
+
+        from simple_cdc_service_spark.sources.tables import spread
+
+        p = str(tmp_path / "one_group2.parquet")
+        pd.DataFrame({"doc_id": range(200_000), "x": range(200_000)}).to_parquet(
+            p, index=False
+        )
+        once = spread(spark.read.parquet(p))
+        twice = spread(once)
+        plan = twice._jdf.queryExecution().optimizedPlan().toString()
+        assert plan.count("Repartition") == 1
+
+    def test_documents_loader_spreads(self, spark):
+        from simple_cdc_service_spark.sources.tables import load_table
+
+        d = load_table(spark, "documents", "/root/testdata/sf0.001")
+        plan = d._jdf.queryExecution().optimizedPlan().toString()
+        assert "Repartition" in plan
+        # filters still reach the scan through the repartition
+        f = d.filter(d.lang == "en")
+        phys = f._jdf.queryExecution().executedPlan().toString()
+        assert "PushedFilters: [IsNotNull(lang), EqualTo(lang,en)]" in phys or (
+            "PushedFilters" in phys and "EqualTo(lang,en)" in phys
+        )
