@@ -355,8 +355,10 @@ def bench_replica_store_scale(
     ).awaitTermination()
     # replace v0's payload with the synthesized store (scaffold, see doc)
     t0 = time.perf_counter()
+    # INVOICE_ROW types both columns LONG — the preload must match or the
+    # versioned reader hits PARQUET_COLUMN_DATA_TYPE_MISMATCH on mixed files
     spark.range(n_store).selectExpr(
-        "CAST(id AS INT) AS order_id", "CAST(id * 7 AS INT) AS invoice_number"
+        "id AS order_id", "id * 7 AS invoice_number"
     ).write.mode("overwrite").parquet(f"{state}/v0")
     out["preload_sec"] = round(time.perf_counter() - t0, 2)
 
@@ -385,7 +387,12 @@ def bench_replica_store_scale(
     plan = plan_string(surv, "simple")
     out["versioned"]["merge_plan"] = {
         "broadcast_anti_join": "BroadcastHashJoin" in plan and "LeftAnti" in plan,
-        "store_side_exchange": "Exchange" in plan,
+        # only SHUFFLE exchanges count — the key set's BroadcastExchange
+        # is the desired shape (batch keys ship to the store, never the
+        # reverse); a hashpartitioning exchange would mean the 10M-row
+        # store is being shuffled to merge a 10k-event batch
+        "store_shuffled": "Exchange hashpartitioning" in plan
+        or "Exchange rangepartitioning" in plan,
     }
 
     # ---- legs 2+3: bucketed merge, uniform vs hot keys ----
@@ -396,9 +403,9 @@ def bench_replica_store_scale(
         n_buckets = 1024
         t0 = time.perf_counter()
         spark.range(n_store).selectExpr(
-            "CAST(id AS INT) AS order_id",
-            "CAST(id * 7 AS INT) AS invoice_number",
-            f"pmod(hash(CAST(id AS INT)), {n_buckets}) AS bucket",
+            "id AS order_id",
+            "id * 7 AS invoice_number",
+            f"pmod(hash(id), {n_buckets}) AS bucket",
         ).write.partitionBy("bucket").mode("overwrite").parquet(state2)
         preload_sec = round(time.perf_counter() - t0, 2)
         msgs2, _ = generate_envelopes(
@@ -422,7 +429,7 @@ def bench_replica_store_scale(
             }
         )
         touched_buckets = (
-            spark.createDataFrame([(k,) for k in feed_keys], "order_id int")
+            spark.createDataFrame([(int(k),) for k in feed_keys], "order_id long")
             .selectExpr(f"pmod(hash(order_id), {n_buckets}) AS b")
             .distinct()
             .count()
