@@ -37,6 +37,15 @@ from __future__ import annotations
 from decimal import ROUND_HALF_UP, Decimal
 
 
+class OracleOutOfScale(RuntimeError):
+    """Raised by an oracle_setup hook when the corpus size puts the
+    ENGINE into a regime this oracle does not mirror (e.g. the IMI
+    coarse-quantizer switch past the flat k=1024 cap). The check
+    harness records the entry as an explicit flagged skip instead of a
+    spurious mismatch (ADVICE r9 #1); engine-only scale sweeps cover
+    that regime."""
+
+
 # ---------------------------------------------------------------------------
 # numeric primitives mirroring the engine's folds
 # ---------------------------------------------------------------------------
@@ -238,19 +247,84 @@ def _assign_lists(ids, vecs, cent, nprobe: int):
 # ---------------------------------------------------------------------------
 
 
+# Flat-quantizer oracle SQL for knn_ivf_kmeans (the formulation that has
+# carried the hash evidence since r6): same shape as the hash-matched
+# knn_ivf oracle, with the every-Nth centroid grid replaced by the
+# registered numpy-Lloyd reference centroids and nprobe=8. Registered as
+# a VIEW body by setup_knn_ivf_kmeans so the same oracle name serves
+# both coarse-quantizer regimes (ADVICE r9 #1).
+_IVFK_FLAT_SQL = """
+    WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+               FROM embeddings),
+    corpus AS (SELECT vec_id, v FROM e WHERE vec_id >= 5),
+    q AS (SELECT vec_id, v FROM e WHERE vec_id < 5),
+    cents AS (SELECT centroid_id, cv FROM ref_cents_ivf),
+    ca AS (SELECT vec_id AS neighbor_id, v AS cv2, centroid_id,
+                  row_number() OVER (PARTITION BY vec_id ORDER BY
+                      list_dot_product(v, cv)
+                      / (sqrt(list_dot_product(v, v)) * sqrt(list_dot_product(cv, cv)))
+                      DESC, centroid_id) AS rn
+           FROM corpus CROSS JOIN cents),
+    qa AS (SELECT vec_id AS query_id, v AS qv, centroid_id,
+                  row_number() OVER (PARTITION BY vec_id ORDER BY
+                      list_dot_product(v, cv)
+                      / (sqrt(list_dot_product(v, v)) * sqrt(list_dot_product(cv, cv)))
+                      DESC, centroid_id) AS rn
+           FROM q CROSS JOIN cents),
+    scored AS (SELECT query_id, neighbor_id,
+                      round(list_dot_product(qv, cv2)
+                            / (sqrt(list_dot_product(qv, qv)) * sqrt(list_dot_product(cv2, cv2))),
+                            6) AS cos_sim
+               FROM (SELECT * FROM ca WHERE rn = 1) c
+               JOIN (SELECT * FROM qa WHERE rn <= 8) USING (centroid_id)),
+    r AS (SELECT *, CAST(row_number() OVER (
+              PARTITION BY query_id ORDER BY cos_sim DESC, neighbor_id) AS INT) AS rank
+          FROM scored)
+    SELECT query_id, neighbor_id, rank, cos_sim FROM r WHERE rank <= 10
+"""
+
+
 def setup_knn_ivf_kmeans(con) -> None:
-    """Registers ref_cents_ivf: k-means centroids trained on the
-    vec_id >= 5 corpus — the only non-SQL piece of knn_ivf_kmeans.
-    List count is the engine's scale-adaptive formula (16 at sf ≤ 0.1)."""
+    """Registers ref_knn_ivfk, mirroring the engine's
+    adaptive_coarse_shape regime switch (ADVICE r9 #1 — before this the
+    flat SQL oracle was registered unconditionally, so a >1M-vector
+    corpus run reported a spurious engine/oracle mismatch):
+
+    - N within the flat cap (ceil(N/1024) <= 1024, every committed
+      oracle scale): ref_cents_ivf holds the numpy-Lloyd centroids at
+      the engine's adaptive list count and ref_knn_ivfk is a VIEW over
+      the unchanged flat SQL formulation — bit-identical evidence path.
+    - N past the cap: the engine's knn_ivf_kmeans entry returns
+      knn_imi(k_half adaptive, nprobe=8); ref_knn_ivfk is the matching
+      numpy IMI expected result (_expected_imi_result, same defaults)."""
+    import math
+
     import pandas as pd
 
     src = "SELECT vec_id, embedding FROM embeddings WHERE vec_id >= 5"
-    cent = kmeans_centroids_ref(con, src, _adaptive_n_centroids(_count(con, src)))
+    n = _count(con, src)
+    # mirror of adaptive_coarse_shape's regime predicate (flat_hi=1024,
+    # target=1024): flat while ceil(N/target) <= flat_hi
+    if n <= 0 or math.ceil(n / 1024) <= 1024:
+        cent = kmeans_centroids_ref(con, src, _adaptive_n_centroids(n))
+        _register(
+            con,
+            "ref_cents_ivf",
+            pd.DataFrame(
+                {"centroid_id": range(len(cent)), "cv": [list(c) for c in cent]}
+            ),
+        )
+        con.execute(f"CREATE OR REPLACE VIEW ref_knn_ivfk AS {_IVFK_FLAT_SQL}")
+        return
     _register(
         con,
-        "ref_cents_ivf",
-        pd.DataFrame(
-            {"centroid_id": range(len(cent)), "cv": [list(c) for c in cent]}
+        "ref_knn_ivfk",
+        _expected_imi_result(
+            con,
+            src,
+            "SELECT vec_id, embedding FROM embeddings WHERE vec_id < 5",
+            k=10,
+            nprobe=8,
         ),
     )
 
@@ -258,12 +332,21 @@ def setup_knn_ivf_kmeans(con) -> None:
 def setup_dedup_semantic(con) -> None:
     """Registers ref_cents_sem: k-means centroids trained on the
     planted-duplicate UNION frame (dedup_semantic's input). Cluster
-    count is the engine's scale-adaptive formula (16 at sf ≤ 0.1)."""
+    count is the engine's scale-adaptive formula (16 at sf ≤ 0.1).
+    Past the flat cap the engine blocks on IMI cells instead
+    (adaptive_coarse_shape) — this SQL oracle does not mirror that
+    regime, so it flags an explicit skip (ADVICE r9 #1 bug class)."""
+    import math
+
     import pandas as pd
 
-    cent = kmeans_centroids_ref(
-        con, _UNION_PLANTED, _adaptive_n_centroids(_count(con, _UNION_PLANTED))
-    )
+    n = _count(con, _UNION_PLANTED)
+    if n > 0 and math.ceil(n / 1024) > 1024:
+        raise OracleOutOfScale(
+            f"dedup_semantic blocks on IMI cells past the flat cap "
+            f"(N={n} > 1,048,576); flat-kmeans SQL oracle not applicable"
+        )
+    cent = kmeans_centroids_ref(con, _UNION_PLANTED, _adaptive_n_centroids(n))
     _register(
         con,
         "ref_cents_sem",
@@ -403,18 +486,28 @@ def setup_knn_pq(con) -> None:
 
 
 def setup_knn_ivfpq(con) -> None:
+    """Past the flat cap the engine's coarse stage switches to IMI
+    (adaptive_coarse_shape); this mirror computes only the flat-kmeans
+    coarse, so it flags an explicit skip there (ADVICE r9 #1 bug
+    class) rather than reporting a spurious mismatch."""
+    import math
+
+    src = "SELECT vec_id, embedding FROM embeddings WHERE vec_id >= 5"
+    n = _count(con, src)
+    if n > 0 and math.ceil(n / 1024) > 1024:
+        raise OracleOutOfScale(
+            f"knn_ivfpq's coarse stage is IMI past the flat cap "
+            f"(N={n} > 1,048,576); flat-coarse PQ mirror not applicable"
+        )
     _register(
         con,
         "ref_knn_ivfpq",
         _expected_pq_result(
             con,
-            "SELECT vec_id, embedding FROM embeddings WHERE vec_id >= 5",
+            src,
             "SELECT vec_id, embedding FROM embeddings WHERE vec_id < 5",
             k=10, m=8, ksub=16, rerank=50,
-            n_centroids=_adaptive_n_centroids(_count(
-                con,
-                "SELECT vec_id, embedding FROM embeddings WHERE vec_id >= 5",
-            )),
+            n_centroids=_adaptive_n_centroids(n),
             nprobe=8,
         ),
     )

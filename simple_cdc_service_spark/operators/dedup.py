@@ -1062,7 +1062,23 @@ def adaptive_lsh_params(
     # (28 at t=0.5, ~87k at t=-0.99): cap the hyperplane allocation at
     # 8x the base — past that, banded LSH is the wrong tool and the
     # caller should use the blocked/brute paths.
-    return min(max(base_bands, bands), 8 * base_bands), rbits
+    capped = min(max(base_bands, bands), 8 * base_bands)
+    if capped < bands:
+        # The documented recall floor no longer holds once the cap
+        # truncates the solve (thresholds below ~0.3 at large N) — say
+        # so instead of silently returning weaker recall (ADVICE r9 #3;
+        # same explicit-signal pattern as the fuzzy density guard).
+        import warnings
+
+        warnings.warn(
+            f"adaptive_lsh_params: recall-floor solve wants {bands} bands "
+            f"for threshold={threshold} at N={n_rows}, capped to {capped} "
+            f"(8x base) — the documented recall floor does NOT hold at "
+            f"this threshold; use the blocked (embedding_dup_pairs) or "
+            f"brute-force paths for low-threshold pair mining",
+            stacklevel=2,
+        )
+    return capped, rbits
 
 
 def embedding_dup_pairs_lsh(

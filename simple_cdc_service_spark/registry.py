@@ -1374,38 +1374,16 @@ def _ref_ivfk_setup(con) -> None:
 
 @register(
     "knn_ivf_kmeans",
-    # Same SQL shape as the hash-matched knn_ivf oracle, with the
-    # every-Nth centroid grid replaced by the registered numpy-Lloyd
-    # reference centroids (functions/ref_oracle.py) and nprobe=8.
-    oracle="""
-    WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
-               FROM embeddings),
-    corpus AS (SELECT vec_id, v FROM e WHERE vec_id >= 5),
-    q AS (SELECT vec_id, v FROM e WHERE vec_id < 5),
-    cents AS (SELECT centroid_id, cv FROM ref_cents_ivf),
-    ca AS (SELECT vec_id AS neighbor_id, v AS cv2, centroid_id,
-                  row_number() OVER (PARTITION BY vec_id ORDER BY
-                      list_dot_product(v, cv)
-                      / (sqrt(list_dot_product(v, v)) * sqrt(list_dot_product(cv, cv)))
-                      DESC, centroid_id) AS rn
-           FROM corpus CROSS JOIN cents),
-    qa AS (SELECT vec_id AS query_id, v AS qv, centroid_id,
-                  row_number() OVER (PARTITION BY vec_id ORDER BY
-                      list_dot_product(v, cv)
-                      / (sqrt(list_dot_product(v, v)) * sqrt(list_dot_product(cv, cv)))
-                      DESC, centroid_id) AS rn
-           FROM q CROSS JOIN cents),
-    scored AS (SELECT query_id, neighbor_id,
-                      round(list_dot_product(qv, cv2)
-                            / (sqrt(list_dot_product(qv, qv)) * sqrt(list_dot_product(cv2, cv2))),
-                            6) AS cos_sim
-               FROM (SELECT * FROM ca WHERE rn = 1) c
-               JOIN (SELECT * FROM qa WHERE rn <= 8) USING (centroid_id)),
-    r AS (SELECT *, CAST(row_number() OVER (
-              PARTITION BY query_id ORDER BY cos_sim DESC, neighbor_id) AS INT) AS rank
-          FROM scored)
-    SELECT query_id, neighbor_id, rank, cos_sim FROM r WHERE rank <= 10
-    """,
+    # ref_knn_ivfk is registered by setup_knn_ivf_kmeans, which mirrors
+    # the engine's adaptive_coarse_shape (ADVICE r9 #1): below the flat
+    # cap it is a VIEW whose body is the same pure-SQL flat formulation
+    # that has carried the hash evidence since r6 (ref_cents_ivf
+    # cross-join + nprobe=8 — the SQL text moved verbatim into the setup
+    # hook); past the cap (N > 1,048,576) it is the numpy IMI expected
+    # result, matching the engine's automatic knn_imi switch — so an
+    # oracle run at ANY corpus size compares against the path the engine
+    # actually takes instead of reporting a spurious mismatch.
+    oracle="SELECT query_id, neighbor_id, rank, cos_sim FROM ref_knn_ivfk",
     oracle_setup=_ref_ivfk_setup,
 )
 def knn_ivf_kmeans_q(spark: SparkSession, sf_dir: str) -> DataFrame:

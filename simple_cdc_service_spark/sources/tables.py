@@ -171,11 +171,33 @@ def spread(df: DataFrame) -> DataFrame:
             # window, sort) has real post-shuffle partitions — probing
             # footers there would re-shuffle an already-spread frame
             # (idempotency: spread(spread(df)) must be a no-op).
+            # Matched STRUCTURALLY on each tree line's head node name,
+            # not by substring over the whole plan text: a path or
+            # identifier containing e.g. 'Sorted' sits in a Relation/
+            # Filter line whose head is Relation/Filter, so it can no
+            # longer false-positive and silently skip the footer probe
+            # (ADVICE r9 #2 — that skip reintroduces the TRAP #31
+            # single-task straggler).
+            import re
+
             plan = str(df._jdf.queryExecution().optimizedPlan())
-            if any(
-                k in plan
-                for k in ("Repartition", "Join", "Aggregate", "Window", "Sort")
-            ):
+            heads = {
+                m.group(1)
+                for m in (
+                    re.match(r"^[\s:+\-]*([A-Za-z][A-Za-z0-9]*)", ln)
+                    for ln in plan.splitlines()
+                )
+                if m
+            }
+            if heads & {
+                "Repartition",
+                "RepartitionByExpression",
+                "RebalancePartitions",
+                "Join",
+                "Aggregate",
+                "Window",
+                "Sort",
+            }:
                 return df
             files = [f for f in df.inputFiles() if f.endswith(".parquet")]
             if not files or len(files) >= target:

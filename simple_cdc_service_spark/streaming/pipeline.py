@@ -1523,7 +1523,12 @@ def _bind_checkpoint_to_corpus(
     if os.path.exists(binding):
         with open(binding) as f:
             bound = _json.load(f)["corpus_dir"]
-        if bound != target:
+        # Resolve the STORED spelling too: pre-r9 checkpoints wrote
+        # abspath bindings, so one whose path contains a symlink
+        # component would fail the identity check against today's
+        # realpath spelling of the SAME directory (ADVICE r9 #4) —
+        # realpath(stored) == realpath(asked) is the actual identity.
+        if os.path.realpath(bound) != target:
             if allow_rebind:
                 _write()
                 return
