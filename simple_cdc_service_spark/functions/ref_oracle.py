@@ -703,3 +703,20 @@ def setup_knn_imi(con) -> None:
             k=10, nprobe=8,
         ),
     )
+
+
+def setup_knn_imi_mp(con) -> None:
+    """knn_imi_mp's oracle: same expected-result mirror at nprobe=32.
+    The mirror ranks cells with the FULL-grid stable argsort; the
+    engine's subgrid multiprobe (r10) is provably identical, so one
+    formulation serves both."""
+    _register(
+        con,
+        "ref_knn_imi_mp",
+        _expected_imi_result(
+            con,
+            "SELECT vec_id, embedding FROM embeddings WHERE vec_id >= 5",
+            "SELECT vec_id, embedding FROM embeddings WHERE vec_id < 5",
+            k=10, nprobe=32,
+        ),
+    )

@@ -1212,8 +1212,25 @@ def embedding_dup_pairs_lsh(
             F.col("v").isNotNull()
         )
     ).mapInPandas(band_rows, eb_schema)
+    # VECTOR-DECADE FIX (r10, VERDICT r9 #1): the shared cogroup-tiled
+    # kernel (_tiled_cosine_pairs) ranks rows with a window, joins two
+    # chunk-grid legs, and cogroups — the banded vector rows (bands
+    # full copies of every corpus vector, ~11 GB at 2M vectors) crossed
+    # a shuffle THREE MORE times after the banding exchange, which is
+    # what blew the 2M-vector cell to 11.1x on a 3.33x step (SCALE100VEC
+    # r9) against the Θ(bands·N·target) model's ~4x. LSH buckets are
+    # many and small (expected ~target_per_bucket rows — the adaptive
+    # rbits exists to keep them so), so the verify now runs PARTITION-
+    # LOCAL: ONE hash repartition on (band, bv), a partition-local sort,
+    # and a streaming mapInPandas kernel that triangles each contiguous
+    # bucket with the same per-dimension fold (tile-chunked inside the
+    # task, so a giant bucket costs bounded memory, not bounded wall).
+    # Vectors cross exactly one post-banding exchange; only threshold
+    # survivors leave. The cogroup-tiled kernel remains the right shape
+    # for FEW-GIANT-block inputs (embedding_dup_pairs, dedup_semantic),
+    # where cross-task tile distribution is the point.
     return (
-        _tiled_cosine_pairs(
+        _partition_local_cosine_pairs(
             eb,
             key_cols=["band", "bv"],
             id_col=id_col,
@@ -1308,6 +1325,130 @@ def embedding_dup_pairs(
             F.round(F.col("cos_raw"), 6).alias("cos_sim"),
         )
         .filter(F.col("cos_sim") >= threshold)
+    )
+
+
+def _partition_local_cosine_pairs(
+    e: DataFrame,
+    key_cols: list,
+    id_col: str,
+    id_type,
+    loose: float,
+    tile: int,
+) -> DataFrame:
+    """All-pairs cosine within key groups, computed PARTITION-LOCALLY —
+    the many-small-groups twin of _tiled_cosine_pairs (r10, VERDICT r9
+    #1). Same contract: ``e`` carries key_cols + id_col + v (double
+    array, non-null) + nrm; output (vec_id_a, vec_id_b, cos_raw) with
+    a < b by id, each within-group pair computed exactly once, values
+    bit-identical to the cogroup form (the per-dimension left-fold
+    order is what fixes every IEEE-754 sum; the tile split never
+    changes a value because each acc element accumulates its dims in
+    the same sequence regardless of which tile computes it).
+
+    Plan shape: ONE hash exchange on key_cols, a partition-local sort
+    on (key_cols, id), then a streaming Arrow kernel over each
+    partition that buffers one contiguous group at a time (groups can
+    span Arrow batch boundaries — the buffer carries across) and emits
+    only pairs with cos >= ``loose``. Giant groups are tile-chunked
+    INSIDE the task — bounded accumulator memory (<= tile² doubles),
+    but single-task wall — so this path is for workloads whose groups
+    are bounded by construction (adaptive-rbits LSH buckets at
+    ~target_per_bucket rows). Few-giant-group inputs (metadata blocks,
+    kmeans cells) should keep _tiled_cosine_pairs, which spreads one
+    group's tile grid across tasks."""
+    import pandas as pd
+
+    from pyspark.sql.types import DoubleType, StructField, StructType
+
+    out_schema = StructType(
+        [
+            StructField("vec_id_a", id_type, True),
+            StructField("vec_id_b", id_type, True),
+            StructField("cos_raw", DoubleType(), True),
+        ]
+    )
+
+    def group_pairs(g: "pd.DataFrame"):
+        import numpy as np
+
+        if len(g) < 2:
+            return None
+        g = g.sort_values(id_col)
+        ids = g[id_col].to_numpy()
+        # None elements inside a vector become NaN → NaN cosine → fails
+        # the keep filter, matching the join/cogroup forms.
+        V = np.stack(g["v"].to_numpy()).astype(np.float64)
+        nr = g["nrm"].to_numpy()
+        n, dim = V.shape
+        frames = []
+        for c1 in range(0, n, tile):
+            A = V[c1 : c1 + tile]
+            ids_a = ids[c1 : c1 + tile]
+            nr_a = nr[c1 : c1 + tile]
+            for c2 in range(c1, n, tile):
+                diagonal = c1 == c2
+                if diagonal:
+                    B, ids_b, nr_b = A, ids_a, nr_a
+                else:
+                    B = V[c2 : c2 + tile]
+                    ids_b = ids[c2 : c2 + tile]
+                    nr_b = nr[c2 : c2 + tile]
+                acc = np.zeros((len(ids_a), len(ids_b)))
+                for d in range(dim):
+                    acc += np.multiply.outer(
+                        np.ascontiguousarray(A[:, d]),
+                        np.ascontiguousarray(B[:, d]),
+                    )
+                cos = acc / np.multiply.outer(nr_a, nr_b)
+                if diagonal:
+                    ia, ib = np.triu_indices(len(ids_a), 1)
+                else:
+                    ia, ib = np.indices(cos.shape).reshape(2, -1)
+                keep = cos[ia, ib] >= loose
+                if keep.any():
+                    frames.append(
+                        pd.DataFrame(
+                            {
+                                "vec_id_a": ids_a[ia[keep]],
+                                "vec_id_b": ids_b[ib[keep]],
+                                "cos_raw": cos[ia[keep], ib[keep]],
+                            }
+                        )
+                    )
+        if not frames:
+            return None
+        return pd.concat(frames, ignore_index=True)
+
+    def stream_groups(batches):
+        cur_key = None
+        buf: list = []
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            keys = pdf[key_cols]
+            bounds = (keys != keys.shift()).any(axis=1).cumsum()
+            for _, g in pdf.groupby(bounds, sort=False):
+                k = tuple(g[key_cols].iloc[0])
+                if k == cur_key:
+                    buf.append(g)
+                    continue
+                if cur_key is not None:
+                    out = group_pairs(
+                        buf[0] if len(buf) == 1 else pd.concat(buf)
+                    )
+                    if out is not None:
+                        yield out
+                cur_key, buf = k, [g]
+        if cur_key is not None:
+            out = group_pairs(buf[0] if len(buf) == 1 else pd.concat(buf))
+            if out is not None:
+                yield out
+
+    return (
+        e.repartition(*key_cols)
+        .sortWithinPartitions(*key_cols, id_col)
+        .mapInPandas(stream_groups, out_schema)
     )
 
 

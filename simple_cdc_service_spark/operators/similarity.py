@@ -493,10 +493,28 @@ def imi_assign(
                     {id_col: pdf[id_col], "centroid_id": cell, "v": pdf["v"]}
                 )
             else:
+                # MULTIPROBE SUBGRID (r10, VERDICT r9 #5): the top-probe
+                # cells by (d1+d2, cell_id) all have half-indices inside
+                # the stable top-probe of EACH half — proof: if half
+                # index a ranks > probe in (d1, index) order, then probe
+                # better a' each give cell (a', b) preceding (a, b) in
+                # the global order, so (a, b) cannot be top-probe. The
+                # probe×probe subgrid is therefore BIT-IDENTICAL to the
+                # full-grid stable argsort (the oracle's formulation)
+                # while costing O(k_half log + probe²) per query instead
+                # of O(k_half²) — at the 4096-half decade the full ravel
+                # is 16.7M cells (134 MB) PER QUERY; the subgrid is
+                # probe². This is what makes raising nprobe for recall
+                # (knn_imi_mp) nearly free: candidates grow ∝ nprobe,
+                # cell ranking stays trivial.
                 ids_rep, cells_rep, vs_rep = [], [], []
                 for i in range(n):
-                    g = (d1[i][:, None] + d2[i][None, :]).ravel()
-                    top = np.argsort(g, kind="stable")[:probe]
+                    o1 = np.argsort(d1[i], kind="stable")[:probe]
+                    o2 = np.argsort(d2[i], kind="stable")[:probe]
+                    g = (d1[i][o1][:, None] + d2[i][o2][None, :]).ravel()
+                    rid = (o1[:, None] * k2 + o2[None, :]).ravel()
+                    order = np.lexsort((rid, g))[:probe]
+                    top = rid[order]
                     ids_rep.extend([pdf[id_col].iloc[i]] * len(top))
                     cells_rep.extend(int(t) for t in top)
                     vs_rep.extend([pdf["v"].iloc[i]] * len(top))

@@ -30,7 +30,7 @@ from pyspark.sql.window import Window
 from .config import USER_VALUE
 from .operators import cdc
 from .sources.changelog import CHANGELOG_ORACLE_CTE, derive_changelog
-from .sources.tables import load_table
+from .sources.tables import load_table, spread
 
 
 @dataclass
@@ -700,7 +700,7 @@ def lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     (en>de>es>fr>zh on ties)."""
     from .operators import text as T
 
-    d = _t(spark, sf_dir, "documents")
+    d = spread(_t(spark, sf_dir, "documents"))
     return d.select(
         "doc_id",
         F.col("lang").alias("labeled_lang"),
@@ -1458,6 +1458,37 @@ def knn_imi_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return knn_imi(
         emb.filter(F.col("vec_id") >= 5), emb.filter(F.col("vec_id") < 5),
         k=10, nprobe=8,
+    )
+
+
+def _ref_imi_mp_setup(con) -> None:
+    from .functions.ref_oracle import setup_knn_imi_mp
+
+    setup_knn_imi_mp(con)
+
+
+@register(
+    "knn_imi_mp",
+    oracle="SELECT * FROM ref_knn_imi_mp",
+    oracle_setup=_ref_imi_mp_setup,
+)
+def knn_imi_mp_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E4 IMI with MULTIPROBE turned up (nprobe=32 vs knn_imi's 8) —
+    the recall knob VERDICT r9 #5 asked for. The r10 subgrid probe
+    (imi_assign: per-half stable top-p prefilter, provably identical to
+    the full-grid ranking) makes this nearly free: cell ranking is
+    O(k_half log + probe²) per query regardless of grid size, and the
+    extra cost is candidates ∝ nprobe·target — assignment, the decade
+    wall's dominant term, is untouched. Measured recall vs
+    knn_bruteforce at sf0.1: 1.00 at nprobe=32 (0.84 at knn_imi's 8);
+    recall >= 0.88 pinned in tests at bench scale. Same expected-result
+    oracle family as knn_imi (numpy mirror, nprobe=32)."""
+    from .operators.similarity import knn_imi
+
+    emb = _t(spark, sf_dir, "embeddings")
+    return knn_imi(
+        emb.filter(F.col("vec_id") >= 5), emb.filter(F.col("vec_id") < 5),
+        k=10, nprobe=32,
     )
 
 
@@ -4255,7 +4286,7 @@ def repetition_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     shuffle, no Python, embarrassingly parallel at any scale."""
     from .functions import word_ngrams, words
 
-    d = _t(spark, sf_dir, "documents")
+    d = spread(_t(spark, sf_dir, "documents"))
     ws = words(F.col("text"))
     total = (F.size(ws) - F.lit(2)).cast("long")
     uniq = F.size(word_ngrams(ws, 3))
@@ -4485,7 +4516,7 @@ def curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .functions import word_ngrams, words
     from .operators.dedup import shingle_docs
 
-    d = _t(spark, sf_dir, "documents")
+    d = spread(_t(spark, sf_dir, "documents"))
     ws = words(F.col("text"))
     sh = shingle_docs(d, n=3)
     bench = (
@@ -4555,7 +4586,7 @@ def bpe_merge_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
     NOTES.md trap #12."""
     from .functions import words
 
-    d = _t(spark, sf_dir, "documents")
+    d = spread(_t(spark, sf_dir, "documents"))
     ws = words(F.col("text"))
     pairs = F.when(
         F.size(ws) >= 2,
@@ -4812,7 +4843,7 @@ def char_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
     ints; two hash aggregates, both with map-side partials, and the
     (doc, char) grid is bounded by |alphabet| per doc — no row blowup
     beyond the character explode itself, which is map-local."""
-    d = _t(spark, sf_dir, "documents")
+    d = spread(_t(spark, sf_dir, "documents"))
     cnt = (
         d.select("doc_id", F.explode(F.split(F.col("text"), "")).alias("c"))
         .groupBy("doc_id", "c")
@@ -7179,7 +7210,7 @@ def tokenize_wordpiece(spark: SparkSession, sf_dir: str) -> DataFrame:
     vocab, O(batch) memory."""
     from .operators.text import wordpiece_stats, wordpiece_vocab
 
-    d = _t(spark, sf_dir, "documents")
+    d = spread(_t(spark, sf_dir, "documents"))
     vocab = wordpiece_vocab(d, top_k=20)
     return wordpiece_stats(d, vocab)
 
@@ -7479,7 +7510,7 @@ def curation_impact(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .operators.dedup import ngram_jaccard_pairs
     from .operators.text import quality_rule_flags, quality_rule_metrics
 
-    d = _t(spark, sf_dir, "documents")
+    d = spread(_t(spark, sf_dir, "documents"))
     s1 = d.join(
         quality_rule_flags(quality_rule_metrics(d)).filter("passes").select("doc_id"),
         "doc_id",

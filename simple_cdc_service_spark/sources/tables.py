@@ -119,24 +119,25 @@ def load_table(spark: SparkSession, name: str, sf_dir: str | None = None) -> Dat
     sf_dir = sf_dir or default_sf_dir()
     if name == "events":
         return load_events(spark, sf_dir)
-    df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
-    if name == "documents":
-        # The text corpus feeds CPU-bound per-row pipelines (tokenizers,
-        # quality scores, shingles — milliseconds per row, unlike the
-        # columnar-cheap TPC-H scans), and the test replicas ship it as
-        # 1-2 giant row groups, so a bare scan runs those pipelines on
-        # 1-2 of 32 cores no matter how many byte-range partitions the
-        # reader reports (TRAP #31: curation_pipeline at sf30 spent
-        # 746 s in ONE task evaluating split/lower over 1.05M docs while
-        # 30 tasks read zero rows). spread() is conditional — real
-        # multi-file deployments with enough row groups pay nothing;
-        # filters still push through the repartition to the scan.
-        return spread(df)
-    return df
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
 
 def spread(df: DataFrame) -> DataFrame:
     """Round-robin repartition to the cluster's core count.
+
+    OPT-IN at the call site, never applied by the loader (r10 A/B,
+    VERDICT r9 #2): r9 spread the documents table inside load_table
+    unconditionally, which fixed the TRAP #31 stragglers for the seven
+    per-row-CPU-bound text pipelines at sf10/sf30 (5-14x) but taxed
+    every AGGREGATE-heavy documents consumer with an exchange + lost
+    scan-stage fusion it gains nothing from at bench scale
+    (tfidf_top_terms 0.80->1.44s, unigram_logprob 0.46->0.97s at
+    sf0.1). Bytes-per-row is a bad proxy for work in BOTH directions:
+    only the pipeline author knows whether a row costs microseconds
+    (columnar agg — don't spread) or milliseconds (shingle/tokenize/
+    pandas kernel — spread). The seven TRAP #31 entries now call
+    spread() themselves, like every dedup/similarity operator already
+    did.
 
     For CPU-heavy map-only pipelines (shingling, hashing, pandas UDFs) a
     single small parquet file means a single partition — one core working,

@@ -810,6 +810,375 @@ def start_replica_merge_bucketed(
     return writer.start()
 
 
+# ---------------------------------------------------------------------------
+# Manifest store: versioned replica with FILE-LEVEL KEY STATISTICS
+# (r10, VERDICT r9 #3 — the in-container stand-in for what Delta/Iceberg
+# file stats do for MERGE, and the exact conclusion of the r9 bucketing
+# negative: hash buckets spread hot keys across 100% of buckets, while
+# min/max key ranges keep them in FEW files).
+# ---------------------------------------------------------------------------
+
+
+def _manifest_dir(state_dir: str) -> str:
+    return os.path.join(state_dir, "manifest")
+
+
+def _manifest_versions(state_dir: str) -> list[int]:
+    d = _manifest_dir(state_dir)
+    if not os.path.isdir(d):
+        return []
+    return sorted(
+        int(f[1:-5])
+        for f in os.listdir(d)
+        if f.startswith("v") and f.endswith(".json") and f[1:-5].isdigit()
+    )
+
+
+def _read_manifest(state_dir: str, version: int) -> dict:
+    import json as _json
+
+    with open(os.path.join(_manifest_dir(state_dir), f"v{version}.json")) as f:
+        return _json.load(f)
+
+
+def _latest_manifest(state_dir: str, before: int | None = None) -> dict | None:
+    versions = _manifest_versions(state_dir)
+    if before is not None:
+        versions = [v for v in versions if v < before]
+    if not versions:
+        return None
+    return _read_manifest(state_dir, versions[-1])
+
+
+def _file_key_stats(path: str, key_col: str) -> tuple:
+    """(rows, min, max, exact) for ``key_col`` from the parquet FOOTER —
+    driver-side metadata only, no data pages. Parquet min/max statistics
+    are VALID BOUNDS by spec even when truncated, so pruning against
+    them can under-prune but never lose a key. ``exact=False`` (missing
+    stats on a non-empty file) forces the file into every batch's
+    touched set — conservative, never wrong."""
+    import pyarrow.parquet as pq
+
+    md = pq.read_metadata(path)
+    idx = md.schema.to_arrow_schema().get_field_index(key_col)
+    lo = hi = None
+    ok = True
+    for rg in range(md.num_row_groups):
+        st = md.row_group(rg).column(idx).statistics
+        if st is None or not st.has_min_max:
+            if md.row_group(rg).num_rows > 0:
+                ok = False
+            continue
+        lo = st.min if lo is None else min(lo, st.min)
+        hi = st.max if hi is None else max(hi, st.max)
+    # stats must round-trip through the JSON manifest AND order-compare
+    # against batch keys — non-JSON key types (timestamps, bytes) fall
+    # back to always-touched rather than mis-compare
+    if not (
+        isinstance(lo, (int, float, str, type(None)))
+        and isinstance(hi, (int, float, str, type(None)))
+    ):
+        return md.num_rows, None, None, False
+    return md.num_rows, lo, hi, ok
+
+
+def _any_key_in_range(sorted_keys: list, lo, hi) -> bool:
+    """True iff any batch key falls inside [lo, hi] (bisect over the
+    sorted batch key list — exact membership of the RANGE, so a file
+    whose span contains no batch key is pruned even when batch keys
+    straddle it)."""
+    import bisect
+
+    if lo is None or hi is None or not sorted_keys:
+        return False
+    i = bisect.bisect_left(sorted_keys, lo)
+    return i < len(sorted_keys) and sorted_keys[i] <= hi
+
+
+def read_replica_manifest(
+    spark: SparkSession, state_dir: str, before: int | None = None
+) -> DataFrame | None:
+    """Current state of the manifest store (latest committed manifest),
+    or None. Untouched files are shared ACROSS versions by reference —
+    reading version N touches only the files N's manifest lists.
+    ``before`` has read_replica's crash-replay contract."""
+    m = _latest_manifest(state_dir, before=before)
+    if m is None:
+        return None
+    paths = [os.path.join(state_dir, e["path"]) for e in m["files"]]
+    if not paths:
+        return spark.createDataFrame([], m["schema_ddl"])
+    # read under the MANIFEST's schema, not per-file inference: a store
+    # accretes files from many batches, and type widening (int→long on
+    # upsert) or schema evolution (new value column) leaves older
+    # untouched files narrower — the manifest records the widest schema
+    # so far; parquet upcasts/null-fills the old files under it, where
+    # mixed per-file inference refuses the read
+    return spark.read.schema(m["schema_ddl"]).parquet(*paths)
+
+
+def _merge_manifest_batch(
+    parsed: DataFrame,
+    cfg: ChangeTableConfig,
+    state_dir: str,
+    batch_id: int,
+    target_rows_per_file: int,
+) -> None:
+    import glob as _glob
+    import json as _json
+
+    spark = parsed.sparkSession
+    mdir = _manifest_dir(state_dir)
+    manifest_path = os.path.join(mdir, f"v{batch_id}.json")
+    # Idempotent crash replay: the manifest file IS the commit point —
+    # a committed batch re-delivered by foreachBatch is skipped whole.
+    if os.path.exists(manifest_path):
+        return
+    batch_last, had_truncate, cached = _batch_last_per_key(parsed, cfg)
+    if batch_last is None:
+        return
+    key0 = cfg.key_columns[0]
+    cols = [*cfg.key_columns, *cfg.value_columns]
+    try:
+        prev = (
+            None
+            if had_truncate
+            else _latest_manifest(state_dir, before=batch_id)
+        )
+        upserts = batch_last.filter(F.col("__op") != "d").select(*cols)
+        touched, untouched = [], []
+        if prev is not None:
+            # The batch's distinct first-key values, collected SORTED:
+            # bounded by the micro-batch contract (a batch is small; the
+            # store is what's big), and the price of EXACT file pruning.
+            batch_keys = sorted(
+                r[0] for r in batch_last.select(key0).distinct().collect()
+            )
+            for e in prev["files"]:
+                if not e.get("exact", True) or _any_key_in_range(
+                    batch_keys, e["min"], e["max"]
+                ):
+                    touched.append(e)
+                else:
+                    untouched.append(e)
+        if touched:
+            # prev manifest's schema: see read_replica_manifest — mixed-
+            # vintage files read under the recorded widest schema
+            cur = spark.read.schema(prev["schema_ddl"]).parquet(
+                *[os.path.join(state_dir, e["path"]) for e in touched]
+            )
+            keys = batch_last.select(*cfg.key_columns)
+            # broadcast anti join: the batch's key set broadcasts, the
+            # touched-file rows never shuffle (same shape the r9 store-
+            # scale bench probed on the versioned merge)
+            survivors = cur.join(
+                F.broadcast(keys), list(cfg.key_columns), "left_anti"
+            )
+            new_rows = survivors.unionByName(upserts, allowMissingColumns=True)
+            est_rows = sum(e["rows"] for e in touched)
+        else:
+            new_rows = upserts
+            est_rows = 0
+        # Range-partition new files by the stats key so hot key ranges
+        # stay CLUSTERED — the property that makes the next batch's
+        # pruning effective. File count scales with the rewritten mass,
+        # not the store.
+        est_rows += 1  # upserts (>=1 row possible); exact count not worth a job
+        n_new = max(1, min(256, -(-est_rows // target_rows_per_file)))
+        rel = os.path.join("data", f"v{batch_id}")
+        out = os.path.join(state_dir, rel)
+        new_rows.repartitionByRange(n_new, F.col(key0)).write.mode(
+            "overwrite"
+        ).parquet(out)
+        entries = list(untouched)
+        for p in sorted(_glob.glob(os.path.join(out, "*.parquet"))):
+            rows, lo, hi, exact = _file_key_stats(p, key0)
+            entries.append(
+                {
+                    "path": os.path.join(rel, os.path.basename(p)),
+                    "rows": rows,
+                    "min": lo,
+                    "max": hi,
+                    "exact": exact,
+                }
+            )
+        manifest = {
+            "batch_id": batch_id,
+            "key": key0,
+            "schema_ddl": ", ".join(
+                f"`{f.name}` {f.dataType.simpleString()}"
+                for f in new_rows.schema.fields
+            ),
+            "files": entries,
+            "total_rows": sum(e["rows"] for e in entries),
+            "files_total": len(prev["files"]) if prev else 0,
+            "files_touched": len(touched),
+        }
+        os.makedirs(mdir, exist_ok=True)
+        tmp = manifest_path + ".tmp"
+        with open(tmp, "w") as f:
+            _json.dump(manifest, f)
+        os.replace(tmp, manifest_path)
+    finally:
+        cached.unpersist(blocking=False)
+
+
+def bootstrap_manifest_store(
+    df: DataFrame,
+    cfg: ChangeTableConfig,
+    state_dir: str,
+    batch_id: int = 0,
+    target_rows_per_file: int = 200_000,
+) -> dict:
+    """Materialize ``df`` (key+value columns) as manifest-store version
+    ``batch_id`` — the initial-load path (and the bench scaffold for
+    store-scale legs). Same file layout, stats, and atomic manifest
+    commit as the streaming merge; returns the manifest."""
+    import glob as _glob
+    import json as _json
+
+    key0 = cfg.key_columns[0]
+    rel = os.path.join("data", f"v{batch_id}")
+    out = os.path.join(state_dir, rel)
+    n_rows = df.count()
+    n_files = max(1, min(256, -(-n_rows // target_rows_per_file)))
+    df.select(*cfg.key_columns, *cfg.value_columns).repartitionByRange(
+        n_files, F.col(key0)
+    ).write.mode("overwrite").parquet(out)
+    entries = []
+    for p in sorted(_glob.glob(os.path.join(out, "*.parquet"))):
+        rows, lo, hi, exact = _file_key_stats(p, key0)
+        entries.append(
+            {
+                "path": os.path.join(rel, os.path.basename(p)),
+                "rows": rows,
+                "min": lo,
+                "max": hi,
+                "exact": exact,
+            }
+        )
+    manifest = {
+        "batch_id": batch_id,
+        "key": key0,
+        "schema_ddl": ", ".join(
+            f"`{c}` {df.schema[c].dataType.simpleString()}"
+            for c in (*cfg.key_columns, *cfg.value_columns)
+        ),
+        "files": entries,
+        "total_rows": sum(e["rows"] for e in entries),
+        "files_total": 0,
+        "files_touched": 0,
+    }
+    mdir = _manifest_dir(state_dir)
+    os.makedirs(mdir, exist_ok=True)
+    tmp = os.path.join(mdir, f"v{batch_id}.json.tmp")
+    with open(tmp, "w") as f:
+        _json.dump(manifest, f)
+    os.replace(tmp, os.path.join(mdir, f"v{batch_id}.json"))
+    return manifest
+
+
+def start_replica_merge_manifest(
+    stream: DataFrame,
+    cfg: ChangeTableConfig,
+    state_dir: str,
+    checkpoint: str,
+    row_schema=INVOICE_ROW,
+    trigger_available_now: bool = True,
+    target_rows_per_file: int = 200_000,
+):
+    """Sink 2c: replica merge over a MANIFEST STORE — versioned like
+    start_replica_merge (atomic, _SUCCESS-equivalent commit, crash-replay
+    idempotent) but with per-batch I/O bounded by FILE-LEVEL KEY
+    STATISTICS instead of a full-store rewrite.
+
+    Store layout:
+      state_dir/data/v{B}/part-*.parquet   — files WRITTEN by batch B
+      state_dir/manifest/v{B}.json         — the COMMIT: the list of
+        files (from any prior batch) composing version B's state, each
+        with (rows, min/max of the first key column).
+
+    Per micro-batch: collapse to last-event-per-key (shared
+    _batch_last_per_key), prune the previous manifest to files whose
+    [min, max] key span contains at least one batch key (exact bisect
+    over the batch's sorted key set — driver-side, O(|batch| log) ),
+    anti-join ONLY those files' rows against the broadcast batch keys,
+    and write survivors+upserts as new range-partitioned files; the
+    untouched files carry into the new manifest BY REFERENCE. A hot-key
+    feed (the realistic CDC shape) touches the few files its key range
+    lives in — O(touched + batch) I/O; a uniform-key feed touches every
+    file and degrades gracefully to exactly the flat versioned rewrite.
+    Truncate wipes by dropping every reference (files become garbage for
+    vacuum_manifest_store).
+
+    vs start_replica_merge: same merge algebra (anti join + union,
+    broadcast probe), same commit atomicity (one rename), same replay
+    guard (committed manifest short-circuits) — only the I/O bound
+    changes. vs start_replica_merge_bucketed: key-RANGE stats prune by
+    what the batch actually touches, where hash buckets spread a
+    high-entropy batch across 100% of partitions (the r9 negative:
+    dynamic partition overwrite of 1024 dirs ran ~50x slower than the
+    flat rewrite); and the commit here is one atomic rename, closing the
+    bucketed sink's multi-directory atomicity window.
+
+    This is the parquet-protocol approximation of Delta/Iceberg MERGE
+    with data-file statistics (both publish this design publicly;
+    delta-spark itself is not installable in this container — NOTES.md).
+    """
+
+    def apply_batch(batch_df: DataFrame, batch_id: int) -> None:
+        _merge_manifest_batch(
+            _parse(batch_df, row_schema),
+            cfg,
+            state_dir,
+            batch_id,
+            target_rows_per_file,
+        )
+
+    writer = (
+        stream.writeStream.foreachBatch(apply_batch)
+        .option("checkpointLocation", checkpoint)
+        .outputMode("update")
+    )
+    if trigger_available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
+def vacuum_manifest_store(state_dir: str, keep: int = 3) -> list[str]:
+    """Delete data files referenced by NO retained manifest (the newest
+    ``keep`` versions are retained, older manifests deleted). Returns
+    the deleted file paths. Safe order: manifests first, then files —
+    a crash mid-vacuum leaves referenced files intact."""
+    versions = _manifest_versions(state_dir)
+    if len(versions) <= keep:
+        keep_versions = versions
+    else:
+        keep_versions = versions[-keep:]
+    live: set[str] = set()
+    for v in keep_versions:
+        for e in _read_manifest(state_dir, v)["files"]:
+            live.add(e["path"])
+    deleted = []
+    for v in versions:
+        if v not in keep_versions:
+            os.remove(os.path.join(_manifest_dir(state_dir), f"v{v}.json"))
+    data_root = os.path.join(state_dir, "data")
+    if os.path.isdir(data_root):
+        for d in os.listdir(data_root):
+            sub = os.path.join(data_root, d)
+            for fn in os.listdir(sub):
+                rel = os.path.join("data", d, fn)
+                if fn.endswith(".parquet") and rel not in live:
+                    os.remove(os.path.join(state_dir, rel))
+                    deleted.append(rel)
+            if not any(f.endswith(".parquet") for f in os.listdir(sub)):
+                import shutil
+
+                shutil.rmtree(sub)
+    return deleted
+
+
 def start_multi_table_merge(
     stream: DataFrame,
     tables: dict[str, tuple[ChangeTableConfig, "object"]],

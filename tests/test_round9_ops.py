@@ -383,14 +383,39 @@ class TestSpreadIdempotentAndDocumentsLoader:
         plan = twice._jdf.queryExecution().optimizedPlan().toString()
         assert plan.count("Repartition") == 1
 
-    def test_documents_loader_spreads(self, spark):
+    def test_documents_loader_does_not_spread(self, spark):
+        """r10 (VERDICT r9 #2): the loader-level spread is GONE — it
+        taxed aggregate-heavy documents consumers ~2x at bench scale
+        (tfidf_top_terms, unigram_logprob) for parallelism only the
+        per-row-CPU-bound pipelines need. Those call spread()
+        themselves at the call site now."""
         from simple_cdc_service_spark.sources.tables import load_table
 
         d = load_table(spark, "documents", "/root/testdata/sf0.001")
         plan = d._jdf.queryExecution().optimizedPlan().toString()
-        assert "Repartition" in plan
-        # filters still reach the scan through the repartition
-        f = d.filter(d.lang == "en")
+        assert "Repartition" not in plan
+
+    def test_cpu_bound_entries_spread_at_call_site(self, spark):
+        """The seven TRAP #31 stragglers each opt in to spread(); the
+        filter pushdown still reaches the parquet scan through the
+        call-site repartition."""
+        from simple_cdc_service_spark.registry import REGISTRY
+        from simple_cdc_service_spark.sources.tables import load_table, spread
+
+        for name in (
+            "char_entropy",
+            "lang_id",
+            "tokenize_wordpiece",
+            "curation_impact",
+            "bpe_merge_candidates",
+            "repetition_score",
+            "curation_pipeline",
+        ):
+            df = REGISTRY[name].fn(spark, "/root/testdata/sf0.001")
+            plan = df._jdf.queryExecution().optimizedPlan().toString()
+            assert "Repartition" in plan, name
+        f = spread(load_table(spark, "documents", "/root/testdata/sf0.001"))
+        f = f.filter(f.lang == "en")
         phys = f._jdf.queryExecution().executedPlan().toString()
         assert "PushedFilters: [IsNotNull(lang), EqualTo(lang,en)]" in phys or (
             "PushedFilters" in phys and "EqualTo(lang,en)" in phys

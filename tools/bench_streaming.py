@@ -446,6 +446,98 @@ def bench_replica_store_scale(
             "events_per_sec": round(n_events / sum(walls2), 1),
             "final_rows": final2.count(),
         }
+    # ---- legs 4+5: MANIFEST store (file-level key stats, VERDICT r9 #3)
+    # — hot keys should touch few files; uniform keys degrade gracefully
+    # to ~the flat rewrite. Same preload scaffold as leg 1: a 1-event
+    # boot batch consumes micro-batch id 0, then manifest-version 0 is
+    # REBUILT over the synthesized 10M-row store.
+    from simple_cdc_service_spark.streaming import (
+        bootstrap_manifest_store,
+        read_replica_manifest,
+        start_replica_merge_manifest,
+    )
+    from simple_cdc_service_spark.streaming.pipeline import _read_manifest
+
+    for leg, key_space in (("manifest_hot", 100), ("manifest_uniform", n_events // 3)):
+        d3 = tempfile.mkdtemp()
+        src3, state3, ckpt3 = f"{d3}/src", f"{d3}/state", f"{d3}/ckpt"
+        os.makedirs(src3)
+        with open(f"{src3}/c_boot.json", "w") as f:
+            for i, m in enumerate(boot):
+                f.write(json.dumps({"offset": i, "timestamp": i, "value": m}) + "\n")
+        start_replica_merge_manifest(
+            read_changelog_stream(spark, src3), INVOICE, state3, ckpt3
+        ).awaitTermination()
+        t0 = time.perf_counter()
+        base = spark.range(n_store).selectExpr(
+            "id AS order_id", "id * 7 AS invoice_number"
+        )
+        bootstrap_manifest_store(base, INVOICE, state3, batch_id=0)
+        preload_sec = round(time.perf_counter() - t0, 2)
+        msgs3, _ = generate_envelopes(
+            n=n_events, seed=43, truncate_every=None, key_space=key_space
+        )
+        walls3 = feed_chunks(
+            src3,
+            msgs3,
+            1,
+            lambda: start_replica_merge_manifest(
+                read_changelog_stream(spark, src3), INVOICE, state3, ckpt3
+            ).awaitTermination(),
+        )
+        per_batch = [
+            {
+                k: _read_manifest(state3, b)[k]
+                for k in ("files_total", "files_touched")
+            }
+            for b in range(1, chunks + 1)
+        ]
+        fracs = [
+            round(p["files_touched"] / max(p["files_total"], 1), 3)
+            for p in per_batch
+        ]
+        final3 = read_replica_manifest(spark, state3)
+        # replica_exact: the manifest store must equal base ⊕ feed
+        # (anti-join overlay computed independently, full 10M-row diff)
+        feed_last = (
+            spark.read.json([f"{src3}/c{c}.json" for c in range(1, chunks + 1)])
+            .selectExpr("offset", "get_json_object(value, '$.payload') AS p")
+            .selectExpr(
+                "offset",
+                "get_json_object(p, '$.op') AS op",
+                "CAST(get_json_object(p, '$.after.order_id') AS LONG) AS k_after",
+                "CAST(get_json_object(p, '$.before.order_id') AS LONG) AS k_before",
+                "CAST(get_json_object(p, '$.after.invoice_number') AS LONG) AS v_after",
+            )
+        )
+        from pyspark.sql import functions as F
+
+        last = (
+            feed_last.withColumn("k", F.coalesce("k_after", "k_before"))
+            .groupBy("k")
+            .agg(F.max_by(F.struct("op", "v_after"), "offset").alias("x"))
+            .select("k", "x.op", "x.v_after")
+        )
+        expected = (
+            base.join(last.select(F.col("k").alias("order_id")), "order_id", "left_anti")
+            .unionByName(
+                last.filter("op <> 'd'").select(
+                    F.col("k").alias("order_id"),
+                    F.col("v_after").alias("invoice_number"),
+                )
+            )
+        )
+        mism = final3.exceptAll(expected).count() + expected.exceptAll(final3).count()
+        out[leg] = {
+            "preload_sec": preload_sec,
+            "distinct_feed_keys": key_space,
+            "files_total": per_batch[-1]["files_total"],
+            "touched_file_fraction_per_batch": fracs,
+            "batch_sec": walls3,
+            "events_per_sec": round(n_events / sum(walls3), 1),
+            "final_rows": final3.count(),
+            "replica_exact": mism == 0,
+        }
     out["loadavg_end"] = round(os.getloadavg()[0], 1)
     print(json.dumps(out))
     spark.stop()

@@ -155,6 +155,9 @@ def main() -> int:
             if key in cell["sec"] or key in cell.get("error", {}):
                 continue  # resumed
             fn = REGISTRY[n].fn
+            from task_skew import max_stage_id, stage_skew
+
+            watermark = max_stage_id(spark)
             t0 = time.time()
             try:
                 rows = _materialize(fn(spark, sf_dir))
@@ -182,6 +185,17 @@ def main() -> int:
             dt = time.time() - t0
             cell["sec"][key] = round(dt, 2)
             cell["rows"][key] = rows
+            # TRAP #31 invariant (VERDICT r9 #6): flag any stage this
+            # cell ran whose busiest task carried >8x the mean records —
+            # row-group-bound straggler scans masquerade as compute
+            # ceilings and the plan gate can't see them (the r9 trap was
+            # 1.05M records in one task vs 0 in thirty).
+            hits = stage_skew(spark, since_stage=watermark)
+            if hits:
+                cell.setdefault("skew", {})[key] = hits[:5]
+                print(f"{n} @ sf{sf}: SKEW {hits[0]['skew_ratio']}x "
+                      f"(stage {hits[0]['stage_id']}, max "
+                      f"{hits[0]['max_records']} records)", flush=True)
             print(f"{n} @ sf{sf}: {dt:.2f}s, {rows} rows", flush=True)
             _flush(out, results)
 
