@@ -705,18 +705,33 @@ def setup_knn_imi(con) -> None:
     )
 
 
+def _adaptive_imi_nprobe(n_cells: int, base: int = 32, frac: int = 4) -> int:
+    """Mirror of operators/similarity.py::adaptive_imi_nprobe."""
+    import math
+
+    if n_cells <= 0:
+        return base
+    return max(base, math.ceil(n_cells / frac))
+
+
 def setup_knn_imi_mp(con) -> None:
-    """knn_imi_mp's oracle: same expected-result mirror at nprobe=32.
-    The mirror ranks cells with the FULL-grid stable argsort; the
-    engine's subgrid multiprobe (r10) is provably identical, so one
+    """knn_imi_mp's oracle: same expected-result mirror, with the
+    scale-adaptive nprobe recomputed from COUNT(*) (quarter of the
+    grid, floored at 32 — probes every cell at committed oracle
+    scales). The mirror ranks cells with the FULL-grid stable argsort;
+    the engine's subgrid multiprobe (r10) is provably identical, so one
     formulation serves both."""
+    src = "SELECT vec_id, embedding FROM embeddings WHERE vec_id >= 5"
+    k_half = _adaptive_imi_khalf(_count(con, src))
     _register(
         con,
         "ref_knn_imi_mp",
         _expected_imi_result(
             con,
-            "SELECT vec_id, embedding FROM embeddings WHERE vec_id >= 5",
+            src,
             "SELECT vec_id, embedding FROM embeddings WHERE vec_id < 5",
-            k=10, nprobe=32,
+            k=10,
+            nprobe=_adaptive_imi_nprobe(k_half * k_half),
+            k_half=k_half,
         ),
     )
