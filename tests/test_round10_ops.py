@@ -315,7 +315,13 @@ class TestTrap31SkewDetector:
             # shape. The detector must flag the scan stage.
             w = max_stage_id(spark)
             spark.read.parquet(p).agg(F.sum(F.length("text"))).collect()
-            hits = stage_skew(spark, since_stage=w, floor_records=50_000)
+            # min_straggler_sec=0 in the test: the synthetic file is
+            # cheap to scan; production sweeps keep the 30 s duration
+            # gate that separates TRAP #31 from a benign scan->exchange
+            hits = stage_skew(
+                spark, since_stage=w, floor_records=50_000,
+                min_straggler_sec=0.0,
+            )
             assert hits, "straggler scan not flagged"
             assert hits[0]["skew_ratio"] >= 8.0
             assert hits[0]["max_records"] == 200_000
@@ -329,7 +335,11 @@ class TestTrap31SkewDetector:
             w2 = max_stage_id(spark)
             spark.read.parquet(p2).agg(F.sum(F.length("text"))).collect()
             assert (
-                stage_skew(spark, since_stage=w2, floor_records=50_000) == []
+                stage_skew(
+                    spark, since_stage=w2, floor_records=50_000,
+                    min_straggler_sec=0.0,
+                )
+                == []
             )
         finally:
             spark.conf.set("spark.sql.files.maxPartitionBytes", old)

@@ -273,7 +273,8 @@ def bench_admission_store_scale(
 
 
 def bench_replica_store_scale(
-    n_store: int = 10_000_000, n_events: int = 50_000, chunks: int = 5
+    n_store: int = 10_000_000, n_events: int = 50_000, chunks: int = 5,
+    legs: set | None = None,
 ) -> None:
     """CDC replica merge against an sf10-SCALE TARGET TABLE (VERDICT r8
     #5): the cdc/scd2 legs replay 50k events into a replica the same
@@ -397,6 +398,8 @@ def bench_replica_store_scale(
 
     # ---- legs 2+3: bucketed merge, uniform vs hot keys ----
     for leg, key_space in (("bucketed_uniform", n_events // 3), ("bucketed_hot", 100)):
+        if legs is not None and leg not in legs:
+            continue
         d2 = tempfile.mkdtemp()
         src2, state2, ckpt2 = f"{d2}/src", f"{d2}/state", f"{d2}/ckpt"
         os.makedirs(src2)
@@ -459,6 +462,8 @@ def bench_replica_store_scale(
     from simple_cdc_service_spark.streaming.pipeline import _read_manifest
 
     for leg, key_space in (("manifest_hot", 100), ("manifest_uniform", n_events // 3)):
+        if legs is not None and leg not in legs:
+            continue
         d3 = tempfile.mkdtemp()
         src3, state3, ckpt3 = f"{d3}/src", f"{d3}/state", f"{d3}/ckpt"
         os.makedirs(src3)
@@ -609,6 +614,9 @@ if __name__ == "__main__":
         bench_replica_store_scale(
             n_store=int(sys.argv[2]) if len(sys.argv) > 2 else 10_000_000,
             n_events=int(sys.argv[3]) if len(sys.argv) > 3 else 50_000,
+            # optional leg filter, e.g. "manifest_hot,manifest_uniform" —
+            # the versioned baseline always runs (it is the comparator)
+            legs=set(sys.argv[4].split(",")) if len(sys.argv) > 4 else None,
         )
     elif len(sys.argv) > 1 and sys.argv[1] == "admission-store":
         # admission-store [n_docs] [chunks] — 500k-doc store leg:

@@ -57,15 +57,24 @@ def stage_skew(
     since_stage: int = -1,
     ratio: float = 8.0,
     floor_records: int = 100_000,
+    min_straggler_sec: float = 30.0,
 ) -> list[dict]:
     """Flag completed stages (stageId > since_stage) where the busiest
-    task carried > ``ratio`` × the mean records per task.
+    task carried > ``ratio`` × the mean records per task AND spent at
+    least ``min_straggler_sec`` doing it.
 
     records = input records + shuffle-read records (whichever side the
     stage consumes); the floor skips stages whose busiest task is below
     ``floor_records`` — skew over trivial volume is not a straggler.
+    The DURATION condition is what separates the disease from the cure:
+    a spread() call site reads the whole single-row-group file in one
+    task and immediately exchanges it — record-skewed but cheap (a few
+    seconds of columnar I/O), while TRAP #31's harm was one task
+    COMPUTING over all rows for 690 s. Without it the detector flags
+    every footer-probe repartition's scan stage (observed: all nine
+    sf10 cells flagged at 14x on the benign scan→exchange shape).
     Returns [{stage_id, name, num_tasks, max_records, mean_records,
-    skew_ratio}] sorted by skew_ratio descending."""
+    skew_ratio, max_task_sec}] sorted by skew_ratio descending."""
     base = _api_base(spark)
     if base is None:
         return []
@@ -97,6 +106,9 @@ def stage_skew(
         ).get("readRecords", [0])[0]
         if mx < floor_records:
             continue
+        max_dur_sec = (q.get("duration") or [0])[0] / 1000.0
+        if max_dur_sec < min_straggler_sec:
+            continue
         if mx > ratio * mean:
             out.append(
                 {
@@ -106,6 +118,7 @@ def stage_skew(
                     "max_records": int(mx),
                     "mean_records": round(mean, 1),
                     "skew_ratio": round(mx / mean, 1),
+                    "max_task_sec": round(max_dur_sec, 1),
                 }
             )
     return sorted(out, key=lambda r: -r["skew_ratio"])
