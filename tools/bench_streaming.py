@@ -461,7 +461,13 @@ def bench_replica_store_scale(
     )
     from simple_cdc_service_spark.streaming.pipeline import _read_manifest
 
-    for leg, key_space in (("manifest_hot", 100), ("manifest_uniform", n_events // 3)):
+    # manifest_uniform draws keys uniformly from the STORE'S WHOLE key
+    # domain (key_space = n_store): every range file contains some of
+    # each batch's keys, so pruning must degrade to the full rewrite —
+    # the honest negative. (A key_space of n_events//3 would cluster
+    # every key inside the first file's range and accidentally re-test
+    # the hot case.)
+    for leg, key_space in (("manifest_hot", 100), ("manifest_uniform", n_store)):
         if legs is not None and leg not in legs:
             continue
         d3 = tempfile.mkdtemp()

@@ -52,6 +52,10 @@ SF_DIRS = [
     # (2M vectors, embeddings+documents only — similarity/dedup entries;
     # build with: python tools/make_vec_decade.py /tmp/sf100vec 1000)
     ("/tmp/sf100vec", 100.0),
+    # r10: the DOCUMENTS decade (5M docs = sf100-documents, VERDICT r9
+    # #4 — word-set clone groups of 1000 members, within-group pair
+    # output ~2.5B; build with: python tools/make_doc_decade.py)
+    ("/tmp/sf100docs", 1000.0),
 ]
 
 DEFAULT_QUERIES = [
