@@ -78,6 +78,16 @@ def _set_factorize_decision(
     the same unchanged corpus and shingle width share one measurement
     (minhash n=1, the prefix join, and the factorized clusters all key
     identically because unigram shingle sets ARE word sets)."""
+    return _measure_set_stats(df, staged, set_col, n, text_col)[0]
+
+
+def _measure_set_stats(
+    df: DataFrame, staged: DataFrame, set_col: str, n: int, text_col: str
+) -> tuple[bool, int]:
+    """(factorize decision, non-empty-set doc count) — one cached
+    measurement serves both (the count rides the SAME agg that always
+    measured the ratio, so exposing it is free; r10 uses it to gate the
+    in-bucket verify switch on corpus size)."""
     ck = _factorize_cache_key(df, n, text_col)
     hit = _FACTORIZE_DECISION_CACHE.get(ck) if ck is not None else None
     if hit is not None and hit[0] is df.sparkSession:
@@ -85,7 +95,7 @@ def _set_factorize_decision(
         # (VERDICT r7 #5): a decision measured under a stopped/replaced
         # session is re-measured, never served — the two caches now key
         # and guard identically.
-        return hit[1]
+        return hit[1], hit[2]
     dk = F.when(
         F.size(set_col) > 0,
         F.aggregate(
@@ -104,8 +114,8 @@ def _set_factorize_decision(
     if ck is not None:
         if len(_FACTORIZE_DECISION_CACHE) >= _FACTORIZE_DECISION_CACHE_MAX:
             _FACTORIZE_DECISION_CACHE.clear()
-        _FACTORIZE_DECISION_CACHE[ck] = (df.sparkSession, factorize)
-    return factorize
+        _FACTORIZE_DECISION_CACHE[ck] = (df.sparkSession, factorize, stats["docs"])
+    return factorize, int(stats["docs"])
 
 
 def _factorize_cache_key(df: DataFrame, n: int, text_col: str):
@@ -390,6 +400,7 @@ def minhash_dedup_pairs(
     shingled: DataFrame | None = None,
     banded: DataFrame | None = None,
     factorize: bool | None = None,
+    verify: str | None = None,
 ) -> DataFrame:
     """Full MinHash-LSH pipeline: shingle → sign → band-join candidates →
     verify with TRUE Jaccard on the shingle sets → threshold.
@@ -529,9 +540,33 @@ def minhash_dedup_pairs(
     # branches reuse. The direct branch therefore pays NOTHING beyond
     # this one count (the exact md5-of-sorted group key is computed
     # only when factorizing). HLL precision is ample for a 0.5 cutoff.
+    n_docs = None
     if factorize is None:
-        factorize = _set_factorize_decision(df, sh, "shingles", n, text_col)
+        factorize, n_docs = _measure_set_stats(df, sh, "shingles", n, text_col)
     if not factorize:
+        # DIRECT-PATH VERIFY CHOICE (r10, VERDICT r9 #4): the historical
+        # verify JOIN attaches both shingle arrays to every candidate
+        # pair — at the 5M-doc decade that intermediate (≈450M random
+        # band collisions × ~2.5 KB of arrays, re-exchanged by doc_id_b)
+        # is a TB-scale shuffle that filled the disk. Past
+        # _BUCKET_VERIFY_MIN_DOCS the verify instead runs IN-BUCKET:
+        # arrays ship once per band membership (bands×corpus, linear),
+        # small buckets stream through the partition-local kernel,
+        # giant buckets (> chunk members) through the distributed
+        # chunk-grid cogroup. Below the gate the historical plan is
+        # byte-identical to r9 (every committed oracle scale);
+        # ``verify`` forces a mode for the equality tests.
+        mode = verify
+        if mode is None:
+            mode = (
+                "bucket"
+                if n_docs is not None and n_docs > _BUCKET_VERIFY_MIN_DOCS
+                else "join"
+            )
+        if mode == "bucket":
+            return _minhash_verify_in_bucket(
+                sh, k, bands, threshold, id_col, family
+            )
         return _verify(sh, minhash_candidates(sh, k, bands, id_col, family))
     # Exact set key: NULL for empty shingle sets (they can never pair —
     # the same contract as the NULL-band guard). Injective encoding via
@@ -1449,6 +1484,295 @@ def _partition_local_cosine_pairs(
         e.repartition(*key_cols)
         .sortWithinPartitions(*key_cols, id_col)
         .mapInPandas(stream_groups, out_schema)
+    )
+
+
+# Direct-path minhash verify switches from the candidate JOIN to the
+# in-bucket kernels past this corpus size (measured: the join's
+# array-per-candidate intermediate filled the disk at 5M docs, while
+# every committed oracle scale is orders of magnitude below the gate).
+_BUCKET_VERIFY_MIN_DOCS = 1_000_000
+
+
+def _minhash_verify_in_bucket(
+    sh: DataFrame,
+    k: int,
+    bands: int,
+    threshold: float,
+    id_col: str,
+    family: str,
+    chunk: int = 2048,
+) -> DataFrame:
+    """Direct-path MinHash verify with arrays shipped per BAND
+    MEMBERSHIP instead of per candidate (r10, VERDICT r9 #4).
+
+    The banded (id, band, bv) frame is checkpointed (ids + band values
+    only, ~50 B/row) so bucket sizes cost one cheap aggregate instead
+    of a second signature pass; single-member buckets — the vast
+    majority — are dropped BEFORE the shingle arrays are attached, so
+    arrays shuffle once into the multi-member rows and once into the
+    kernels' bucket partitioning. Buckets ≤ ``chunk`` stream through
+    the partition-local kernel; giants spread their pair tiles across
+    tasks via the cogrouped grid. Output is identical to the verify
+    join: same integers, same division, engine round(..., 4) applied
+    after the kernel (loose = threshold − 1e-4 keeps every raw value
+    that could round up across the boundary), multi-band collisions
+    deduped by the same distinct."""
+    nb = (
+        minhash_banded(sh, k, bands, id_col, family)
+        .filter(F.col("bv").isNotNull())
+        .localCheckpoint(eager=False)
+    )
+    sizes = nb.groupBy("band", "bv").agg(F.count("*").alias("__bn"))
+    multi = nb.join(sizes.filter(F.col("__bn") >= 2), ["band", "bv"])
+    eb = multi.join(sh, id_col)
+    id_type = sh.schema[id_col].dataType
+    loose = (threshold - 1e-4) if threshold > 0 else -1.0
+    small = _partition_local_jaccard_pairs(
+        eb.filter(F.col("__bn") <= chunk).select(id_col, "band", "bv", "shingles"),
+        key_cols=["band", "bv"],
+        id_col=id_col,
+        id_type=id_type,
+        loose=loose,
+    )
+    giant = _tiled_jaccard_pairs(
+        eb.filter(F.col("__bn") > chunk).select(id_col, "band", "bv", "shingles"),
+        key_cols=["band", "bv"],
+        id_col=id_col,
+        id_type=id_type,
+        loose=loose,
+    )
+    out = (
+        small.unionByName(giant)
+        .select(
+            "doc_id_a",
+            "doc_id_b",
+            F.round(F.col("jac_raw"), 4).alias("jaccard"),
+        )
+        .distinct()
+    )
+    return out.filter(F.col("jaccard") >= threshold) if threshold > 0 else out
+
+
+def _jaccard_group_pairs_fn(id_col: str, loose: float, tile: int):
+    """Shared bucket kernel for the jaccard verify twins: sort the
+    group by id, convert each member's DISTINCT shingle array to a
+    frozenset ONCE, then chunk-triangle the pair grid computing
+    inter / (|A| + |B| - inter) — the same integers and the same
+    float64 division as jaccard_distinct's JVM expression (sizes and
+    intersections of identical sets), so the raw double is bit-equal
+    and the engine-side round(..., 4) can never diverge from the
+    join-verify form. Pairs below ``loose`` never leave the kernel."""
+    import numpy as np
+    import pandas as pd
+
+    def group_pairs(g: "pd.DataFrame"):
+        if len(g) < 2:
+            return None
+        g = g.sort_values(id_col)
+        ids = g[id_col].to_numpy()
+        sets = [frozenset(s) for s in g["shingles"]]
+        sizes = [len(s) for s in sets]
+        n = len(ids)
+        rows_a, rows_b, vals = [], [], []
+        # plain triangle: unlike the cosine kernel there is no per-tile
+        # accumulator matrix to bound, so chunking buys nothing here —
+        # per-pair state is two set handles (``tile`` is accepted for
+        # signature symmetry; giant groups belong to the tiled twin)
+        for i in range(n - 1):
+            si, zi = sets[i], sizes[i]
+            for j in range(i + 1, n):
+                inter = len(si & sets[j])
+                den = zi + sizes[j] - inter
+                if den == 0:
+                    continue  # empty∩empty: NULL in the join form,
+                    # which the >= threshold filter drops anyway
+                jac = inter / den
+                if jac >= loose:
+                    rows_a.append(ids[i])
+                    rows_b.append(ids[j])
+                    vals.append(jac)
+        if not rows_a:
+            return None
+        return pd.DataFrame(
+            {
+                "doc_id_a": np.asarray(rows_a),
+                "doc_id_b": np.asarray(rows_b),
+                "jac_raw": vals,
+            }
+        )
+
+    return group_pairs
+
+
+def _partition_local_jaccard_pairs(
+    e: DataFrame,
+    key_cols: list,
+    id_col: str,
+    id_type,
+    loose: float,
+    tile: int = 2048,
+) -> DataFrame:
+    """Jaccard twin of _partition_local_cosine_pairs (r10, VERDICT r9
+    #4): ``e`` carries key_cols + id + ``shingles`` (distinct-element
+    arrays); output (doc_id_a, doc_id_b, jac_raw) with a < b, each
+    within-group pair exactly once per group. ONE hash exchange on
+    key_cols, partition-local sort, streaming per-bucket kernel — the
+    arrays cross exactly one shuffle, instead of once per CANDIDATE in
+    the verify-join form (which is what filled the disk at the 5M-doc
+    decade: ~450M candidates × ~2.5 KB of arrays ≈ a TB-scale exchange).
+    For bounded-size buckets only; giant buckets go through
+    _tiled_jaccard_pairs."""
+    import pandas as pd
+
+    from pyspark.sql.types import DoubleType, StructField, StructType
+
+    out_schema = StructType(
+        [
+            StructField("doc_id_a", id_type, True),
+            StructField("doc_id_b", id_type, True),
+            StructField("jac_raw", DoubleType(), True),
+        ]
+    )
+    group_pairs = _jaccard_group_pairs_fn(id_col, loose, tile)
+
+    def stream_groups(batches):
+        cur_key = None
+        buf: list = []
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            keys = pdf[key_cols]
+            bounds = (keys != keys.shift()).any(axis=1).cumsum()
+            for _, g in pdf.groupby(bounds, sort=False):
+                k = tuple(g[key_cols].iloc[0])
+                if k == cur_key:
+                    buf.append(g)
+                    continue
+                if cur_key is not None:
+                    out = group_pairs(
+                        buf[0] if len(buf) == 1 else pd.concat(buf)
+                    )
+                    if out is not None:
+                        yield out
+                cur_key, buf = k, [g]
+        if cur_key is not None:
+            out = group_pairs(buf[0] if len(buf) == 1 else pd.concat(buf))
+            if out is not None:
+                yield out
+
+    return (
+        e.repartition(*key_cols)
+        .sortWithinPartitions(*key_cols, id_col)
+        .mapInPandas(stream_groups, out_schema)
+    )
+
+
+def _tiled_jaccard_pairs(
+    e: DataFrame,
+    key_cols: list,
+    id_col: str,
+    id_type,
+    loose: float,
+    tile: int = 2048,
+) -> DataFrame:
+    """Jaccard twin of _tiled_cosine_pairs for GIANT buckets: rows rank
+    within their key group by id, chunk c = rank÷tile, and the
+    (c1 ≤ c2) chunk-pair grid keys a cogrouped kernel — one task per
+    ≤ tile² pair tile, so a 100k-member band bucket spreads over
+    thousands of balanced tasks instead of one. Same pair values as
+    the partition-local twin (shared kernel arithmetic)."""
+    import pandas as pd
+
+    from pyspark.sql.types import DoubleType, StructField, StructType
+    from pyspark.sql.window import Window
+
+    e = e.withColumn(
+        "__r",
+        F.row_number().over(Window.partitionBy(*key_cols).orderBy(id_col)) - 1,
+    ).withColumn("__c", (F.col("__r") / F.lit(tile)).cast("int"))
+    grid = (
+        e.groupBy(*key_cols)
+        .agg(F.max("__c").alias("__mx"))
+        .select(
+            *key_cols,
+            F.explode(F.sequence(F.lit(0), F.col("__mx"))).alias("__c1"),
+            "__mx",
+        )
+        .select(
+            *key_cols,
+            "__c1",
+            F.explode(F.sequence(F.col("__c1"), F.col("__mx"))).alias("__c2"),
+        )
+    )
+    leg_a = e.withColumnRenamed("__c", "__c1").join(grid, [*key_cols, "__c1"])
+    kb = [f"__kb{i}" for i in range(len(key_cols))]
+    e_b = e.select(
+        *[F.col(k).alias(n) for k, n in zip(key_cols, kb)],
+        F.col(id_col).alias("__idb"),
+        F.col("shingles").alias("__shb"),
+        F.col("__r").alias("__rb"),
+        F.col("__c").alias("__c2b"),
+    )
+    grid_b = grid.select(
+        *[F.col(k).alias(n) for k, n in zip(key_cols, kb)],
+        F.col("__c1").alias("__c1b"),
+        F.col("__c2").alias("__c2b"),
+    )
+    leg_b = e_b.join(grid_b, [*kb, "__c2b"])
+    out_schema = StructType(
+        [
+            StructField("doc_id_a", id_type, True),
+            StructField("doc_id_b", id_type, True),
+            StructField("jac_raw", DoubleType(), True),
+        ]
+    )
+
+    def tile_pairs(la: "pd.DataFrame", lb: "pd.DataFrame") -> "pd.DataFrame":
+        import numpy as np
+
+        empty = pd.DataFrame({"doc_id_a": [], "doc_id_b": [], "jac_raw": []})
+        if la.empty or lb.empty:
+            return empty
+        diagonal = la["__c1"].iat[0] == la["__c2"].iat[0]
+        la = la.sort_values("__r")
+        ids_a = la[id_col].to_numpy()
+        sets_a = [frozenset(s) for s in la["shingles"]]
+        if diagonal:
+            ids_b, sets_b = ids_a, sets_a
+        else:
+            lb = lb.sort_values("__rb")
+            ids_b = lb["__idb"].to_numpy()
+            sets_b = [frozenset(s) for s in lb["__shb"]]
+        rows_a, rows_b, vals = [], [], []
+        for i, (si, ai) in enumerate(zip(sets_a, ids_a)):
+            zi = len(si)
+            j0 = i + 1 if diagonal else 0
+            for j in range(j0, len(sets_b)):
+                sj = sets_b[j]
+                inter = len(si & sj)
+                den = zi + len(sj) - inter
+                if den == 0:
+                    continue
+                jac = inter / den
+                if jac >= loose:
+                    rows_a.append(ai)
+                    rows_b.append(ids_b[j])
+                    vals.append(jac)
+        if not rows_a:
+            return empty
+        return pd.DataFrame(
+            {
+                "doc_id_a": np.asarray(rows_a),
+                "doc_id_b": np.asarray(rows_b),
+                "jac_raw": vals,
+            }
+        )
+
+    return (
+        leg_a.groupBy(*key_cols, "__c1", "__c2")
+        .cogroup(leg_b.groupBy(*kb, "__c1b", "__c2b"))
+        .applyInPandas(lambda la, lb: tile_pairs(la, lb), out_schema)
     )
 
 
