@@ -303,9 +303,9 @@ def setup_knn_ivf_kmeans(con) -> None:
 
     src = "SELECT vec_id, embedding FROM embeddings WHERE vec_id >= 5"
     n = _count(con, src)
-    # mirror of adaptive_coarse_shape's regime predicate (flat_hi=1024,
-    # target=1024): flat while ceil(N/target) <= flat_hi
-    if n <= 0 or math.ceil(n / 1024) <= 1024:
+    # mirror of adaptive_coarse_shape's regime predicate (flat_hi=128,
+    # target=1024, r10): flat while ceil(N/target) <= flat_hi
+    if n <= 0 or math.ceil(n / 1024) <= 128:
         cent = kmeans_centroids_ref(con, src, _adaptive_n_centroids(n))
         _register(
             con,
@@ -341,10 +341,11 @@ def setup_dedup_semantic(con) -> None:
     import pandas as pd
 
     n = _count(con, _UNION_PLANTED)
-    if n > 0 and math.ceil(n / 1024) > 1024:
+    if n > 0 and math.ceil(n / 1024) > 128:
         raise OracleOutOfScale(
             f"dedup_semantic blocks on IMI cells past the flat cap "
-            f"(N={n} > 1,048,576); flat-kmeans SQL oracle not applicable"
+            f"(N={n} > 131,072, flat_hi=128 since r10); flat-kmeans "
+            f"SQL oracle not applicable"
         )
     cent = kmeans_centroids_ref(con, _UNION_PLANTED, _adaptive_n_centroids(n))
     _register(
@@ -494,10 +495,11 @@ def setup_knn_ivfpq(con) -> None:
 
     src = "SELECT vec_id, embedding FROM embeddings WHERE vec_id >= 5"
     n = _count(con, src)
-    if n > 0 and math.ceil(n / 1024) > 1024:
+    if n > 0 and math.ceil(n / 1024) > 128:
         raise OracleOutOfScale(
             f"knn_ivfpq's coarse stage is IMI past the flat cap "
-            f"(N={n} > 1,048,576); flat-coarse PQ mirror not applicable"
+            f"(N={n} > 131,072, flat_hi=128 since r10); flat-coarse PQ "
+            f"mirror not applicable"
         )
     _register(
         con,

@@ -1948,7 +1948,7 @@ def semantic_dup_pairs(
     )
 
     if n_clusters is None:
-        # flat k-means blocks to the k=1024 cap (byte-identical to r8 at
+        # flat k-means blocks to the flat cap (byte-identical to r8 at
         # every committed scale), IMI cells past it (r9, VERDICT r8 #3 —
         # same within-block pairing either way)
         kind, val = adaptive_coarse_shape(df.count())

@@ -318,24 +318,33 @@ def deterministic_centroids(
 
 
 def adaptive_coarse_shape(
-    n_rows: int, target_per_list: int = 1024, lo: int = 16, flat_hi: int = 1024
+    n_rows: int, target_per_list: int = 1024, lo: int = 16, flat_hi: int = 128
 ) -> tuple[str, int]:
     """Scale-adaptive coarse-quantizer SHAPE (VERDICT r8 #3 — the
     documented residual of adaptive_n_centroids): ('flat', k) while
     ceil(N/target) <= flat_hi — byte-identical to adaptive_n_centroids
-    at every committed scale, so all existing hash evidence is
-    untouched; ('imi', k_half) past the flat cap (N > flat_hi·target ≈
-    1.05M vectors), where a flat quantizer is cornered — k stuck at the
-    cap means per-list mass grows ∝ N again, while raising the cap makes
-    the O(N·k) assignment pass quadratic. The inverted multi-index
-    (Babenko & Lempitsky 2012, "The Inverted Multi-Index" — public
-    method) splits the vector into two halves with k_half centroids
-    each: cells = k_half² >= ceil(N/target) keep per-cell mass <=
-    target, but assignment scores only 2·k_half half-vectors per row —
-    O(N·sqrt(cells)·dim) instead of O(N·cells·dim). At 2M vectors:
-    k_half = 45 (2025 cells) scores 90 half-vectors/row vs the flat
-    cap's 1024 full vectors — ~23× less assignment work with MORE
-    lists. Deterministic; mirrored in functions/ref_oracle.py."""
+    at every committed oracle scale (sf0.1 = 20k vectors → k = 20);
+    ('imi', k_half) past the flat cap, where the flat quantizer loses on
+    BOTH axes — k grows with N so the O(N·k) assignment pass is
+    quadratic, and past any fixed cap per-list mass grows ∝ N again.
+    The inverted multi-index (Babenko & Lempitsky 2012, "The Inverted
+    Multi-Index" — public method) splits the vector into two halves with
+    k_half centroids each: cells = k_half² >= ceil(N/target) keep
+    per-cell mass <= target, but assignment scores only 2·k_half
+    half-vectors per row — O(N·sqrt(cells)·dim) instead of
+    O(N·cells·dim).
+
+    flat_hi dropped 1024 → 128 in r10 (crossover at N > 131k): the r9
+    cap was set where the flat quantizer becomes IMPOSSIBLE, but r10
+    measurements put the crossover where it merely LOSES — warmed
+    same-session walls, uniform vectors: 200k rows flat k=196 10.0 s vs
+    IMI 3.3 s; 600k flat k=586 80.2 s vs 8.8 s; recall at nprobe=8 was
+    identical (0.30/0.30 at 200k — fixed-probe recall is a fraction
+    game on structureless data either way; knn_imi_mp's adaptive probe
+    is the recall knob). At 2M: flat est. 10+ min vs 8.0 s. Deterministic;
+    regime predicate mirrored in functions/ref_oracle.py (ivfk oracle
+    serves both regimes; ivfpq/semantic oracles flag an explicit skip
+    past the cap)."""
     import math
 
     if n_rows <= 0 or math.ceil(n_rows / target_per_list) <= flat_hi:
@@ -563,8 +572,8 @@ def knn_imi(
     nearest cells (exact virtual-centroid L2 order) and scores only
     those candidates — the same join/window tail as knn_ivf, with the
     coarse stage swapped for the two-level grid. This is the kmeans
-    family's next-decade path: past the flat quantizer's k=1024 cap
-    (N ≈ 1M) assignment cost stays O(N·sqrt(cells)) while per-cell mass
+    family's next-decade path: past the flat cap (N > 131,072 since
+    r10) assignment cost stays O(N·sqrt(cells)) while per-cell mass
     stays ~target (see adaptive_coarse_shape)."""
     if k_half is None:
         n = corpus.count()
@@ -1025,7 +1034,7 @@ def knn_ivfpq(
     if n_centroids is None:
         # scale-adaptive coarse shape (see adaptive_coarse_shape): one
         # cheap count() against the corpus scan, replicated by the
-        # oracle from COUNT(*). Flat k-means lists to the k=1024 cap
+        # oracle from COUNT(*). Flat k-means lists to the flat cap
         # (byte-identical to r8 at every committed scale), IMI cells
         # beyond it (r9 — the oracle never runs past the cap).
         kind, val = adaptive_coarse_shape(corpus.count())

@@ -1379,7 +1379,8 @@ def _ref_ivfk_setup(con) -> None:
     # cap it is a VIEW whose body is the same pure-SQL flat formulation
     # that has carried the hash evidence since r6 (ref_cents_ivf
     # cross-join + nprobe=8 — the SQL text moved verbatim into the setup
-    # hook); past the cap (N > 1,048,576) it is the numpy IMI expected
+    # hook); past the cap (N > 131,072, flat_hi=128 since r10) it is
+    # the numpy IMI expected
     # result, matching the engine's automatic knn_imi switch — so an
     # oracle run at ANY corpus size compares against the path the engine
     # actually takes instead of reporting a spurious mismatch.
@@ -1397,8 +1398,9 @@ def knn_ivf_kmeans_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     recall: 0.62 at nprobe=4, 0.88 at 8); real embedding corpora cluster
     and reach the same recall probing far fewer lists. The cost model is
     the point: each query scores nprobe/n_centroids of the corpus,
-    tunable per workload. Past the flat quantizer's k=1024 cap (N ≈ 1M,
-    beyond any committed oracle scale) the coarse stage switches to the
+    tunable per workload. Past the flat cap (N > 131,072 — flat_hi=128
+    since r10, still beyond every committed oracle scale) the coarse
+    stage switches to the
     IMI grid (adaptive_coarse_shape; algebra hash-matched by the
     knn_imi entry) — the flat branch below the cap is byte-identical to
     r8."""
@@ -1442,9 +1444,10 @@ def knn_imi_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """E4 next-decade coarse quantizer: inverted multi-index ANN
     (Babenko & Lempitsky 2012 — two half-space codebooks of k_half
     centroids whose product grid gives k_half² cells). The flat kmeans
-    quantizer is cornered past its k=1024 cap (N ≈ 1M): per-list mass
-    grows ∝ N again, and raising the cap makes the O(N·k) assignment
-    pass quadratic. IMI keeps per-cell mass at ~target while assignment
+    quantizer is cornered past its cap (N > 131,072 since r10 — and
+    MEASURED 3-9x slower than IMI well before it): per-list mass grows
+    ∝ N again, and raising the cap makes the O(N·k) assignment pass
+    quadratic. IMI keeps per-cell mass at ~target while assignment
     scores only 2·k_half HALF-vectors per row — O(N·sqrt(cells)) — so
     the decade past the cap (2M+ vectors) stays linear-ish. This entry
     runs the IMI path at EVERY scale (k_half adaptive: 4 half-centroids

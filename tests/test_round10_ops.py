@@ -210,9 +210,9 @@ class TestAdviceR9Fixes:
             adaptive_coarse_shape,
         )
 
-        for n in (100, 1024 * 1024, 1024 * 1024 + 1, 5_000_000):
+        for n in (100, 128 * 1024, 128 * 1024 + 1, 1024 * 1024 + 1, 5_000_000):
             kind, _ = adaptive_coarse_shape(n)
-            mirror_flat = n <= 0 or math.ceil(n / 1024) <= 1024
+            mirror_flat = n <= 0 or math.ceil(n / 1024) <= 128
             assert (kind == "flat") == mirror_flat, n
 
     def test_out_of_scale_is_flagged_not_err(self, tmp_path):

@@ -198,8 +198,10 @@ class TestAdaptiveCoarseShape:
             adaptive_n_centroids,
         )
 
-        # every committed scale (sf0.001 .. sf30: <= 600k vectors) is flat
-        for n in (0, 1, 2_050, 20_050, 200_050, 600_150, 1_048_576):
+        # every committed ORACLE scale (sf0.001 .. sf0.1: <= 20k
+        # vectors) is flat; r10 moved the crossover down to N > 131,072
+        # (flat_hi=128) after measuring flat k=196 at 3x the IMI wall
+        for n in (0, 1, 2_050, 20_050, 131_072):
             assert adaptive_coarse_shape(n) == ("flat", adaptive_n_centroids(n))
 
     def test_imi_engages_past_flat_cap(self):
@@ -208,6 +210,8 @@ class TestAdaptiveCoarseShape:
             adaptive_imi_khalf,
         )
 
+        kind, k_half = adaptive_coarse_shape(131_073)  # r10 crossover
+        assert kind == "imi" and k_half == adaptive_imi_khalf(131_073) == 12
         kind, k_half = adaptive_coarse_shape(1_048_577)
         assert kind == "imi" and k_half == adaptive_imi_khalf(1_048_577) == 33
         # the sf100 vector decade (~2M): 45 half-centroids = 2025 cells,
