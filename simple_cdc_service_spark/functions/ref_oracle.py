@@ -329,24 +329,77 @@ def setup_knn_ivf_kmeans(con) -> None:
     )
 
 
+# The UNION-planted source frame with the engine's double cast — the
+# shared src CTE of both ref_sem_assign regimes.
+_SEM_SRC_SQL = """
+    SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+    FROM embeddings
+    UNION ALL
+    SELECT vec_id + 1000000 AS vec_id,
+           list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+    FROM embeddings WHERE vec_id < 50
+"""
+
+# Flat-regime assignment view body: the rn=1 nearest-centroid SQL that
+# carried dedup_semantic's hash evidence since r6 (assignment ranks
+# compare UNROUNDED cosines, ties to the lowest centroid_id).
+_SEM_FLAT_ASSIGN_SQL = f"""
+    WITH src AS ({_SEM_SRC_SQL}),
+    ca AS (SELECT vec_id, v, centroid_id,
+                  row_number() OVER (PARTITION BY vec_id ORDER BY
+                      list_dot_product(v, cv)
+                      / (sqrt(list_dot_product(v, v)) * sqrt(list_dot_product(cv, cv)))
+                      DESC, centroid_id) AS rn
+           FROM src CROSS JOIN (SELECT centroid_id, cv FROM ref_cents_sem))
+    SELECT vec_id, v, centroid_id FROM ca WHERE rn = 1
+"""
+
+
 def setup_dedup_semantic(con) -> None:
-    """Registers ref_cents_sem: k-means centroids trained on the
-    planted-duplicate UNION frame (dedup_semantic's input). Cluster
-    count is the engine's scale-adaptive formula (16 at sf ≤ 0.1).
-    Past the flat cap the engine blocks on IMI cells instead
-    (adaptive_coarse_shape) — this SQL oracle does not mirror that
-    regime, so it flags an explicit skip (ADVICE r9 #1 bug class)."""
+    """Registers ref_sem_assign (vec_id, v, centroid_id): the blocking
+    assignment of the planted-duplicate UNION frame, mirroring the
+    engine's adaptive_coarse_shape regime (VERDICT r10 #1 — until r11
+    the IMI regime raised OracleOutOfScale, leaving the 131k+ window
+    engine-only where r6-r8 had sf1 hash evidence):
+
+    - flat (every committed oracle scale): ref_cents_sem holds the
+      numpy-Lloyd centroids and ref_sem_assign is the UNCHANGED rn=1
+      nearest-centroid SQL view — same algebra the r6-r10 oracle ran,
+      so committed hashes are untouched.
+    - IMI (past the flat cap): ref_sem_cells holds the numpy cell
+      assignment (first-min argmin per half over the identical fold
+      order, mirroring imi_assign at nprobe=1) and ref_sem_assign joins
+      it back to the src frame.
+
+    The registry's oracle SQL (the within-block pairing) is one
+    formulation over ref_sem_assign either way."""
     import math
 
+    import numpy as np
     import pandas as pd
 
     n = _count(con, _UNION_PLANTED)
     if n > 0 and math.ceil(n / 1024) > 128:
-        raise OracleOutOfScale(
-            f"dedup_semantic blocks on IMI cells past the flat cap "
-            f"(N={n} > 131,072, flat_hi=128 since r10); flat-kmeans "
-            f"SQL oracle not applicable"
+        ids, vecs = _fetch(con, _UNION_PLANTED)
+        cb1, cb2 = imi_codebooks_ref(
+            con, _UNION_PLANTED, _adaptive_imi_khalf(n)
         )
+        d1, d2 = _imi_cell_distances(vecs, cb1, cb2)
+        cells = d1.argmin(axis=1) * len(cb2) + d2.argmin(axis=1)
+        _register(
+            con,
+            "ref_sem_cells",
+            pd.DataFrame(
+                {"vec_id": ids.astype(np.int64), "centroid_id": cells}
+            ),
+        )
+        con.execute(
+            f"CREATE OR REPLACE VIEW ref_sem_assign AS "
+            f"WITH src AS ({_SEM_SRC_SQL}) "
+            f"SELECT s.vec_id, s.v, r.centroid_id "
+            f"FROM src s JOIN ref_sem_cells r USING (vec_id)"
+        )
+        return
     cent = kmeans_centroids_ref(con, _UNION_PLANTED, _adaptive_n_centroids(n))
     _register(
         con,
@@ -354,6 +407,9 @@ def setup_dedup_semantic(con) -> None:
         pd.DataFrame(
             {"centroid_id": range(len(cent)), "cv": [list(c) for c in cent]}
         ),
+    )
+    con.execute(
+        f"CREATE OR REPLACE VIEW ref_sem_assign AS {_SEM_FLAT_ASSIGN_SQL}"
     )
 
 
@@ -403,11 +459,21 @@ def _expected_pq_result(
     seed: int = 42,
     n_centroids: int | None = None,
     nprobe: int = 0,
+    imi_khalf: int | None = None,
 ):
     """Full expected result of knn_pq / knn_ivfpq: ADC shortlist + exact
     cosine re-rank, computed in numpy/Python with the engine's exact op
     order (see module doc). Returns a pandas frame
-    (query_id, neighbor_id, rank, cos_sim)."""
+    (query_id, neighbor_id, rank, cos_sim).
+
+    Coarse stage mirrors BOTH engine regimes (VERDICT r10 #1 — the r10
+    flat→IMI crossover left the 131k+ window engine-only):
+    ``n_centroids`` set → flat k-means lists (cosine-ranked, the r6-r8
+    evidence path); ``imi_khalf`` set → IMI cells: corpus cell =
+    first-min argmin per half (imi_assign nprobe=1), query probe set =
+    top-``nprobe`` cells of the d1+d2 grid under the stable full-grid
+    argsort (provably identical to the engine's subgrid multiprobe);
+    neither → no coarse stage (knn_pq)."""
     import numpy as np
     import pandas as pd
 
@@ -416,7 +482,24 @@ def _expected_pq_result(
     books = pq_codebooks_ref(con, corpus_sql, m, ksub, seed)
     dsub = books.shape[2]
 
-    if n_centroids:
+    if imi_khalf:
+        cb1, cb2 = imi_codebooks_ref(con, corpus_sql, imi_khalf, seed)
+        k2 = len(cb2)
+        d1c, d2c = _imi_cell_distances(c_vecs, cb1, cb2)
+        c_cells = d1c.argmin(axis=1) * k2 + d2c.argmin(axis=1)
+        d1q, d2q = _imi_cell_distances(q_vecs, cb1, cb2)
+        probe = min(nprobe, len(cb1) * k2)
+        probe_sets = {}
+        for qi, qid in enumerate(q_ids):
+            g = (d1q[qi][:, None] + d2q[qi][None, :]).ravel()
+            probe_sets[int(qid)] = {
+                int(t) for t in np.argsort(g, kind="stable")[:probe]
+            }
+        probed_ids = sorted({c for s in probe_sets.values() for c in s})
+        keep = np.isin(c_cells, probed_ids)
+        c_ids, c_vecs = c_ids[keep], c_vecs[keep]
+        c_lists = c_cells[keep]
+    elif n_centroids:
         cent = kmeans_centroids_ref(con, corpus_sql, n_centroids, seed)
         corpus_list = _assign_lists(c_ids, c_vecs, cent, 1)
         probe_sets = {
@@ -487,27 +570,34 @@ def setup_knn_pq(con) -> None:
 
 
 def setup_knn_ivfpq(con) -> None:
-    """Past the flat cap the engine's coarse stage switches to IMI
-    (adaptive_coarse_shape); this mirror computes only the flat-kmeans
-    coarse, so it flags an explicit skip there (ADVICE r9 #1 bug
-    class) rather than reporting a spurious mismatch."""
+    """Mirrors the engine's adaptive_coarse_shape regime switch
+    (VERDICT r10 #1 — until r11 the IMI regime raised OracleOutOfScale,
+    leaving the 131k+ window engine-only where r6-r8 had sf1 hash
+    evidence): flat-kmeans coarse within the cap (the unchanged
+    committed-scale evidence path), IMI coarse cells beyond it, both
+    through the same _expected_pq_result ADC + re-rank tail."""
     import math
 
     src = "SELECT vec_id, embedding FROM embeddings WHERE vec_id >= 5"
+    queries = "SELECT vec_id, embedding FROM embeddings WHERE vec_id < 5"
     n = _count(con, src)
     if n > 0 and math.ceil(n / 1024) > 128:
-        raise OracleOutOfScale(
-            f"knn_ivfpq's coarse stage is IMI past the flat cap "
-            f"(N={n} > 131,072, flat_hi=128 since r10); flat-coarse PQ "
-            f"mirror not applicable"
+        _register(
+            con,
+            "ref_knn_ivfpq",
+            _expected_pq_result(
+                con, src, queries,
+                k=10, m=8, ksub=16, rerank=50,
+                imi_khalf=_adaptive_imi_khalf(n),
+                nprobe=8,
+            ),
         )
+        return
     _register(
         con,
         "ref_knn_ivfpq",
         _expected_pq_result(
-            con,
-            src,
-            "SELECT vec_id, embedding FROM embeddings WHERE vec_id < 5",
+            con, src, queries,
             k=10, m=8, ksub=16, rerank=50,
             n_centroids=_adaptive_n_centroids(n),
             nprobe=8,

@@ -1222,31 +1222,18 @@ def _ref_sem_setup(con) -> None:
 
 @register(
     "dedup_semantic",
-    # k-means centroids (the only non-SQL piece) come from the registered
-    # numpy reference table; nearest-centroid blocking + within-cluster
-    # cosine verification are pure SQL with the shared fold order.
-    # Assignment ranks compare UNROUNDED cosines (same protocol as the
-    # hash-matched knn_ivf oracle), tie-broken by centroid_id.
+    # The blocking assignment comes from the registered ref_sem_assign
+    # view, which mirrors the engine's coarse regime (flat nearest-
+    # centroid SQL within the cap — the unchanged r6-r10 algebra — or
+    # numpy IMI cells past it, VERDICT r10 #1); the within-block cosine
+    # pairing below is one SQL formulation over it either way, with the
+    # shared fold order.
     oracle="""
-    WITH src AS (
-        SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
-        FROM embeddings
-        UNION ALL
-        SELECT vec_id + 1000000 AS vec_id,
-               list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
-        FROM embeddings WHERE vec_id < 50),
-    ca AS (SELECT vec_id, v, centroid_id,
-                  row_number() OVER (PARTITION BY vec_id ORDER BY
-                      list_dot_product(v, cv)
-                      / (sqrt(list_dot_product(v, v)) * sqrt(list_dot_product(cv, cv)))
-                      DESC, centroid_id) AS rn
-           FROM src CROSS JOIN (SELECT centroid_id, cv FROM ref_cents_sem)),
-    asg AS (SELECT vec_id, v, centroid_id FROM ca WHERE rn = 1)
     SELECT a.vec_id AS vec_id_a, b.vec_id AS vec_id_b,
            round(list_dot_product(a.v, b.v)
                  / (sqrt(list_dot_product(a.v, a.v))
                     * sqrt(list_dot_product(b.v, b.v))), 6) AS cos_sim
-    FROM asg a JOIN asg b
+    FROM ref_sem_assign a JOIN ref_sem_assign b
       ON a.centroid_id = b.centroid_id AND a.vec_id < b.vec_id
     WHERE round(list_dot_product(a.v, b.v)
                 / (sqrt(list_dot_product(a.v, a.v))
@@ -1454,7 +1441,12 @@ def knn_imi_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     = 16 cells at bench scale) so the algebra carries committed
     hash-match evidence; knn_ivf_kmeans/knn_ivfpq/dedup_semantic switch
     to this quantizer automatically past the flat cap
-    (adaptive_coarse_shape)."""
+    (adaptive_coarse_shape). This entry PINS the fixed nprobe=8
+    configuration (its oracle mirrors it); since r11 the knn_imi
+    FUNCTION defaults to the adaptive probe, and a fixed probe under a
+    quarter of the grid emits a loud UserWarning naming the measured
+    2M-decade recall cliff (VERDICT r10 #3) — which this entry triggers
+    past ~sf0.5, by design."""
     from .operators.similarity import knn_imi
 
     emb = _t(spark, sf_dir, "embeddings")

@@ -824,13 +824,19 @@ def _manifest_dir(state_dir: str) -> str:
 
 
 def _manifest_versions(state_dir: str) -> list[int]:
+    import re
+
     d = _manifest_dir(state_dir)
     if not os.path.isdir(d):
         return []
     return sorted(
-        int(f[1:-5])
+        int(m.group(1))
         for f in os.listdir(d)
-        if f.startswith("v") and f.endswith(".json") and f[1:-5].isdigit()
+        # negative versions are the RESERVED bootstrap range (v-1.json):
+        # they sort before every foreachBatch micro-batch id, so a
+        # bootstrapped store never collides with stream batch 0
+        # (ADVICE r10)
+        if (m := re.fullmatch(r"v(-?\d+)\.json", f))
     )
 
 
@@ -1002,12 +1008,27 @@ def _merge_manifest_batch(
                     "exact": exact,
                 }
             )
+        # Widest-schema-so-far invariant (ADVICE r10): when pruning left
+        # ``touched`` empty, new_rows is just this batch's upserts, whose
+        # schema can be NARROWER than the previous manifest's recorded
+        # one — recording it as-is would read the carried untouched files
+        # under a narrower schema. Union the previous manifest's schema
+        # with the batch's via Spark's own unionByName coercion (the same
+        # widening the touched-path read performs).
+        if prev is not None:
+            widest = (
+                spark.createDataFrame([], prev["schema_ddl"])
+                .unionByName(new_rows.limit(0), allowMissingColumns=True)
+                .schema
+            )
+        else:
+            widest = new_rows.schema
         manifest = {
             "batch_id": batch_id,
             "key": key0,
             "schema_ddl": ", ".join(
                 f"`{f.name}` {f.dataType.simpleString()}"
-                for f in new_rows.schema.fields
+                for f in widest.fields
             ),
             "files": entries,
             "total_rows": sum(e["rows"] for e in entries),
@@ -1027,13 +1048,24 @@ def bootstrap_manifest_store(
     df: DataFrame,
     cfg: ChangeTableConfig,
     state_dir: str,
-    batch_id: int = 0,
+    batch_id: int = -1,
     target_rows_per_file: int = 200_000,
 ) -> dict:
     """Materialize ``df`` (key+value columns) as manifest-store version
     ``batch_id`` — the initial-load path (and the bench scaffold for
     store-scale legs). Same file layout, stats, and atomic manifest
-    commit as the streaming merge; returns the manifest."""
+    commit as the streaming merge; returns the manifest.
+
+    ``batch_id`` defaults to the RESERVED version -1 (ADVICE r10): a
+    manifest at a non-negative version doubles as that micro-batch's
+    commit marker, so bootstrapping at 0 and then streaming against a
+    FRESH checkpoint would make _merge_manifest_batch treat the
+    stream's first micro-batch (id 0) as already committed and silently
+    drop its data. Negative versions sort below every foreachBatch id
+    and can never be emitted by a stream, so bootstrap-then-stream is
+    safe by construction. Pass a non-negative ``batch_id`` only to
+    re-materialize a version the stream has genuinely already
+    consumed."""
     import glob as _glob
     import json as _json
 
@@ -1149,12 +1181,27 @@ def vacuum_manifest_store(state_dir: str, keep: int = 3) -> list[str]:
     """Delete data files referenced by NO retained manifest (the newest
     ``keep`` versions are retained, older manifests deleted). Returns
     the deleted file paths. Safe order: manifests first, then files —
-    a crash mid-vacuum leaves referenced files intact."""
+    a crash mid-vacuum leaves referenced files intact.
+
+    Concurrent-merge safety (ADVICE r10): an in-flight merge writes its
+    ``data/v{B}`` files BEFORE the manifest rename that commits them, so
+    a naive "not referenced by any retained manifest" sweep could delete
+    a batch's output in the commit window. Data directories with a
+    version NEWER than the latest committed manifest are therefore
+    skipped (the Delta-style retention check); within committed
+    versions, a file is garbage only once no retained manifest
+    references it. Do not run vacuum concurrently with a merge of a
+    version <= the latest committed one (replays of committed versions
+    are no-ops, so that window is only reachable by external
+    manipulation of the manifest dir)."""
+    import re
+
     versions = _manifest_versions(state_dir)
     if len(versions) <= keep:
         keep_versions = versions
     else:
         keep_versions = versions[-keep:]
+    latest_committed = versions[-1] if versions else None
     live: set[str] = set()
     for v in keep_versions:
         for e in _read_manifest(state_dir, v)["files"]:
@@ -1166,6 +1213,12 @@ def vacuum_manifest_store(state_dir: str, keep: int = 3) -> list[str]:
     data_root = os.path.join(state_dir, "data")
     if os.path.isdir(data_root):
         for d in os.listdir(data_root):
+            m = re.fullmatch(r"v(-?\d+)", d)
+            if m and (
+                latest_committed is None or int(m.group(1)) > latest_committed
+            ):
+                # in-flight (uncommitted) batch output — not garbage yet
+                continue
             sub = os.path.join(data_root, d)
             for fn in os.listdir(sub):
                 rel = os.path.join("data", d, fn)

@@ -249,3 +249,107 @@ class TestManifestPruning:
         deleted = vacuum_manifest_store(state, keep=1)
         assert deleted, "superseded files should be reclaimed"
         assert read_replica_manifest(spark, state).count() == 19_500
+
+
+class TestAdviceR10Fixes:
+    """Regression pins for the ADVICE r10 findings: bootstrap/stream
+    batch-id collision (medium), widest-schema manifest invariant, and
+    vacuum vs in-flight batch output."""
+
+    def test_bootstrap_then_stream_keeps_first_microbatch(self, spark, tmp_path):
+        """The medium finding: bootstrap_manifest_store at its DEFAULT
+        version then stream with a FRESH checkpoint — micro-batch 0 must
+        be merged, not silently dropped as 'already committed'."""
+        src = str(tmp_path / "src")
+        state = str(tmp_path / "state")
+        ckpt = str(tmp_path / "ckpt")
+        base = spark.range(100).selectExpr(
+            "id AS order_id", "id * 7 AS invoice_number"
+        )
+        m = bootstrap_manifest_store(base, INVOICE, state)
+        assert m["batch_id"] == -1  # reserved, below any stream batch id
+        b0 = [
+            json.dumps(
+                _envelope(
+                    "u",
+                    {"order_id": 5, "invoice_number": 35},
+                    {"order_id": 5, "invoice_number": 999},
+                    1, 1,
+                )
+            ),
+            json.dumps(
+                _envelope("c", None, {"order_id": 200, "invoice_number": 42}, 2, 2)
+            ),
+        ]
+        _write_batch(src, "b0.json", b0, 0)
+        start_replica_merge_manifest(
+            read_changelog_stream(spark, src), INVOICE, state, ckpt
+        ).awaitTermination()
+        got = {
+            r.order_id: r.invoice_number
+            for r in read_replica_manifest(spark, state).collect()
+        }
+        assert got[5] == 999, "micro-batch 0 upsert lost (batch-id collision)"
+        assert got[200] == 42
+        assert len(got) == 101
+
+    def test_manifest_schema_stays_widest_when_nothing_touched(self, spark, tmp_path):
+        """A batch whose keys prune EVERY prior file must not narrow the
+        recorded schema below the previous manifest's (here: bootstrap
+        wrote bigint, the batch's rows parse as int)."""
+        from pyspark.sql import types as T
+
+        from simple_cdc_service_spark.config import ChangeTableConfig
+        from simple_cdc_service_spark.schemas import row_schema
+        from simple_cdc_service_spark.sources.changelog import envelopes_df
+        from simple_cdc_service_spark.streaming.pipeline import (
+            _latest_manifest,
+            _merge_manifest_batch,
+            _parse,
+        )
+
+        state = str(tmp_path / "state")
+        cfg = ChangeTableConfig(
+            name="narrow", key_columns=("order_id",),
+            value_columns=("invoice_number",),
+        )
+        narrow_row = row_schema(
+            {"order_id": T.LongType(), "invoice_number": T.IntegerType()}
+        )
+        base = spark.range(50).selectExpr(
+            "id AS order_id", "id * 7 AS invoice_number"  # bigint value col
+        )
+        bootstrap_manifest_store(base, cfg, state)
+        # keys far outside [0, 49]: every bootstrap file is pruned,
+        # touched == [] and new_rows is ONLY the int-typed upserts
+        batch = [
+            json.dumps(
+                _envelope("c", None, {"order_id": 10_000, "invoice_number": 1}, 1, 1)
+            )
+        ]
+        parsed = _parse(envelopes_df(spark, batch), narrow_row)
+        _merge_manifest_batch(parsed, cfg, state, 0, 200_000)
+        ddl = _latest_manifest(state)["schema_ddl"]
+        assert "bigint" in ddl and "invoice_number` int" not in ddl, ddl
+        rep = read_replica_manifest(spark, state)
+        assert rep.count() == 51
+        assert rep.schema["invoice_number"].dataType.simpleString() == "bigint"
+
+    def test_vacuum_spares_inflight_uncommitted_files(self, spark, tmp_path):
+        """Data files of a version NEWER than the latest committed
+        manifest are an in-flight batch's pre-commit output — vacuum
+        must not delete them (ADVICE r10)."""
+        state = str(tmp_path / "state")
+        base = spark.range(1000).selectExpr(
+            "id AS order_id", "id * 7 AS invoice_number"
+        )
+        bootstrap_manifest_store(base, INVOICE, state, target_rows_per_file=100)
+        # simulate an in-flight merge: files written, manifest not yet
+        # renamed into place
+        inflight = os.path.join(state, "data", "v0")
+        os.makedirs(inflight)
+        with open(os.path.join(inflight, "part-00000.parquet"), "wb") as f:
+            f.write(b"PAR1stub")
+        deleted = vacuum_manifest_store(state, keep=1)
+        assert deleted == []
+        assert os.path.exists(os.path.join(inflight, "part-00000.parquet"))

@@ -1,0 +1,141 @@
+"""Round-11 pins: adaptive probe as knn_imi's DEFAULT path + loud
+fixed-probe warning (VERDICT r10 #3), and engine-vs-oracle parity of
+the IMI-regime knn_ivfpq mirror (VERDICT r10 #1) at test scale —
+full-fidelity evidence is the sf1 check_oracle run."""
+
+import numpy as np
+import pytest
+
+
+@pytest.fixture(scope="module")
+def spark():
+    from simple_cdc_service_spark.session import get_spark
+
+    return get_spark("test-round11")
+
+
+def _vec_pdf(n=500, dim=16, seed=11):
+    import pandas as pd
+
+    rng = np.random.RandomState(seed)
+    return pd.DataFrame(
+        {
+            "vec_id": np.arange(n, dtype=np.int64),
+            "embedding": [
+                [float(x) for x in rng.uniform(-1, 1, size=dim)] for _ in range(n)
+            ],
+        }
+    )
+
+
+class TestKnnImiAdaptiveDefault:
+    def test_default_nprobe_is_adaptive(self, spark):
+        """Omitting nprobe must equal the explicit adaptive probe —
+        the default-named path now carries the recall knob."""
+        from simple_cdc_service_spark.operators.similarity import (
+            adaptive_imi_khalf,
+            adaptive_imi_nprobe,
+            knn_imi,
+        )
+
+        pdf = _vec_pdf()
+        df = spark.createDataFrame(pdf)
+        corpus = df.filter("vec_id >= 5")
+        queries = df.filter("vec_id < 5")
+        k_half = adaptive_imi_khalf(495)
+        a = knn_imi(corpus, queries, k=10).toPandas()
+        b = knn_imi(
+            corpus, queries, k=10, k_half=k_half,
+            nprobe=adaptive_imi_nprobe(k_half * k_half),
+        ).toPandas()
+        key = ["query_id", "rank"]
+        a = a.sort_values(key).reset_index(drop=True)
+        b = b.sort_values(key).reset_index(drop=True)
+        assert a.equals(b)
+
+    def test_fixed_underprobe_warns(self, spark):
+        """A fixed nprobe under a quarter of the grid is the measured
+        2M-decade recall cliff — must warn loudly, before any work."""
+        from simple_cdc_service_spark.operators.similarity import knn_imi
+
+        df = spark.createDataFrame(_vec_pdf(n=60))
+        with pytest.warns(UserWarning, match="probed fraction"):
+            knn_imi(
+                df.filter("vec_id >= 5"), df.filter("vec_id < 5"),
+                k=5, k_half=20, nprobe=8,
+            )
+
+    def test_no_warning_at_committed_scales(self, spark):
+        """nprobe=8 over a <=32-cell grid (every committed oracle
+        scale) stays silent — the knn_imi registry entry's shape."""
+        import warnings
+
+        from simple_cdc_service_spark.operators.similarity import knn_imi
+
+        df = spark.createDataFrame(_vec_pdf(n=60))
+        with warnings.catch_warnings():
+            warnings.simplefilter("error")
+            knn_imi(
+                df.filter("vec_id >= 5"), df.filter("vec_id < 5"),
+                k=5, k_half=4, nprobe=8,
+            )
+
+    def test_ivfpq_imi_underprobe_warns(self, spark, monkeypatch):
+        """knn_ivfpq's IMI branch carries the same cliff warning."""
+        from simple_cdc_service_spark.operators import similarity
+
+        monkeypatch.setattr(
+            similarity, "adaptive_coarse_shape", lambda n, **kw: ("imi", 20)
+        )
+        df = spark.createDataFrame(_vec_pdf(n=80))
+        with pytest.warns(UserWarning, match="IMI cells"):
+            similarity.knn_ivfpq(
+                df.filter("vec_id >= 5"), df.filter("vec_id < 5"),
+                k=5, nprobe=8,
+            )
+
+
+class TestIvfpqImiOracleParity:
+    def test_engine_matches_imi_mirror(self, spark, monkeypatch):
+        """Force the engine's coarse stage to IMI at test scale and
+        compare against _expected_pq_result(imi_khalf=...) bit-for-bit
+        — the parity the sf1 artifact asserts at 200k vectors
+        (VERDICT r10 #1)."""
+        import duckdb
+
+        from simple_cdc_service_spark.functions.ref_oracle import (
+            _expected_pq_result,
+        )
+        from simple_cdc_service_spark.operators import similarity
+
+        pdf = _vec_pdf(n=600, dim=16, seed=23)
+        k_half = 6  # 36 cells over 595 corpus vectors
+        monkeypatch.setattr(
+            similarity, "adaptive_coarse_shape", lambda n, **kw: ("imi", k_half)
+        )
+        df = spark.createDataFrame(pdf)
+        got = (
+            similarity.knn_ivfpq(
+                df.filter("vec_id >= 5"), df.filter("vec_id < 5"),
+                k=10, nprobe=8, m=8, ksub=16, rerank=50,
+            )
+            .toPandas()
+            .sort_values(["query_id", "rank"])
+            .reset_index(drop=True)
+        )
+        con = duckdb.connect()
+        con.register("embeddings", pdf)
+        want = (
+            _expected_pq_result(
+                con,
+                "SELECT vec_id, embedding FROM embeddings WHERE vec_id >= 5",
+                "SELECT vec_id, embedding FROM embeddings WHERE vec_id < 5",
+                k=10, m=8, ksub=16, rerank=50,
+                imi_khalf=k_half, nprobe=8,
+            )
+            .sort_values(["query_id", "rank"])
+            .reset_index(drop=True)
+        )
+        assert len(got) == len(want) > 0
+        assert (got["neighbor_id"].to_numpy() == want["neighbor_id"].to_numpy()).all()
+        assert (got["cos_sim"].to_numpy() == want["cos_sim"].to_numpy()).all()

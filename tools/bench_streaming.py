@@ -451,9 +451,10 @@ def bench_replica_store_scale(
         }
     # ---- legs 4+5: MANIFEST store (file-level key stats, VERDICT r9 #3)
     # — hot keys should touch few files; uniform keys degrade gracefully
-    # to ~the flat rewrite. Same preload scaffold as leg 1: a 1-event
-    # boot batch consumes micro-batch id 0, then manifest-version 0 is
-    # REBUILT over the synthesized 10M-row store.
+    # to ~the flat rewrite. Preload: bootstrap at the RESERVED version -1
+    # (ADVICE r10 fix) — no sacrificial boot batch; the stream's first
+    # micro-batch (id 0) merges against the bootstrapped store directly,
+    # which is exactly the bootstrap-then-stream path the fix makes safe.
     from simple_cdc_service_spark.streaming import (
         bootstrap_manifest_store,
         read_replica_manifest,
@@ -473,17 +474,11 @@ def bench_replica_store_scale(
         d3 = tempfile.mkdtemp()
         src3, state3, ckpt3 = f"{d3}/src", f"{d3}/state", f"{d3}/ckpt"
         os.makedirs(src3)
-        with open(f"{src3}/c_boot.json", "w") as f:
-            for i, m in enumerate(boot):
-                f.write(json.dumps({"offset": i, "timestamp": i, "value": m}) + "\n")
-        start_replica_merge_manifest(
-            read_changelog_stream(spark, src3), INVOICE, state3, ckpt3
-        ).awaitTermination()
         t0 = time.perf_counter()
         base = spark.range(n_store).selectExpr(
             "id AS order_id", "id * 7 AS invoice_number"
         )
-        bootstrap_manifest_store(base, INVOICE, state3, batch_id=0)
+        bootstrap_manifest_store(base, INVOICE, state3)
         preload_sec = round(time.perf_counter() - t0, 2)
         msgs3, _ = generate_envelopes(
             n=n_events, seed=43, truncate_every=None, key_space=key_space
@@ -491,7 +486,7 @@ def bench_replica_store_scale(
         walls3 = feed_chunks(
             src3,
             msgs3,
-            1,
+            0,
             lambda: start_replica_merge_manifest(
                 read_changelog_stream(spark, src3), INVOICE, state3, ckpt3
             ).awaitTermination(),
@@ -501,7 +496,7 @@ def bench_replica_store_scale(
                 k: _read_manifest(state3, b)[k]
                 for k in ("files_total", "files_touched")
             }
-            for b in range(1, chunks + 1)
+            for b in range(chunks)
         ]
         fracs = [
             round(p["files_touched"] / max(p["files_total"], 1), 3)
@@ -511,7 +506,7 @@ def bench_replica_store_scale(
         # replica_exact: the manifest store must equal base ⊕ feed
         # (anti-join overlay computed independently, full 10M-row diff)
         feed_last = (
-            spark.read.json([f"{src3}/c{c}.json" for c in range(1, chunks + 1)])
+            spark.read.json([f"{src3}/c{c}.json" for c in range(chunks)])
             .selectExpr("offset", "get_json_object(value, '$.payload') AS p")
             .selectExpr(
                 "offset",
