@@ -604,6 +604,43 @@ def setup_knn_ivfpq(con) -> None:
         ),
     )
 
+def setup_knn_ivfpq_hires(con) -> None:
+    """Mirror of the knn_ivfpq_hires registry entry (r11): the
+    clustered-corpus IVFPQ configuration the RECALL_CURVES_r11
+    measurement justified — ksub=256 (8-bit codes, the FAISS-standard
+    resolution at IDENTICAL storage to the 4-bit-in-a-byte ksub=16),
+    rerank=200, and the scale-adaptive probe under the IMI regime.
+    Same regime dispatch as setup_knn_ivfpq."""
+    import math
+
+    src = "SELECT vec_id, embedding FROM embeddings WHERE vec_id >= 5"
+    queries = "SELECT vec_id, embedding FROM embeddings WHERE vec_id < 5"
+    n = _count(con, src)
+    if n > 0 and math.ceil(n / 1024) > 128:
+        k_half = _adaptive_imi_khalf(n)
+        _register(
+            con,
+            "ref_knn_ivfpq_hires",
+            _expected_pq_result(
+                con, src, queries,
+                k=10, m=8, ksub=256, rerank=200,
+                imi_khalf=k_half,
+                nprobe=_adaptive_imi_nprobe(k_half * k_half),
+            ),
+        )
+        return
+    _register(
+        con,
+        "ref_knn_ivfpq_hires",
+        _expected_pq_result(
+            con, src, queries,
+            k=10, m=8, ksub=256, rerank=200,
+            n_centroids=_adaptive_n_centroids(n),
+            nprobe=8,
+        ),
+    )
+
+
 def _expected_kmeans_summary(con, src_sql: str, n_clusters: int, seed: int = 42):
     """Full expected result of embedding_kmeans (kmeans_cluster_summary):
     centroid training is the shared numpy recipe (parity by

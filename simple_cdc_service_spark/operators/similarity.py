@@ -1049,7 +1049,18 @@ def knn_ivfpq(
 
     Deterministic: seeded centroids + codebooks, lexsort and window
     tie-breaks on neighbor_id. Approximate: recall floor vs exact brute
-    force is pinned in tests, not an oracle."""
+    force is pinned in tests, not an oracle.
+
+    Recall knobs on CLUSTERED corpora (r11, RECALL_CURVES_r11.json):
+    probing is NOT the bottleneck there — with hundreds of same-cluster
+    candidates inside the ADC quantization noise, the shortlist is
+    near-random among them until the codes resolve finer or the
+    re-rank digs deeper. Measured at mixture-of-Gaussians 600k/2M:
+    ksub=16, rerank=50 → 0.32/0.12 recall AT ANY nprobe; ksub=256
+    (8-bit codes, FAISS-standard, same m bytes/vector) + rerank=200 →
+    0.86/0.74. Exact-scoring knn_imi reads 0.98-1.0 at those scales —
+    reach for IVFPQ only in the memory-bound regime it exists for, and
+    then with the knn_ivfpq_hires configuration (registry.py)."""
     import numpy as np
     import pandas as pd
 

@@ -1214,6 +1214,48 @@ def knn_ivfpq_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _ref_ivfpq_hires_setup(con) -> None:
+    from .functions.ref_oracle import setup_knn_ivfpq_hires
+
+    setup_knn_ivfpq_hires(con)
+
+
+@register(
+    "knn_ivfpq_hires",
+    oracle="SELECT * FROM ref_knn_ivfpq_hires",
+    oracle_setup=_ref_ivfpq_hires_setup,
+)
+def knn_ivfpq_hires_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E4 IVFPQ tuned for CLUSTERED corpora (r11, the RECALL_CURVES_r11
+    finding): on mixture-of-Gaussians embeddings the base entry's
+    ksub=16/rerank=50 reads recall 0.12-0.36 regardless of probing —
+    the ADC shortlist, not the probe set, is the bottleneck, because
+    hundreds of same-cluster candidates sit inside the 4-bit codes'
+    quantization noise. This entry is the measured repair: ksub=256
+    (8-bit codes, FAISS-standard, IDENTICAL m-bytes/vector storage),
+    rerank=200, and the adaptive probe under the IMI regime — measured
+    0.86 recall at clustered 600k / 0.74 at 2M vs the base 0.32/0.12
+    (exact-scoring knn_imi remains the recall ceiling at these scales;
+    IVFPQ's niche is the memory-bound regime where full vectors don't
+    fit). Hash-checked vs the parameterized numpy mirror in both coarse
+    regimes."""
+    from .operators.similarity import (
+        adaptive_coarse_shape,
+        adaptive_imi_nprobe,
+        knn_ivfpq,
+    )
+
+    emb = _t(spark, sf_dir, "embeddings")
+    corpus = emb.filter(F.col("vec_id") >= 5)
+    kind, val = adaptive_coarse_shape(corpus.count())
+    nprobe = 8 if kind == "flat" else adaptive_imi_nprobe(val * val)
+    return knn_ivfpq(
+        corpus,
+        emb.filter(F.col("vec_id") < 5),
+        k=10, nprobe=nprobe, ksub=256, rerank=200,
+    )
+
+
 def _ref_sem_setup(con) -> None:
     from .functions.ref_oracle import setup_dedup_semantic
 

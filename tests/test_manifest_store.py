@@ -353,3 +353,110 @@ class TestAdviceR10Fixes:
         deleted = vacuum_manifest_store(state, keep=1)
         assert deleted == []
         assert os.path.exists(os.path.join(inflight, "part-00000.parquet"))
+
+
+class TestManifestCompaction:
+    """compact_manifest_store (r11, VERDICT r10 #5): folds small files
+    into target-sized range files by atomically rewriting the latest
+    manifest; content bit-identical, versions untouched, superseded
+    files reclaimable by vacuum."""
+
+    def _feed(self, spark, src, state, ckpt, msgs, name, off):
+        _write_batch(src, name, msgs, off)
+        start_replica_merge_manifest(
+            read_changelog_stream(spark, src), INVOICE, state, ckpt,
+            target_rows_per_file=50,
+        ).awaitTermination()
+
+    def test_compaction_preserves_content_and_bounds_files(self, spark, tmp_path):
+        from simple_cdc_service_spark.streaming import compact_manifest_store
+        from simple_cdc_service_spark.streaming.pipeline import (
+            _latest_manifest,
+            _manifest_versions,
+        )
+
+        src = str(tmp_path / "src")
+        state = str(tmp_path / "state")
+        ckpt = str(tmp_path / "ckpt")
+        msgs, expected = generate_envelopes(
+            n=600, seed=5, truncate_every=None, key_space=300
+        )
+        # three micro-batches of small files (target 50 rows/file)
+        self._feed(spark, src, state, ckpt, msgs[:200], "b0.json", 0)
+        self._feed(spark, src, state, ckpt, msgs[200:400], "b1.json", 200)
+        self._feed(spark, src, state, ckpt, msgs[400:], "b2.json", 400)
+        before = read_replica_manifest(spark, state)
+        rows_before = {
+            r.order_id: r.invoice_number for r in before.collect()
+        }
+        assert rows_before == expected
+        m_before = _latest_manifest(state)
+        versions_before = _manifest_versions(state)
+
+        m_after = compact_manifest_store(
+            spark, state, target_rows_per_file=50_000, min_files=2
+        )
+        assert m_after is not None
+        # fewer files, same version chain, identical content
+        assert len(m_after["files"]) < len(m_before["files"])
+        assert m_after["total_rows"] == m_before["total_rows"]
+        assert _manifest_versions(state) == versions_before
+        rows_after = {
+            r.order_id: r.invoice_number
+            for r in read_replica_manifest(spark, state).collect()
+        }
+        assert rows_after == rows_before
+
+        # vacuum reclaims the superseded small files, content unharmed
+        deleted = vacuum_manifest_store(state, keep=1)
+        assert deleted
+        rows_vac = {
+            r.order_id: r.invoice_number
+            for r in read_replica_manifest(spark, state).collect()
+        }
+        assert rows_vac == rows_before
+
+    def test_stream_continues_after_compaction(self, spark, tmp_path):
+        """Replay equality across a compaction: the next micro-batch
+        merges against the compacted manifest; final state equals the
+        never-compacted replay of the same feed."""
+        from simple_cdc_service_spark.streaming import compact_manifest_store
+
+        msgs, expected = generate_envelopes(
+            n=400, seed=9, truncate_every=None, key_space=150
+        )
+        src = str(tmp_path / "src")
+        state = str(tmp_path / "state")
+        ckpt = str(tmp_path / "ckpt")
+        self._feed(spark, src, state, ckpt, msgs[:200], "b0.json", 0)
+        assert compact_manifest_store(
+            spark, state, target_rows_per_file=50_000, min_files=2
+        ) is not None
+        self._feed(spark, src, state, ckpt, msgs[200:], "b1.json", 200)
+        got = {
+            r.order_id: r.invoice_number
+            for r in read_replica_manifest(spark, state).collect()
+        }
+        assert got == expected
+
+        # reference replay without compaction
+        src2, state2, ckpt2 = (
+            str(tmp_path / "src2"), str(tmp_path / "state2"), str(tmp_path / "ckpt2")
+        )
+        self._feed(spark, src2, state2, ckpt2, msgs[:200], "b0.json", 0)
+        self._feed(spark, src2, state2, ckpt2, msgs[200:], "b1.json", 200)
+        ref = {
+            r.order_id: r.invoice_number
+            for r in read_replica_manifest(spark, state2).collect()
+        }
+        assert got == ref
+
+    def test_noop_below_min_files(self, spark, tmp_path):
+        from simple_cdc_service_spark.streaming import compact_manifest_store
+
+        state = str(tmp_path / "state")
+        base = spark.range(100).selectExpr(
+            "id AS order_id", "id * 7 AS invoice_number"
+        )
+        bootstrap_manifest_store(base, INVOICE, state)  # one file
+        assert compact_manifest_store(spark, state, min_files=8) is None

@@ -599,6 +599,105 @@ def bench_scd2(n_events: int = 50_000, chunks: int = 5) -> None:
     spark.stop()
 
 
+def bench_manifest_longfeed(
+    n_store: int = 1_000_000,
+    n_batches: int = 200,
+    events_per_batch: int = 200,
+    compact_every: int = 25,
+) -> None:
+    """Long-feed manifest-store leg (r11, VERDICT r10 #5): >=200 hot-key
+    micro-batches against a bootstrapped store, with periodic
+    compact+vacuum (compact_every=0 disables, the A/B control). Claims
+    under test: live FILE COUNT stays bounded and per-batch wall stays
+    flat with compaction, where the uncompacted chain grows both. Each
+    batch's hot range moves ((b*9973) % n_store) so touched files vary;
+    merges run through _merge_manifest_batch directly (the same code
+    foreachBatch drives) so the leg measures merge+stats dynamics, not
+    stream-restart overhead. Ends with a full-store replica_exact diff
+    against the independently computed expected state."""
+    import tempfile as _tf
+
+    from simple_cdc_service_spark.schemas import INVOICE_ROW
+    from simple_cdc_service_spark.sources.changelog import _envelope, envelopes_df
+    from simple_cdc_service_spark.streaming import (
+        bootstrap_manifest_store,
+        compact_manifest_store,
+        read_replica_manifest,
+        vacuum_manifest_store,
+    )
+    from simple_cdc_service_spark.streaming.pipeline import (
+        _latest_manifest,
+        _merge_manifest_batch,
+        _parse,
+    )
+
+    spark = get_spark("bench-manifest-longfeed")
+    spark.sparkContext.setLogLevel("ERROR")
+    state = _tf.mkdtemp() + "/state"
+    t0 = time.perf_counter()
+    base = spark.range(n_store).selectExpr(
+        "id AS order_id", "id * 7 AS invoice_number"
+    )
+    bootstrap_manifest_store(base, INVOICE, state, target_rows_per_file=20_000)
+    preload_sec = round(time.perf_counter() - t0, 2)
+    expected = {k: k * 7 for k in range(n_store)}
+    walls, files_over_time, compact_secs = [], [], []
+    off = 0
+    for b in range(n_batches):
+        center = (b * 9973) % n_store
+        msgs = []
+        for j in range(events_per_batch):
+            k = (center + j) % n_store
+            v = b * 1_000_000 + j
+            msgs.append(
+                json.dumps(
+                    _envelope(
+                        "u",
+                        {"order_id": k, "invoice_number": expected[k]},
+                        {"order_id": k, "invoice_number": v},
+                        off, off,
+                    )
+                )
+            )
+            expected[k] = v
+            off += 1
+        parsed = _parse(envelopes_df(spark, msgs), INVOICE_ROW)
+        tb = time.perf_counter()
+        _merge_manifest_batch(parsed, INVOICE, state, b, 20_000)
+        walls.append(round(time.perf_counter() - tb, 3))
+        files_over_time.append(len(_latest_manifest(state)["files"]))
+        if compact_every and (b + 1) % compact_every == 0:
+            tc = time.perf_counter()
+            compact_manifest_store(spark, state, target_rows_per_file=20_000)
+            vacuum_manifest_store(state, keep=3)
+            compact_secs.append(round(time.perf_counter() - tc, 2))
+    final = read_replica_manifest(spark, state)
+    exp_df = spark.createDataFrame(
+        list(expected.items()), "order_id long, invoice_number long"
+    )
+    mism = final.exceptAll(exp_df).count() + exp_df.exceptAll(final).count()
+    q = n_batches // 4
+    print(json.dumps({
+        "metric": "manifest_longfeed",
+        "value": round(n_batches * events_per_batch / sum(walls), 1),
+        "unit": "events/sec",
+        "store_rows": n_store,
+        "batches": n_batches,
+        "events_per_batch": events_per_batch,
+        "compact_every": compact_every,
+        "preload_sec": preload_sec,
+        "files_q1_mean": round(sum(files_over_time[:q]) / q, 1),
+        "files_q4_mean": round(sum(files_over_time[-q:]) / q, 1),
+        "files_final": files_over_time[-1],
+        "files_max": max(files_over_time),
+        "wall_q1_mean": round(sum(walls[:q]) / q, 3),
+        "wall_q4_mean": round(sum(walls[-q:]) / q, 3),
+        "compact_secs": compact_secs,
+        "replica_exact": mism == 0,
+    }))
+    spark.stop()
+
+
 if __name__ == "__main__":
     if len(sys.argv) > 1 and sys.argv[1] == "admission":
         # admission [n_docs] [chunks] — e.g. the 10× batch-size point:
@@ -625,6 +724,13 @@ if __name__ == "__main__":
         bench_admission_store_scale(
             n_docs=int(sys.argv[2]) if len(sys.argv) > 2 else 50_000,
             chunks=int(sys.argv[3]) if len(sys.argv) > 3 else 5,
+        )
+    elif len(sys.argv) > 1 and sys.argv[1] == "manifest-longfeed":
+        # manifest-longfeed [n_batches] [compact_every] — A/B the
+        # file-count bound: compact_every=0 is the uncompacted control
+        bench_manifest_longfeed(
+            n_batches=int(sys.argv[2]) if len(sys.argv) > 2 else 200,
+            compact_every=int(sys.argv[3]) if len(sys.argv) > 3 else 25,
         )
     elif len(sys.argv) > 1 and sys.argv[1] == "scd2":
         bench_scd2()
