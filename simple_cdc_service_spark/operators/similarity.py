@@ -379,7 +379,11 @@ def adaptive_imi_nprobe(n_cells: int, base: int = 32, frac: int = 4) -> int:
     the subgrid multiprobe makes the ranking cost probe², not cells).
     Uniform random vectors are the WORST case: no cluster structure, so
     recall ≈ probed fraction + half-space correlation; real embedding
-    corpora cluster and reach the same recall at far smaller fractions.
+    corpora cluster and reach the same recall at far smaller fractions
+    — MEASURED in r11 (RECALL_CURVES_r11.json, mixture-of-Gaussians at
+    600k/2M): clustered recall is 0.98 already at nprobe=32 (1.6% of
+    the 2M grid) and 1.0 at the adaptive probe, so cells/4 is the
+    structureless-worst-case guarantee, not the clustered requirement.
     At <= 32 cells the floor probes the whole grid; from 33 up to 128
     cells it probes a 32-cell subset — in both sub-ranges (which cover
     every committed oracle scale) the result is byte-identical to the

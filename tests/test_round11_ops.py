@@ -139,3 +139,61 @@ class TestIvfpqImiOracleParity:
         assert len(got) == len(want) > 0
         assert (got["neighbor_id"].to_numpy() == want["neighbor_id"].to_numpy()).all()
         assert (got["cos_sim"].to_numpy() == want["cos_sim"].to_numpy()).all()
+
+
+class TestVerifyGateOnCellMass:
+    """r11, VERDICT r10 #6: the in-bucket verify switch gates on the
+    MEASURED shingle-cell mass (docs x mean set size, riding the
+    factorize agg for free), not a raw doc count — few huge docs cross
+    as early as many small ones. Calibration: VERIFY_GATE_AB_r11.json."""
+
+    def _spy(self, monkeypatch):
+        from simple_cdc_service_spark.operators import dedup
+
+        calls = []
+        real = dedup._minhash_verify_in_bucket
+
+        def spy(*a, **kw):
+            calls.append(1)
+            return real(*a, **kw)
+
+        monkeypatch.setattr(dedup, "_minhash_verify_in_bucket", spy)
+        return calls
+
+    def test_small_corpus_keeps_join_mode(self, spark, monkeypatch):
+        from simple_cdc_service_spark.operators import dedup
+
+        calls = self._spy(monkeypatch)
+        df = spark.createDataFrame(
+            [(i, f"alpha beta gamma delta w{i} z{i}") for i in range(50)],
+            "doc_id long, text string",
+        )
+        dedup._FACTORIZE_DECISION_CACHE.clear()
+        dedup.minhash_dedup_pairs(df, factorize=None).collect()
+        assert calls == []  # tiny mass -> historical join plan
+
+    def test_mass_not_doc_count_trips_the_gate(self, spark, monkeypatch):
+        """Same 50 docs, but huge sets: with the gate constant scaled
+        into test range, the MASS (50 docs x ~200 shingles) crosses
+        where a doc-count gate would not."""
+        from simple_cdc_service_spark.operators import dedup
+
+        calls = self._spy(monkeypatch)
+        monkeypatch.setattr(dedup, "_BUCKET_VERIFY_MIN_CELLS", 5_000)
+        big = " ".join(f"tok{i}{j}" for j in range(220) for i in (1,))
+        df = spark.createDataFrame(
+            [(i, f"{big} uniq{i}") for i in range(50)],
+            "doc_id long, text string",
+        )
+        dedup._FACTORIZE_DECISION_CACHE.clear()
+        dedup.minhash_dedup_pairs(df, factorize=None).collect()
+        assert calls, "50 docs x ~220 shingles = 11k cells > 5k gate"
+        # control: same constant, small sets -> join mode
+        calls.clear()
+        small = spark.createDataFrame(
+            [(i, f"a b c w{i}") for i in range(50)],
+            "doc_id long, text string",
+        )
+        dedup._FACTORIZE_DECISION_CACHE.clear()
+        dedup.minhash_dedup_pairs(small, factorize=None).collect()
+        assert calls == []

@@ -274,9 +274,9 @@ class TestDecisionCacheSessionGuard:
         dedup._SHINGLE_STAGE_CACHE.clear()
         dedup.minhash_dedup_pairs(df, n=1).collect()
         assert len(dedup._FACTORIZE_DECISION_CACHE) == 1
-        key, (sess, val, _docs) = next(
+        key, (sess, val, _docs, _avg) = next(
             iter(dedup._FACTORIZE_DECISION_CACHE.items())
-        )  # r10: 3-tuple (session, decision, doc count)
+        )  # r11: 4-tuple (session, decision, doc count, mean set size)
         assert sess is spark
 
         # poison the entry with a foreign "session" and a WRONG decision:
@@ -285,9 +285,9 @@ class TestDecisionCacheSessionGuard:
         class _NotASession:
             pass
 
-        dedup._FACTORIZE_DECISION_CACHE[key] = (_NotASession(), not val, 0)
+        dedup._FACTORIZE_DECISION_CACHE[key] = (_NotASession(), not val, 0, 0.0)
         dedup.minhash_dedup_pairs(df, n=1).collect()
-        sess2, val2, _docs2 = dedup._FACTORIZE_DECISION_CACHE[key]
+        sess2, val2, _docs2, _avg2 = dedup._FACTORIZE_DECISION_CACHE[key]
         assert sess2 is spark
         assert val2 == val
 
