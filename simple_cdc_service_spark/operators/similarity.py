@@ -638,6 +638,174 @@ def knn_imi(
     )
 
 
+def build_imi_index(
+    corpus: DataFrame,
+    index_dir: str,
+    k_half: int | None = None,
+    seed: int = 42,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    max_partition_dirs: int = 4096,
+) -> dict:
+    """Persist an IMI index as a CELL-PARTITIONED parquet layout — the
+    build half of the build/serve split every ANN docstring in this
+    module gestures at ("in a persisted deployment the corpus would be
+    partitioned BY centroid_id on disk"). This makes it real:
+
+      index_dir/codebooks.npz              the two half-space codebooks
+      index_dir/meta.json                  {k_half, n_rows, partition}
+      index_dir/data/centroid_id=C/*.parquet   (cells <= max dirs)
+      index_dir/data/cell_bucket=B/*.parquet   (bigger grids: cells
+                                                hash-folded into 1024
+                                                directory buckets)
+
+    Serving (knn_imi_indexed) then turns probing into PARTITION
+    PRUNING: the probed cell ids become a filter on the partition
+    column, so the scan plans only the probed directories — at 100 TB
+    the unprobed 96%+ of the corpus is never listed, read, or
+    decoded. This is the IVF analogue of the manifest store's
+    key-range pruning: data layout doing the operator's I/O bounding.
+
+    The index rows are written pre-repartitioned BY the partition
+    column (one task per cell group → one file per directory, not
+    shuffle-partitions × dirs small files). Deterministic: same
+    (corpus, k_half, seed) → byte-identical codebooks and assignment
+    as knn_imi's in-memory path, so serving results are bit-identical
+    to knn_imi on the same parameters (pinned in tests + oracle)."""
+    import json as _json
+    import os
+
+    import numpy as np
+
+    n = corpus.count()
+    if k_half is None:
+        k_half = adaptive_imi_khalf(n)
+    cb = imi_codebooks(corpus, k_half, seed, vec_col, id_col)
+    if cb is None:
+        raise ValueError("build_imi_index: empty corpus")
+    cb1, cb2 = cb
+    cells = len(cb1) * len(cb2)
+    assigned = imi_assign(corpus, cb1, cb2, vec_col=vec_col, id_col=id_col)
+    if cells <= max_partition_dirs:
+        part_col, n_buckets = "centroid_id", None
+        adf = assigned
+        n_groups = min(cells, 256)
+    else:
+        part_col, n_buckets = "cell_bucket", 1024
+        adf = assigned.withColumn(
+            "cell_bucket", F.pmod(F.col("centroid_id"), F.lit(n_buckets))
+        )
+        n_groups = 256
+    os.makedirs(index_dir, exist_ok=True)
+    (
+        adf.repartition(n_groups, F.col(part_col))
+        .write.partitionBy(part_col)
+        .mode("overwrite")
+        .parquet(os.path.join(index_dir, "data"))
+    )
+    np.savez(os.path.join(index_dir, "codebooks.npz"), cb1=cb1, cb2=cb2)
+    meta = {
+        "k_half": int(k_half),
+        "cells": int(cells),
+        "n_rows": int(n),
+        "seed": int(seed),
+        "id_col": id_col,
+        "partition": part_col,
+        "n_buckets": n_buckets,
+    }
+    with open(os.path.join(index_dir, "meta.json"), "w") as f:
+        _json.dump(meta, f)
+    return meta
+
+
+def knn_imi_indexed(
+    spark,
+    index_dir: str,
+    queries: DataFrame,
+    k: int = 10,
+    nprobe: int | None = None,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Serve ANN top-k from a persisted build_imi_index layout. The
+    query side assigns probe cells exactly as knn_imi; the corpus side
+    is a parquet scan FILTERED ON THE PARTITION COLUMN to the probed
+    cells — Catalyst partition pruning plans only those directories
+    (``PartitionFilters`` in the physical plan, pinned in tests), so
+    serving I/O is O(probed cells × per-cell mass), independent of
+    corpus size. Results are bit-identical to knn_imi(corpus, ...) at
+    the same (k_half, seed, nprobe) — same codebooks, same assignment
+    kernel, same join/window tail; the stored ``v`` doubles round-trip
+    parquet exactly.
+
+    ``nprobe`` defaults to the scale-adaptive probe; a fixed
+    under-probe warns exactly like knn_imi (same measured cliff)."""
+    import json as _json
+    import os
+
+    import numpy as np
+
+    with open(os.path.join(index_dir, "meta.json")) as f:
+        meta = _json.load(f)
+    npz = np.load(os.path.join(index_dir, "codebooks.npz"))
+    cb1, cb2 = npz["cb1"], npz["cb2"]
+    cells = meta["cells"]
+    if nprobe is None:
+        nprobe = adaptive_imi_nprobe(cells)
+    elif nprobe * 4 < cells:
+        import warnings
+
+        warnings.warn(
+            f"knn_imi_indexed: fixed nprobe={nprobe} probes "
+            f"{nprobe}/{cells} cells — recall on structureless corpora "
+            f"tracks the probed fraction (see knn_imi); omit nprobe for "
+            f"the scale-adaptive probe",
+            stacklevel=2,
+        )
+    queries_a = imi_assign(
+        queries, cb1, cb2, vec_col=vec_col, id_col=id_col, nprobe=nprobe
+    ).select(
+        F.col(id_col).alias("query_id"),
+        F.col("centroid_id").alias("centroid_q"),
+        F.col("v").alias("qv"),
+    )
+    out_schema = "query_id long, neighbor_id long, rank int, cos_sim double"
+    probed = sorted(
+        {int(r[0]) for r in queries_a.select("centroid_q").distinct().collect()}
+    )
+    if not probed:
+        return spark.createDataFrame([], out_schema)
+    idx = spark.read.parquet(os.path.join(index_dir, "data"))
+    if meta["partition"] == "centroid_id":
+        # the partition-column filter IS the probe: directory pruning
+        idx = idx.filter(F.col("centroid_id").isin(probed))
+    else:
+        buckets = sorted({c % meta["n_buckets"] for c in probed})
+        idx = idx.filter(F.col("cell_bucket").isin(buckets)).filter(
+            F.col("centroid_id").isin(probed)
+        )
+    corpus_a = idx.select(
+        F.col(meta["id_col"]).alias("neighbor_id"),
+        F.col("centroid_id"),
+        F.col("v").alias("cv"),
+    )
+    scored = corpus_a.join(
+        F.broadcast(queries_a), F.col("centroid_id") == F.col("centroid_q")
+    ).select(
+        "query_id",
+        "neighbor_id",
+        F.round(cosine(F.col("qv"), F.col("cv")), 6).alias("cos_sim"),
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cos_sim").desc(), F.col("neighbor_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "rank", "cos_sim")
+    )
+
+
 def knn_ivf(
     corpus: DataFrame,
     queries: DataFrame,

@@ -1542,6 +1542,62 @@ def knn_imi_mp_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "knn_imi_indexed",
+    # Bit-identical to knn_imi_mp by construction (same k_half, seed,
+    # adaptive nprobe; same assignment kernel and join/window tail; the
+    # stored v doubles round-trip parquet exactly) — so the same numpy
+    # expected-result mirror serves both entries.
+    oracle="SELECT * FROM ref_knn_imi_mp",
+    oracle_setup=_ref_imi_mp_setup,
+)
+def knn_imi_indexed_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E4 PERSISTED-INDEX serving path (r11): build_imi_index writes the
+    corpus cell-partitioned on disk (codebooks + centroid_id=C parquet
+    directories); knn_imi_indexed turns probing into Catalyst PARTITION
+    PRUNING — the probed cells filter the partition column, so the scan
+    plans only those directories and serving I/O is O(probed × per-cell
+    mass), independent of corpus size. The build is cached per corpus
+    fingerprint (file path + mtime + size) under /tmp, the serve path
+    re-reads only the pruned layout — the build/serve split a real
+    100 TB ANN deployment runs (FAISS-on-object-store shape, expressed
+    as parquet partition layout + pruning). PartitionFilters presence
+    is plan-pinned in tests; results hash-match the knn_imi_mp
+    mirror."""
+    import hashlib
+    import json as _json
+    import os
+
+    from .operators.similarity import build_imi_index, knn_imi_indexed
+
+    emb = _t(spark, sf_dir, "embeddings")
+    corpus = emb.filter(F.col("vec_id") >= 5)
+    queries = emb.filter(F.col("vec_id") < 5)
+    src = os.path.join(sf_dir, "embeddings.parquet")
+    try:
+        st = os.stat(src)
+        fp = f"{os.path.realpath(src)}|{st.st_mtime_ns}|{st.st_size}"
+    except OSError:
+        fp = f"{sf_dir}|unknown"
+    index_dir = os.path.join(
+        "/tmp", "spark_graft_imi_index", hashlib.md5(fp.encode()).hexdigest()
+    )
+    meta_path = os.path.join(index_dir, "meta.json")
+    stale = True
+    if os.path.exists(meta_path):
+        try:
+            with open(meta_path) as f:
+                stale = _json.load(f).get("fingerprint") != fp
+        except Exception:
+            stale = True
+    if stale:
+        meta = build_imi_index(corpus, index_dir)
+        meta["fingerprint"] = fp
+        with open(meta_path, "w") as f:
+            _json.dump(meta, f)
+    return knn_imi_indexed(spark, index_dir, queries, k=10)
+
+
 # ===========================================================================
 # Aggregation/set/join coverage beyond the reference surface.
 # ===========================================================================

@@ -197,3 +197,99 @@ class TestVerifyGateOnCellMass:
         dedup._FACTORIZE_DECISION_CACHE.clear()
         dedup.minhash_dedup_pairs(small, factorize=None).collect()
         assert calls == []
+
+
+class TestPersistedImiIndex:
+    """r11 build/serve split: build_imi_index persists the corpus
+    cell-partitioned; knn_imi_indexed turns probing into Catalyst
+    partition pruning. Results bit-identical to in-memory knn_imi."""
+
+    def _df(self, spark, n=400):
+        return spark.createDataFrame(_vec_pdf(n=n, dim=16, seed=31))
+
+    def test_serve_equals_in_memory(self, spark, tmp_path):
+        from simple_cdc_service_spark.operators.similarity import (
+            adaptive_imi_khalf,
+            adaptive_imi_nprobe,
+            build_imi_index,
+            knn_imi,
+            knn_imi_indexed,
+        )
+
+        df = self._df(spark)
+        corpus = df.filter("vec_id >= 5")
+        queries = df.filter("vec_id < 5")
+        idx = str(tmp_path / "idx")
+        meta = build_imi_index(corpus, idx)
+        k_half = adaptive_imi_khalf(395)
+        assert meta["k_half"] == k_half and meta["partition"] == "centroid_id"
+        got = (
+            knn_imi_indexed(spark, idx, queries, k=10)
+            .toPandas().sort_values(["query_id", "rank"]).reset_index(drop=True)
+        )
+        want = (
+            knn_imi(
+                corpus, queries, k=10, k_half=k_half,
+                nprobe=adaptive_imi_nprobe(meta["cells"]),
+            )
+            .toPandas().sort_values(["query_id", "rank"]).reset_index(drop=True)
+        )
+        assert got.equals(want) and len(got) > 0
+
+    def test_bucketed_layout_equals_too(self, spark, tmp_path):
+        """Grids past max_partition_dirs fold cells into 1024 directory
+        buckets; the serve path adds the exact-cell filter on top."""
+        from simple_cdc_service_spark.operators.similarity import (
+            build_imi_index,
+            knn_imi,
+            knn_imi_indexed,
+        )
+
+        df = self._df(spark)
+        corpus = df.filter("vec_id >= 5")
+        queries = df.filter("vec_id < 5")
+        idx = str(tmp_path / "idxb")
+        meta = build_imi_index(corpus, idx, k_half=5, max_partition_dirs=4)
+        assert meta["partition"] == "cell_bucket"
+        got = (
+            knn_imi_indexed(spark, idx, queries, k=10, nprobe=6)
+            .toPandas().sort_values(["query_id", "rank"]).reset_index(drop=True)
+        )
+        want = (
+            knn_imi(corpus, queries, k=10, k_half=5, nprobe=6)
+            .toPandas().sort_values(["query_id", "rank"]).reset_index(drop=True)
+        )
+        assert got.equals(want) and len(got) > 0
+
+    def test_probe_is_partition_pruning(self, spark, tmp_path):
+        """The probed-cell filter must reach the scan as a
+        PartitionFilter — directory pruning, not a post-scan filter."""
+        import os
+
+        from pyspark.sql import functions as F
+
+        from simple_cdc_service_spark.operators.similarity import (
+            build_imi_index,
+        )
+
+        df = self._df(spark)
+        idx = str(tmp_path / "idxp")
+        build_imi_index(df.filter("vec_id >= 5"), idx, k_half=4)
+        dirs = [
+            d for d in os.listdir(os.path.join(idx, "data"))
+            if d.startswith("centroid_id=")
+        ]
+        assert len(dirs) > 4
+        probed = [0, 1]
+        scan = spark.read.parquet(os.path.join(idx, "data")).filter(
+            F.col("centroid_id").isin(probed)
+        )
+        plan = scan._jdf.queryExecution().executedPlan().toString()
+        assert "PartitionFilters" in plan and "centroid_id" in plan.split(
+            "PartitionFilters", 1
+        )[1][:200]
+        # and the pruned scan reads strictly fewer files than the layout
+        all_files = sum(
+            len(os.listdir(os.path.join(idx, "data", d))) for d in dirs
+        )
+        assert len(scan.inputFiles()) < all_files or len(scan.inputFiles()) <= len(probed)
