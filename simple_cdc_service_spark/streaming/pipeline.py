@@ -902,13 +902,41 @@ def _any_key_in_range(sorted_keys: list, lo, hi) -> bool:
 
 
 def read_replica_manifest(
-    spark: SparkSession, state_dir: str, before: int | None = None
+    spark: SparkSession,
+    state_dir: str,
+    before: int | None = None,
+    version: int | None = None,
 ) -> DataFrame | None:
     """Current state of the manifest store (latest committed manifest),
     or None. Untouched files are shared ACROSS versions by reference —
     reading version N touches only the files N's manifest lists.
-    ``before`` has read_replica's crash-replay contract."""
-    m = _latest_manifest(state_dir, before=before)
+    ``before`` has read_replica's crash-replay contract.
+
+    ``version`` is TIME TRAVEL (r11): read the store exactly as of
+    committed manifest version ``version`` (a micro-batch id, or the
+    reserved bootstrap -1) — the Delta ``VERSION AS OF`` / Iceberg
+    snapshot-id read, expressible here because every manifest is an
+    immutable full file listing and untouched files are shared across
+    versions by reference. The travel horizon is the vacuum retention
+    window: ``vacuum_manifest_store(keep=k)`` deletes manifests (and
+    then-unreferenced files) older than the newest ``k`` versions, so a
+    vacuumed-away version raises KeyError naming what IS available.
+    Compaction rewrites only the LATEST manifest (content-identical),
+    so prior versions keep reading bit-identically after a compact.
+    Mutually exclusive with ``before``."""
+    if version is not None:
+        if before is not None:
+            raise ValueError("pass either before= or version=, not both")
+        versions = _manifest_versions(state_dir)
+        if version not in versions:
+            raise KeyError(
+                f"manifest version {version} not present in {state_dir} "
+                f"(available: {versions} — older versions may have been "
+                f"vacuumed; see vacuum_manifest_store keep=)"
+            )
+        m = _read_manifest(state_dir, version)
+    else:
+        m = _latest_manifest(state_dir, before=before)
     if m is None:
         return None
     paths = [os.path.join(state_dir, e["path"]) for e in m["files"]]
@@ -921,6 +949,29 @@ def read_replica_manifest(
     # so far; parquet upcasts/null-fills the old files under it, where
     # mixed per-file inference refuses the read
     return spark.read.schema(m["schema_ddl"]).parquet(*paths)
+
+
+def manifest_store_history(state_dir: str) -> list[dict]:
+    """Commit history of a manifest store, oldest first — the Delta
+    ``DESCRIBE HISTORY`` equivalent. One dict per retained committed
+    version: version (micro-batch id; -1 = bootstrap), total_rows,
+    n_files, files_touched (files rewritten by that batch's merge;
+    0 for bootstrap/full writes), and compacted_from when a compaction
+    has rewritten that version's file list. Driver-side metadata only —
+    reads the manifest JSONs, never the data files."""
+    out = []
+    for v in _manifest_versions(state_dir):
+        m = _read_manifest(state_dir, v)
+        h = {
+            "version": v,
+            "total_rows": m["total_rows"],
+            "n_files": len(m["files"]),
+            "files_touched": m.get("files_touched", 0),
+        }
+        if "compacted_from" in m:
+            h["compacted_from"] = m["compacted_from"]
+        out.append(h)
+    return out
 
 
 def _merge_manifest_batch(
@@ -1339,6 +1390,8 @@ def start_multi_table_merge(
     state_root: str,
     checkpoint: str,
     trigger_available_now: bool = True,
+    store: str = "versioned",
+    target_rows_per_file: int = 200_000,
 ):
     """Route a mixed multi-table changelog stream into per-table replicas.
 
@@ -1347,11 +1400,19 @@ def start_multi_table_merge(
     ONE stream, discriminated by ``payload.source.table``
     (reference naming convention README.md:295-297). Per micro-batch each
     configured table's slice is parsed with ITS OWN row schema and merged
-    into its own versioned state dir — one streaming query, N replicas,
-    one checkpoint (table slices commit atomically per batch).
+    into its own state dir — one streaming query, N replicas, one
+    checkpoint (table slices commit atomically per batch).
 
     ``tables``: table name → (ChangeTableConfig, row StructType).
+    ``store``: "versioned" (full-rewrite versioned state, read with
+    read_replica) or "manifest" (r11: the key-stats manifest store —
+    per-table file pruning, bootstrap/compaction/vacuum all apply; read
+    with read_replica_manifest). At N tables × big stores the manifest
+    route is what survives: each table's batch slice touches only the
+    files its keys live in, instead of N full rewrites per micro-batch.
     """
+    if store not in ("versioned", "manifest"):
+        raise ValueError(f"store must be 'versioned' or 'manifest', got {store!r}")
 
     def apply_batch(batch_df: DataFrame, batch_id: int) -> None:
         for name, (cfg, row_schema) in tables.items():
@@ -1360,7 +1421,18 @@ def start_multi_table_merge(
                 # carry source.table; route on it.
                 F.col("source_table") == name
             )
-            _merge_parsed_batch(parsed, cfg, os.path.join(state_root, name), batch_id)
+            if store == "manifest":
+                _merge_manifest_batch(
+                    parsed,
+                    cfg,
+                    os.path.join(state_root, name),
+                    batch_id,
+                    target_rows_per_file,
+                )
+            else:
+                _merge_parsed_batch(
+                    parsed, cfg, os.path.join(state_root, name), batch_id
+                )
 
     writer = (
         stream.writeStream.foreachBatch(apply_batch)

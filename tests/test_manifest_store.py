@@ -460,3 +460,179 @@ class TestManifestCompaction:
         )
         bootstrap_manifest_store(base, INVOICE, state)  # one file
         assert compact_manifest_store(spark, state, min_files=8) is None
+
+
+class TestTimeTravel:
+    def _feed(self, spark, tmp_path, chunks, **kw):
+        src = str(tmp_path / "src")
+        state = str(tmp_path / "state")
+        ckpt = str(tmp_path / "ckpt")
+        pos = 0
+        for i, chunk in enumerate(chunks):
+            _write_batch(src, f"part{i}.json", chunk, pos)
+            pos += len(chunk)
+            start_replica_merge_manifest(
+                read_changelog_stream(spark, src), INVOICE, state, ckpt, **kw
+            ).awaitTermination()
+        return state
+
+    def test_version_read_matches_versioned_replay(self, spark, tmp_path):
+        """r11 time travel: read_replica_manifest(version=v) equals the
+        flat versioned store's read_replica(before=v+1) at EVERY
+        committed version on the identical feed — the Delta VERSION AS
+        OF contract, pinned against the independently-implemented
+        versioned merge rather than a replay of the same code."""
+        from simple_cdc_service_spark.streaming import manifest_store_history
+
+        msgs, _ = generate_envelopes(
+            n=600, seed=11, truncate_every=250, key_space=150
+        )
+        chunks = [msgs[:200], msgs[200:450], msgs[450:]]
+        state = self._feed(spark, tmp_path, chunks, target_rows_per_file=40)
+
+        vsrc = str(tmp_path / "vsrc")
+        vstate = str(tmp_path / "vstate")
+        vckpt = str(tmp_path / "vckpt")
+        pos = 0
+        for i, chunk in enumerate(chunks):
+            _write_batch(vsrc, f"part{i}.json", chunk, pos)
+            pos += len(chunk)
+            start_replica_merge(
+                read_changelog_stream(spark, vsrc), INVOICE, vstate, vckpt
+            ).awaitTermination()
+
+        hist = manifest_store_history(state)
+        versions = [h["version"] for h in hist]
+        assert versions == [0, 1, 2]
+        for v in versions:
+            got = {
+                r.order_id: r.invoice_number
+                for r in read_replica_manifest(spark, state, version=v).collect()
+            }
+            want = {
+                r.order_id: r.invoice_number
+                for r in read_replica(spark, vstate, before=v + 1).collect()
+            }
+            assert got == want, f"version {v} diverges"
+        # history stats are internally consistent with the reads
+        for h, v in zip(hist, versions):
+            assert h["total_rows"] == read_replica_manifest(
+                spark, state, version=v
+            ).count()
+
+        with pytest.raises(ValueError):
+            read_replica_manifest(spark, state, before=1, version=1)
+        with pytest.raises(KeyError):
+            read_replica_manifest(spark, state, version=99)
+
+    def test_travel_survives_compaction_vacuum_sets_horizon(
+        self, spark, tmp_path
+    ):
+        """Compaction rewrites only the LATEST manifest, so prior
+        versions keep reading identically; vacuum(keep=k) is the travel
+        horizon — dropped versions raise KeyError, retained ones still
+        read (their files were kept live by the retained manifests)."""
+        from simple_cdc_service_spark.streaming import (
+            compact_manifest_store,
+            manifest_store_history,
+        )
+
+        msgs, _ = generate_envelopes(n=600, seed=13, key_space=120)
+        chunks = [msgs[:200], msgs[200:400], msgs[400:]]
+        state = self._feed(spark, tmp_path, chunks, target_rows_per_file=30)
+
+        before = {
+            v: {
+                r.order_id: r.invoice_number
+                for r in read_replica_manifest(spark, state, version=v).collect()
+            }
+            for v in (0, 1, 2)
+        }
+        assert compact_manifest_store(
+            spark, state, target_rows_per_file=30_000, min_files=2
+        ) is not None
+        for v in (0, 1, 2):
+            after = {
+                r.order_id: r.invoice_number
+                for r in read_replica_manifest(spark, state, version=v).collect()
+            }
+            assert after == before[v], f"compaction changed version {v}"
+        assert "compacted_from" in manifest_store_history(state)[-1]
+
+        vacuum_manifest_store(state, keep=2)
+        with pytest.raises(KeyError):
+            read_replica_manifest(spark, state, version=0)
+        for v in (1, 2):
+            kept = {
+                r.order_id: r.invoice_number
+                for r in read_replica_manifest(spark, state, version=v).collect()
+            }
+            assert kept == before[v], f"vacuum broke retained version {v}"
+
+
+class TestMultiTableManifest:
+    def test_two_tables_one_stream_manifest_store(self, spark, tmp_path):
+        """r11: start_multi_table_merge(store='manifest') routes each
+        table's slice through the key-stats manifest merge — one stream,
+        N pruned stores; replicas match the versioned route exactly."""
+        import json as _json
+
+        from pyspark.sql import types as T
+
+        from simple_cdc_service_spark.config import ChangeTableConfig
+        from simple_cdc_service_spark.schemas import INVOICE_ROW, row_schema
+        from simple_cdc_service_spark.streaming.pipeline import (
+            _latest_manifest,
+            start_multi_table_merge,
+        )
+
+        def env(table, op, before, after, pos):
+            return _json.dumps(
+                {"payload": {"before": before, "after": after, "op": op,
+                             "ts_ms": pos,
+                             "source": {"table": table, "file": "b.1",
+                                        "pos": pos, "row": 0}}}
+            )
+
+        PRODUCT_ROW = row_schema({"sku": T.LongType(), "price": T.LongType()})
+        PRODUCT = ChangeTableConfig(
+            name="product", key_columns=("sku",), value_columns=("price",),
+            order_columns=("offset",),
+        )
+        msgs = [
+            env("invoice", "c", None, {"order_id": 1, "invoice_number": 10}, 1),
+            env("product", "c", None, {"sku": 7, "price": 99}, 2),
+            env("invoice", "u", {"order_id": 1, "invoice_number": 10},
+                {"order_id": 1, "invoice_number": 11}, 3),
+            env("product", "d", {"sku": 7, "price": 99}, None, 4),
+            env("product", "c", None, {"sku": 8, "price": 42}, 5),
+        ]
+        src = str(tmp_path / "src")
+        _write_batch(src, "a.json", msgs, 0)
+        tables = {
+            "invoice": (INVOICE, INVOICE_ROW),
+            "product": (PRODUCT, PRODUCT_ROW),
+        }
+        start_multi_table_merge(
+            read_changelog_stream(spark, src), tables,
+            str(tmp_path / "state"), str(tmp_path / "ckpt"),
+            store="manifest",
+        ).awaitTermination()
+
+        inv_state = str(tmp_path / "state" / "invoice")
+        prod_state = str(tmp_path / "state" / "product")
+        inv = {r.order_id: r.invoice_number
+               for r in read_replica_manifest(spark, inv_state).collect()}
+        prod = {r.sku: r.price
+                for r in read_replica_manifest(spark, prod_state).collect()}
+        assert inv == {1: 11}
+        assert prod == {8: 42}
+        # each table commits its OWN manifest chain with its own key
+        assert _latest_manifest(inv_state)["key"] == "order_id"
+        assert _latest_manifest(prod_state)["key"] == "sku"
+
+        with pytest.raises(ValueError):
+            start_multi_table_merge(
+                read_changelog_stream(spark, src), tables,
+                str(tmp_path / "s2"), str(tmp_path / "c2"), store="bogus",
+            )
