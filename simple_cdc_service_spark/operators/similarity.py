@@ -682,7 +682,27 @@ def build_imi_index(
         k_half = adaptive_imi_khalf(n)
     cb = imi_codebooks(corpus, k_half, seed, vec_col, id_col)
     if cb is None:
-        raise ValueError("build_imi_index: empty corpus")
+        # empty corpus (fresh deploy / filtered-to-empty): a valid index
+        # with zero cells — serving returns an empty typed frame, the
+        # same degrade every other ANN entry has
+        os.makedirs(index_dir, exist_ok=True)
+        np.savez(
+            os.path.join(index_dir, "codebooks.npz"),
+            cb1=np.zeros((0, 0)),
+            cb2=np.zeros((0, 0)),
+        )
+        meta = {
+            "k_half": int(k_half),
+            "cells": 0,
+            "n_rows": 0,
+            "seed": int(seed),
+            "id_col": id_col,
+            "partition": "centroid_id",
+            "n_buckets": None,
+        }
+        with open(os.path.join(index_dir, "meta.json"), "w") as f:
+            _json.dump(meta, f)
+        return meta
     cb1, cb2 = cb
     cells = len(cb1) * len(cb2)
     assigned = imi_assign(corpus, cb1, cb2, vec_col=vec_col, id_col=id_col)
@@ -750,6 +770,9 @@ def knn_imi_indexed(
     npz = np.load(os.path.join(index_dir, "codebooks.npz"))
     cb1, cb2 = npz["cb1"], npz["cb2"]
     cells = meta["cells"]
+    out_schema = "query_id long, neighbor_id long, rank int, cos_sim double"
+    if cells == 0:  # index built over an empty corpus
+        return spark.createDataFrame([], out_schema)
     if nprobe is None:
         nprobe = adaptive_imi_nprobe(cells)
     elif nprobe * 4 < cells:
@@ -769,7 +792,6 @@ def knn_imi_indexed(
         F.col("centroid_id").alias("centroid_q"),
         F.col("v").alias("qv"),
     )
-    out_schema = "query_id long, neighbor_id long, rank int, cos_sim double"
     probed = sorted(
         {int(r[0]) for r in queries_a.select("centroid_q").distinct().collect()}
     )

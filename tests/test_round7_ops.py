@@ -228,10 +228,12 @@ class TestFactorizeDecisionCache:
         dedup._FACTORIZE_DECISION_CACHE.clear()
         r1 = sorted(map(tuple, dedup.minhash_dedup_pairs(df, n=1).collect()))
         assert len(dedup._FACTORIZE_DECISION_CACHE) == 1
-        cached_sess, cached_decision, cached_docs = next(
+        cached_sess, cached_decision, cached_docs, cached_avg = next(
             iter(dedup._FACTORIZE_DECISION_CACHE.values())
-        )  # r10: the value also carries the measured doc count
+        )  # r10: measured doc count; r11: mean set size (the verify-gate
+        # mass input rides the same cached measurement)
         assert cached_docs == 20
+        assert cached_avg > 0
         assert cached_sess is spark  # r8: value carries the owning session
         # second adaptive run: served from cache (no new key), same output
         r2 = sorted(map(tuple, dedup.minhash_dedup_pairs(df, n=1).collect()))
