@@ -779,21 +779,30 @@ def _imi_cell_distances(vecs, cb1, cb2):
 
 def _expected_imi_result(
     con, corpus_sql: str, queries_sql: str, k: int, nprobe: int, seed: int = 42,
-    k_half: int | None = None,
+    k_half: int | None = None, train_sql: str | None = None,
 ):
     """Full expected result of knn_imi: cell assignment (first-min argmin
     per half), query cells ranked by d1+d2 (stable ascending = lowest
     cell id on ties), exact sequential-fold cosine on candidates,
     (round6 DESC, id) ranking. Returns (query_id, neighbor_id, rank,
-    cos_sim)."""
+    cos_sim).
+
+    ``train_sql`` (r11): train the codebooks on a SUBSET of the corpus
+    (default: the corpus itself) — mirrors the incremental-index path
+    (build_imi_index on the base, append_imi_index for the rest: the
+    grid is frozen at build, so the full corpus assigns under the
+    base-trained codebooks). k_half then defaults from the TRAINING
+    set's count, matching the engine's build-time adaptive choice."""
     import numpy as np
     import pandas as pd
 
+    if train_sql is None:
+        train_sql = corpus_sql
     c_ids, c_vecs = _fetch(con, corpus_sql)
     q_ids, q_vecs = _fetch(con, queries_sql)
     if k_half is None:
-        k_half = _adaptive_imi_khalf(len(c_ids))
-    cb = imi_codebooks_ref(con, corpus_sql, k_half, seed)
+        k_half = _adaptive_imi_khalf(_count(con, train_sql))
+    cb = imi_codebooks_ref(con, train_sql, k_half, seed)
     out_cols = ["query_id", "neighbor_id", "rank", "cos_sim"]
     if cb is None or len(q_ids) == 0:
         return pd.DataFrame([], columns=out_cols)
@@ -862,5 +871,31 @@ def setup_knn_imi_mp(con) -> None:
             k=10,
             nprobe=_adaptive_imi_nprobe(k_half * k_half),
             k_half=k_half,
+        ),
+    )
+
+
+def setup_knn_imi_indexed_incr(con) -> None:
+    """knn_imi_indexed_incr's oracle: the index was BUILT on the odd
+    vec_ids (codebooks trained there, k_half from THEIR count) and the
+    even vec_ids were APPENDED under the frozen grid — so the expected
+    result is the full corpus assigned under odd-trained codebooks.
+    One mirror line: train_sql = the odd subset."""
+    train = (
+        "SELECT vec_id, embedding FROM embeddings "
+        "WHERE vec_id >= 5 AND vec_id % 2 = 1"
+    )
+    k_half = _adaptive_imi_khalf(_count(con, train))
+    _register(
+        con,
+        "ref_knn_imi_indexed_incr",
+        _expected_imi_result(
+            con,
+            "SELECT vec_id, embedding FROM embeddings WHERE vec_id >= 5",
+            "SELECT vec_id, embedding FROM embeddings WHERE vec_id < 5",
+            k=10,
+            nprobe=_adaptive_imi_nprobe(k_half * k_half),
+            k_half=k_half,
+            train_sql=train,
         ),
     )

@@ -646,6 +646,8 @@ def build_imi_index(
     vec_col: str = "embedding",
     id_col: str = "vec_id",
     max_partition_dirs: int = 4096,
+    codebooks=None,
+    _extra_meta: dict | None = None,
 ) -> dict:
     """Persist an IMI index as a CELL-PARTITIONED parquet layout — the
     build half of the build/serve split every ANN docstring in this
@@ -680,7 +682,15 @@ def build_imi_index(
     n = corpus.count()
     if k_half is None:
         k_half = adaptive_imi_khalf(n)
-    cb = imi_codebooks(corpus, k_half, seed, vec_col, id_col)
+    # ``codebooks``: pretrained (cb1, cb2) — train elsewhere (a sample,
+    # an earlier corpus snapshot) and only lay out here; also what makes
+    # append_imi_index testable (build-on-union-with-A's-codebooks must
+    # equal build-on-A-then-append-B, pinned in tests)
+    cb = (
+        codebooks
+        if codebooks is not None and n > 0
+        else imi_codebooks(corpus, k_half, seed, vec_col, id_col)
+    )
     if cb is None:
         # empty corpus (fresh deploy / filtered-to-empty): a valid index
         # with zero cells — serving returns an empty typed frame, the
@@ -700,6 +710,8 @@ def build_imi_index(
             "partition": "centroid_id",
             "n_buckets": None,
         }
+        if _extra_meta:
+            meta.update(_extra_meta)
         with open(os.path.join(index_dir, "meta.json"), "w") as f:
             _json.dump(meta, f)
         return meta
@@ -725,17 +737,199 @@ def build_imi_index(
     )
     np.savez(os.path.join(index_dir, "codebooks.npz"), cb1=cb1, cb2=cb2)
     meta = {
-        "k_half": int(k_half),
+        "k_half": int(len(cb1)),
         "cells": int(cells),
         "n_rows": int(n),
+        # codebook-drift accounting for append_imi_index: the training
+        # base size (appends accumulate against it)
+        "trained_rows": int(n),
+        "appended_rows": 0,
         "seed": int(seed),
         "id_col": id_col,
         "partition": part_col,
         "n_buckets": n_buckets,
     }
+    if _extra_meta:
+        meta.update(_extra_meta)
     with open(os.path.join(index_dir, "meta.json"), "w") as f:
         _json.dump(meta, f)
     return meta
+
+
+def append_imi_index(
+    new_vectors: DataFrame,
+    index_dir: str,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    batch_id: int | None = None,
+) -> dict:
+    """INCREMENTAL index maintenance: assign ``new_vectors`` under the
+    index's EXISTING codebooks and append their rows to the cell
+    directories — the piece a streaming corpus needs so the ANN index
+    absorbs new data without the O(corpus) rebuild (the FAISS
+    add-after-train shape; pairs with start_corpus_dedup_admission:
+    admit → append). Serving picks the rows up with no code change —
+    knn_imi_indexed lists probed directories, including ones this
+    append just created for previously-empty cells.
+
+    The grid is FROZEN: cells/k_half stay as trained, so an append
+    never moves existing rows and build(A)+append(B) is EXACTLY
+    build(A∪B, codebooks=cb_A) — pinned in tests. The cost is codebook
+    drift: appended vectors from a shifted distribution crowd into few
+    cells and per-cell mass skews. ``appended_rows`` accumulates in
+    meta and a UserWarning fires once appends exceed the training base
+    (rebuild advised — the adaptive_lsh_params warning pattern).
+
+    Single-writer, like the manifest store's contract. ``batch_id=None``
+    (one-shot): the append is one partitioned parquet append + an
+    atomic meta rewrite — a crash between the two leaves valid files
+    and a stale row count (a rebuild heals). ``batch_id=B`` (the
+    streaming path, start_imi_index_maintenance): EXACTLY-ONCE replay —
+    B in meta's ``committed_batches`` short-circuits the whole call;
+    otherwise any ``b{B}-*`` files from a crashed attempt are removed,
+    the batch is staged to its own directory, moved into the cell
+    directories under the deterministic ``b{B}-`` prefix (what makes
+    crash cleanup possible at all), and the meta rewrite that records B
+    IS the commit — the manifest store's marker discipline with file
+    prefixes standing in for a file listing. Serving sees a committing
+    batch at file granularity (no snapshot isolation — the meta commit
+    is replay bookkeeping; a reader needing snapshots reads through the
+    manifest-store pattern instead). Empty index (zero cells):
+    delegates to build_imi_index — there are no codebooks to freeze
+    yet; with ``batch_id`` the commit marker rides build's single
+    atomic meta write, so a crash anywhere simply rebuilds."""
+    import glob as _glob
+    import json as _json
+    import os
+    import shutil
+
+    import numpy as np
+
+    with open(os.path.join(index_dir, "meta.json")) as f:
+        meta = _json.load(f)
+    committed = list(meta.get("committed_batches", []))
+    if batch_id is not None and batch_id in committed:
+        return meta
+    data_dir = os.path.join(index_dir, "data")
+    if meta["cells"] == 0:
+        extra = {}
+        if meta.get("fingerprint") is not None:
+            extra["fingerprint"] = meta["fingerprint"]
+        if batch_id is not None:
+            extra["committed_batches"] = committed + [batch_id]
+        return build_imi_index(
+            new_vectors,
+            index_dir,
+            seed=meta.get("seed", 42),
+            vec_col=vec_col,
+            id_col=id_col,
+            _extra_meta=extra or None,
+        )
+    n_new = new_vectors.count()
+    if n_new == 0:
+        return meta
+    npz = np.load(os.path.join(index_dir, "codebooks.npz"))
+    cb1, cb2 = npz["cb1"], npz["cb2"]
+    adf = imi_assign(new_vectors, cb1, cb2, vec_col=vec_col, id_col=id_col)
+    if meta["partition"] == "centroid_id":
+        part_col = "centroid_id"
+        n_groups = min(meta["cells"], 256)
+    else:
+        part_col = "cell_bucket"
+        adf = adf.withColumn(
+            "cell_bucket", F.pmod(F.col("centroid_id"), F.lit(meta["n_buckets"]))
+        )
+        n_groups = 256
+    writer = adf.repartition(n_groups, F.col(part_col)).write.partitionBy(part_col)
+    if batch_id is None:
+        writer.mode("append").parquet(data_dir)
+    else:
+        # crashed-attempt cleanup: the deterministic prefix is the
+        # batch's file listing
+        for leftover in _glob.glob(
+            os.path.join(data_dir, f"{part_col}=*", f"b{batch_id}-*.parquet")
+        ):
+            os.remove(leftover)
+        stage = os.path.join(index_dir, "staging", f"b{batch_id}")
+        writer.mode("overwrite").parquet(stage)
+        for sdir in sorted(_glob.glob(os.path.join(stage, f"{part_col}=*"))):
+            dst_dir = os.path.join(data_dir, os.path.basename(sdir))
+            os.makedirs(dst_dir, exist_ok=True)
+            for i, f_ in enumerate(
+                sorted(
+                    f
+                    for f in os.listdir(sdir)
+                    if f.endswith(".parquet")
+                )
+            ):
+                os.replace(
+                    os.path.join(sdir, f_),
+                    os.path.join(dst_dir, f"b{batch_id}-{i}.parquet"),
+                )
+        shutil.rmtree(os.path.join(index_dir, "staging"), ignore_errors=True)
+        meta["committed_batches"] = committed + [batch_id]
+    meta["n_rows"] = int(meta["n_rows"]) + int(n_new)
+    meta["appended_rows"] = int(meta.get("appended_rows", 0)) + int(n_new)
+    trained = int(meta.get("trained_rows", meta["n_rows"]))
+    meta_path = os.path.join(index_dir, "meta.json")
+    tmp = meta_path + ".tmp"
+    with open(tmp, "w") as f:
+        _json.dump(meta, f)
+    os.replace(tmp, meta_path)
+    if trained > 0 and meta["appended_rows"] > trained:
+        import warnings
+
+        warnings.warn(
+            f"append_imi_index: {meta['appended_rows']} appended rows now "
+            f"exceed the {trained}-row training base — the frozen codebooks "
+            f"no longer reflect the corpus distribution (per-cell mass "
+            f"skews, recall degrades); rebuild with build_imi_index",
+            stacklevel=2,
+        )
+    return meta
+
+
+def rebuild_imi_index(
+    spark,
+    index_dir: str,
+    new_index_dir: str,
+    k_half: int | None = None,
+) -> dict:
+    """The drift warning's remedy: re-train the grid over the index's
+    ACCUMULATED corpus (base + every append) and lay it out fresh in
+    ``new_index_dir`` — k_half re-adapted to the grown row count unless
+    pinned. Reads the stored rows (id, v) straight from the cell
+    directories; no external copy of the corpus is needed — the index
+    IS the corpus. The caller flips serving to the new directory when
+    this returns (versioned index dirs, the pointer-swap deployment
+    shape — rebuild-in-place would need an atomic directory swap the
+    filesystem doesn't give us). Off the hot path, like manifest-store
+    compaction."""
+    import json as _json
+    import os
+
+    with open(os.path.join(index_dir, "meta.json")) as f:
+        meta = _json.load(f)
+    if meta["cells"] == 0:
+        return build_imi_index(
+            spark.createDataFrame(
+                [], f"{meta['id_col']} long, embedding array<double>"
+            ),
+            new_index_dir,
+            seed=meta.get("seed", 42),
+            id_col=meta["id_col"],
+        )
+    rows = spark.read.option(
+        "basePath", os.path.join(index_dir, "data")
+    ).parquet(os.path.join(index_dir, "data")).select(meta["id_col"], "v")
+    return build_imi_index(
+        rows,
+        new_index_dir,
+        k_half=k_half,
+        seed=meta.get("seed", 42),
+        vec_col="v",
+        id_col=meta["id_col"],
+    )
 
 
 def knn_imi_indexed(
@@ -797,15 +991,37 @@ def knn_imi_indexed(
     )
     if not probed:
         return spark.createDataFrame([], out_schema)
-    idx = spark.read.parquet(os.path.join(index_dir, "data"))
+    data_dir = os.path.join(index_dir, "data")
+    # List ONLY the probed directories (basePath keeps the partition
+    # column): a full spark.read.parquet(data_dir) would run partition
+    # DISCOVERY over every cell directory before pruning — at 2025 dirs
+    # that listing dominated serve wall (measured: 6.7s of a 7s serve at
+    # the 2M decade), turning O(probed) I/O into O(cells) metadata. A
+    # probed cell with no directory holds no corpus rows — skipped.
+    # (Local-FS existence check; a cluster deployment swaps in the
+    # Hadoop FS API — same O(probed) listing either way.)
+    part_vals = (
+        probed
+        if meta["partition"] == "centroid_id"
+        else sorted({c % meta["n_buckets"] for c in probed})
+    )
+    paths = [
+        p
+        for v in part_vals
+        if os.path.isdir(p := os.path.join(data_dir, f"{meta['partition']}={v}"))
+    ]
+    if not paths:
+        return spark.createDataFrame([], out_schema)
+    idx = spark.read.option("basePath", data_dir).parquet(*paths)
     if meta["partition"] == "centroid_id":
         # the partition-column filter IS the probe: directory pruning
+        # (kept on top of the explicit listing — it is what the plan
+        # pins as PartitionFilters)
         idx = idx.filter(F.col("centroid_id").isin(probed))
     else:
-        buckets = sorted({c % meta["n_buckets"] for c in probed})
-        idx = idx.filter(F.col("cell_bucket").isin(buckets)).filter(
-            F.col("centroid_id").isin(probed)
-        )
+        idx = idx.filter(
+            F.col("cell_bucket").isin(part_vals)
+        ).filter(F.col("centroid_id").isin(probed))
     corpus_a = idx.select(
         F.col(meta["id_col"]).alias("neighbor_id"),
         F.col("centroid_id"),

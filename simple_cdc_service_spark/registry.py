@@ -1598,6 +1598,76 @@ def knn_imi_indexed_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return knn_imi_indexed(spark, index_dir, queries, k=10)
 
 
+def _ref_imi_indexed_incr_setup(con) -> None:
+    from .functions.ref_oracle import setup_knn_imi_indexed_incr
+
+    setup_knn_imi_indexed_incr(con)
+
+
+@register(
+    "knn_imi_indexed_incr",
+    oracle="SELECT * FROM ref_knn_imi_indexed_incr",
+    oracle_setup=_ref_imi_indexed_incr_setup,
+)
+def knn_imi_indexed_incr_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E4 INCREMENTAL index maintenance (r11): build_imi_index on the
+    odd vec_ids (codebooks trained and grid frozen there), then
+    append_imi_index the even vec_ids — assignment under the frozen
+    codebooks, rows appended into the cell directories — and serve the
+    full corpus with knn_imi_indexed. The streaming-corpus shape: new
+    data is absorbed by assignment-and-append (O(batch)), never an
+    O(corpus) rebuild; codebook drift is metered in meta and warned on
+    (append_imi_index docstring). Oracle: the SAME numpy expected-result
+    mirror with train_sql = the odd subset (the grid freeze makes
+    build(A)+append(B) ≡ assignment of A∪B under A-trained codebooks —
+    also pinned as an engine-side equivalence in tests)."""
+    import hashlib
+    import json as _json
+    import os
+
+    from .operators.similarity import (
+        append_imi_index,
+        build_imi_index,
+        knn_imi_indexed,
+    )
+
+    emb = _t(spark, sf_dir, "embeddings")
+    base = emb.filter((F.col("vec_id") >= 5) & (F.col("vec_id") % 2 == 1))
+    incr = emb.filter((F.col("vec_id") >= 5) & (F.col("vec_id") % 2 == 0))
+    queries = emb.filter(F.col("vec_id") < 5)
+    src = os.path.join(sf_dir, "embeddings.parquet")
+    try:
+        st = os.stat(src)
+        fp = f"incr|{os.path.realpath(src)}|{st.st_mtime_ns}|{st.st_size}"
+    except OSError:
+        fp = f"incr|{sf_dir}|unknown"
+    index_dir = os.path.join(
+        "/tmp", "spark_graft_imi_index", hashlib.md5(fp.encode()).hexdigest()
+    )
+    meta_path = os.path.join(index_dir, "meta.json")
+    stale = True
+    if os.path.exists(meta_path):
+        try:
+            with open(meta_path) as f:
+                stale = _json.load(f).get("fingerprint") != fp
+        except Exception:
+            stale = True
+    if stale:
+        import warnings
+
+        build_imi_index(base, index_dir)
+        with warnings.catch_warnings():
+            # the even half can outnumber the odd training base by one
+            # row — the drift warning is by-design noise at a 50/50
+            # split, not a stale-codebook signal
+            warnings.simplefilter("ignore", UserWarning)
+            meta = append_imi_index(incr, index_dir)
+        meta["fingerprint"] = fp
+        with open(meta_path, "w") as f:
+            _json.dump(meta, f)
+    return knn_imi_indexed(spark, index_dir, queries, k=10)
+
+
 # ===========================================================================
 # Aggregation/set/join coverage beyond the reference surface.
 # ===========================================================================

@@ -1444,6 +1444,64 @@ def start_multi_table_merge(
     return writer.start()
 
 
+def start_imi_index_maintenance(
+    stream: DataFrame,
+    index_dir: str,
+    checkpoint: str,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    trigger_available_now: bool = True,
+):
+    """Maintain a persisted IMI ANN index from a vector stream (r11 —
+    the E4×E9 crossover): the first non-empty micro-batch BUILDS the
+    index (trains codebooks, lays the corpus out cell-partitioned);
+    every later batch is append_imi_index(batch_id=...) — assignment
+    under the frozen grid, rows appended to the cell directories under
+    the exactly-once two-phase protocol (stage → prefix-named move →
+    meta commit; replays of committed batches short-circuit, crashed
+    attempts self-clean by prefix). Serving (knn_imi_indexed) needs no
+    coordination — it reads whatever cell directories exist.
+
+    This is the streaming half of the 100 TB ANN story: the O(corpus)
+    work (codebook training, full assignment) happens once; each batch
+    pays O(batch) assignment + a per-cell append. Codebook drift is
+    metered (meta.appended_rows vs trained_rows) and warned on once
+    appends exceed the training base — at which point a scheduled
+    rebuild (build_imi_index over the accumulated corpus) re-trains the
+    grid, exactly like the manifest store's compaction runs off the hot
+    path. Single-writer, like every store in this module."""
+    from ..operators.similarity import append_imi_index, build_imi_index
+
+    def apply_batch(batch_df: DataFrame, batch_id: int) -> None:
+        vecs = batch_df.select(F.col(id_col), F.col(vec_col))
+        meta_path = os.path.join(index_dir, "meta.json")
+        if not os.path.exists(meta_path):
+            # first batch: build IS the commit (meta is written once,
+            # atomically, with the batch marker; a crash before it
+            # leaves no meta → the replay rebuilds over the overwrite)
+            build_imi_index(
+                vecs,
+                index_dir,
+                vec_col=vec_col,
+                id_col=id_col,
+                _extra_meta={"committed_batches": [batch_id]},
+            )
+        else:
+            append_imi_index(
+                vecs, index_dir, vec_col=vec_col, id_col=id_col,
+                batch_id=batch_id,
+            )
+
+    writer = (
+        stream.writeStream.foreachBatch(apply_batch)
+        .option("checkpointLocation", checkpoint)
+        .outputMode("update")
+    )
+    if trigger_available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
 def vacuum_state(state_dir: str, keep: int = 3) -> list[int]:
     """Drop all but the newest ``keep`` committed state versions.
 

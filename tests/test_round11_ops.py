@@ -293,3 +293,232 @@ class TestPersistedImiIndex:
             len(os.listdir(os.path.join(idx, "data", d))) for d in dirs
         )
         assert len(scan.inputFiles()) < all_files or len(scan.inputFiles()) <= len(probed)
+
+
+class TestAppendImiIndex:
+    """r11 incremental maintenance: the grid is frozen at build, so
+    build(A)+append(B) must be EXACTLY build(A∪B, codebooks=cb_A)."""
+
+    def _df(self, spark, n=400):
+        return spark.createDataFrame(_vec_pdf(n=n, dim=16, seed=47))
+
+    def test_append_equals_build_with_frozen_codebooks(self, spark, tmp_path):
+        import numpy as np
+
+        from simple_cdc_service_spark.operators.similarity import (
+            append_imi_index,
+            build_imi_index,
+            knn_imi_indexed,
+        )
+
+        df = self._df(spark)
+        base = df.filter("vec_id >= 5 and vec_id % 2 = 1")
+        incr = df.filter("vec_id >= 5 and vec_id % 2 = 0")
+        queries = df.filter("vec_id < 5")
+
+        idx_a = str(tmp_path / "incr")
+        m0 = build_imi_index(base, idx_a)
+        m1 = append_imi_index(incr, idx_a)
+        assert m1["n_rows"] == m0["n_rows"] + incr.count()
+        assert m1["appended_rows"] == incr.count()
+        assert m1["trained_rows"] == m0["n_rows"]
+        # cells/k_half frozen by the append
+        assert (m1["k_half"], m1["cells"]) == (m0["k_half"], m0["cells"])
+
+        # reference: one-shot layout of the union under A's codebooks
+        npz = np.load(f"{idx_a}/codebooks.npz")
+        idx_b = str(tmp_path / "full")
+        build_imi_index(
+            df.filter("vec_id >= 5"), idx_b,
+            k_half=m0["k_half"], codebooks=(npz["cb1"], npz["cb2"]),
+        )
+        got = sorted(map(tuple, knn_imi_indexed(spark, idx_a, queries, k=10).collect()))
+        want = sorted(map(tuple, knn_imi_indexed(spark, idx_b, queries, k=10).collect()))
+        assert got == want and len(got) > 0
+
+    def test_append_creates_new_cell_dirs_and_serves_them(self, spark, tmp_path):
+        import os
+
+        from simple_cdc_service_spark.operators.similarity import (
+            append_imi_index,
+            build_imi_index,
+            knn_imi_indexed,
+        )
+
+        df = self._df(spark)
+        idx = str(tmp_path / "idx")
+        build_imi_index(df.filter("vec_id >= 5 and vec_id < 50"), idx, k_half=4)
+        dirs0 = set(os.listdir(os.path.join(idx, "data")))
+        append_imi_index(df.filter("vec_id >= 50"), idx)
+        dirs1 = set(os.listdir(os.path.join(idx, "data")))
+        assert dirs1 >= dirs0  # appends only add directories
+        # the served neighbor set reaches appended rows
+        got = knn_imi_indexed(spark, idx, df.filter("vec_id < 5"), k=10)
+        assert got.filter("neighbor_id >= 50").count() > 0
+
+    def test_drift_warning_and_empty_paths(self, spark, tmp_path):
+        import warnings
+
+        from simple_cdc_service_spark.operators.similarity import (
+            append_imi_index,
+            build_imi_index,
+        )
+
+        df = self._df(spark)
+        idx = str(tmp_path / "warn")
+        build_imi_index(df.filter("vec_id >= 5 and vec_id < 105"), idx)
+        # appending more rows than the training base warns (codebook drift)
+        with pytest.warns(UserWarning, match="training base"):
+            append_imi_index(df.filter("vec_id >= 105"), idx)
+        # empty append is a no-op, no warning
+        m_before = append_imi_index(df.filter("vec_id < 0"), idx)
+        with warnings.catch_warnings():
+            warnings.simplefilter("error")
+            m_after = append_imi_index(df.filter("vec_id < 0"), idx)
+        assert m_after["n_rows"] == m_before["n_rows"]
+        # append into an EMPTY index delegates to build (no codebooks yet)
+        idx2 = str(tmp_path / "boot")
+        build_imi_index(df.filter("vec_id < 0"), idx2)
+        m = append_imi_index(df.filter("vec_id >= 5"), idx2)
+        assert m["cells"] > 0 and m["n_rows"] == 395
+
+
+class TestImiIndexMaintenance:
+    """r11 streaming index maintenance: build on first batch, exactly-
+    once appends after (stage -> b{B}-prefixed move -> meta commit)."""
+
+    def _vec_rows(self, lo, hi, dim=16, seed=53):
+        import numpy as np
+
+        rng = np.random.RandomState(seed)
+        all_vecs = rng.uniform(-1, 1, size=(hi, dim))
+        return [
+            {"vec_id": i, "embedding": [float(x) for x in all_vecs[i]]}
+            for i in range(lo, hi)
+        ]
+
+    def test_stream_builds_then_appends_then_serves(self, spark, tmp_path):
+        import json as _json
+        import os
+
+        from simple_cdc_service_spark.operators.similarity import (
+            knn_imi_indexed,
+        )
+        from simple_cdc_service_spark.streaming import (
+            start_imi_index_maintenance,
+        )
+
+        src = str(tmp_path / "src")
+        idx = str(tmp_path / "idx")
+        ckpt = str(tmp_path / "ckpt")
+        os.makedirs(src)
+        schema = "vec_id long, embedding array<double>"
+
+        def feed(name, rows):
+            with open(os.path.join(src, name), "w") as f:
+                for r in rows:
+                    f.write(_json.dumps(r) + "\n")
+            start_imi_index_maintenance(
+                spark.readStream.schema(schema).json(src), idx, ckpt
+            ).awaitTermination()
+
+        feed("c0.json", self._vec_rows(5, 150))
+        with open(os.path.join(idx, "meta.json")) as f:
+            m0 = _json.load(f)
+        assert m0["committed_batches"] == [0] and m0["n_rows"] == 145
+        feed("c1.json", self._vec_rows(150, 300))
+        with open(os.path.join(idx, "meta.json")) as f:
+            m1 = _json.load(f)
+        assert m1["committed_batches"] == [0, 1]
+        assert m1["n_rows"] == 295 and m1["appended_rows"] == 150
+        # grid frozen by the append
+        assert (m1["k_half"], m1["cells"]) == (m0["k_half"], m0["cells"])
+
+        queries = spark.createDataFrame(
+            [(r["vec_id"], r["embedding"]) for r in self._vec_rows(0, 5)],
+            schema,
+        )
+        got = knn_imi_indexed(spark, idx, queries, k=10)
+        assert got.count() == 50
+        assert got.filter("neighbor_id >= 150").count() > 0  # appended rows serve
+
+    def test_replay_and_crash_cleanup_are_exactly_once(self, spark, tmp_path):
+        import glob
+        import json as _json
+        import os
+        import shutil
+
+        from simple_cdc_service_spark.operators.similarity import (
+            append_imi_index,
+            build_imi_index,
+        )
+
+        df = spark.createDataFrame(
+            [(r["vec_id"], r["embedding"]) for r in self._vec_rows(5, 200)],
+            "vec_id long, embedding array<double>",
+        )
+        idx = str(tmp_path / "idx")
+        build_imi_index(df.filter("vec_id < 100"), idx)
+        batch = df.filter("vec_id >= 100")
+        m1 = append_imi_index(batch, idx, batch_id=7)
+        files1 = sorted(glob.glob(os.path.join(idx, "data", "*", "b7-*.parquet")))
+        assert files1 and m1["committed_batches"] == [7]
+        # replay of a COMMITTED batch: whole call short-circuits
+        m2 = append_imi_index(batch, idx, batch_id=7)
+        assert m2["n_rows"] == m1["n_rows"]
+        assert sorted(glob.glob(os.path.join(idx, "data", "*", "b7-*.parquet"))) == files1
+
+        # crashed attempt: b8- files exist but meta never committed 8 —
+        # the retry must remove them before re-appending (no duplicates)
+        junk_dir = os.path.dirname(files1[0])
+        shutil.copy(files1[0], os.path.join(junk_dir, "b8-999.parquet"))
+        m3 = append_imi_index(batch.limit(10), idx, batch_id=8)
+        assert m3["committed_batches"] == [7, 8]
+        assert not glob.glob(os.path.join(idx, "data", "*", "b8-999.parquet"))
+        total = spark.read.option("basePath", os.path.join(idx, "data")).parquet(
+            os.path.join(idx, "data")
+        ).count()
+        assert total == m3["n_rows"]  # meta row count == physical rows
+
+
+class TestRebuildImiIndex:
+    def test_rebuild_equals_fresh_build_on_accumulated_corpus(
+        self, spark, tmp_path
+    ):
+        """rebuild reads (id, v) back from the cells and re-trains — the
+        codebook sample is selected by xxhash64(id) and v round-trips
+        parquet exactly, so rebuild(build(A)+append(B)) must serve
+        bit-identically to build(A∪B) directly."""
+        from simple_cdc_service_spark.operators.similarity import (
+            append_imi_index,
+            build_imi_index,
+            knn_imi_indexed,
+            rebuild_imi_index,
+        )
+
+        df = spark.createDataFrame(_vec_pdf(n=300, dim=16, seed=61))
+        corpus = df.filter("vec_id >= 5")
+        queries = df.filter("vec_id < 5")
+        grown = str(tmp_path / "grown")
+        build_imi_index(corpus.filter("vec_id < 150"), grown)
+        append_imi_index(corpus.filter("vec_id >= 150"), grown)
+        rebuilt = str(tmp_path / "rebuilt")
+        m = rebuild_imi_index(spark, grown, rebuilt)
+        assert m["n_rows"] == 295 and m["appended_rows"] == 0
+        fresh = str(tmp_path / "fresh")
+        build_imi_index(corpus, fresh)
+        got = sorted(map(tuple, knn_imi_indexed(spark, rebuilt, queries, k=10).collect()))
+        want = sorted(map(tuple, knn_imi_indexed(spark, fresh, queries, k=10).collect()))
+        assert got == want and len(got) > 0
+
+    def test_rebuild_empty_index(self, spark, tmp_path):
+        from simple_cdc_service_spark.operators.similarity import (
+            build_imi_index,
+            rebuild_imi_index,
+        )
+
+        df = spark.createDataFrame(_vec_pdf(n=10, dim=16, seed=61))
+        empty = str(tmp_path / "empty")
+        build_imi_index(df.filter("vec_id < 0"), empty)
+        m = rebuild_imi_index(spark, empty, str(tmp_path / "e2"))
+        assert m["cells"] == 0 and m["n_rows"] == 0

@@ -21,6 +21,13 @@ pass every ANN docstring says dominates); serving pays only the probed
 directories. Break-even is ~build/(inmem−serve) queries.
 
 Usage: python tools/imi_index_proof.py OUT_JSON CORPUS_DIR LABEL [CORPUS_DIR LABEL ...]
+
+LABEL may carry a fixed probe as LABEL:NPROBE (e.g. clustered_2M:32 —
+the recall-curves-justified low-probe regime for clustered corpora,
+where RECALL_CURVES_r11 reads 0.98 at 1.6% of the grid). Default is
+the adaptive probe; note adaptive = cells/4 makes the 5 queries' probe
+UNION cover most of the grid, so pruning only pays when the workload's
+union is sparse — exactly what the fixed-probe legs measure.
 """
 
 from __future__ import annotations
@@ -56,13 +63,18 @@ def main() -> None:
             results = json.load(f)
 
     for corpus_dir, label in pairs:
+        fixed_nprobe = None
+        if ":" in label:
+            label, np_s = label.rsplit(":", 1)
+            fixed_nprobe = int(np_s)
+            label = f"{label}_nprobe{fixed_nprobe}"
         emb = spark.read.parquet(os.path.join(corpus_dir, "embeddings.parquet"))
         corpus = emb.filter("vec_id >= 5").select("vec_id", "embedding")
         queries = emb.filter("vec_id < 5").select("vec_id", "embedding")
         n = corpus.count()
         k_half = adaptive_imi_khalf(n)
         cells = k_half * k_half
-        nprobe = adaptive_imi_nprobe(cells)
+        nprobe = fixed_nprobe if fixed_nprobe is not None else adaptive_imi_nprobe(cells)
 
         index_dir = f"/tmp/imi_index_proof_{label}"
         shutil.rmtree(index_dir, ignore_errors=True)
