@@ -599,6 +599,88 @@ def bench_scd2(n_events: int = 50_000, chunks: int = 5) -> None:
     spark.stop()
 
 
+def bench_imi_index(n_vecs: int = 100_000, chunks: int = 5, dim: int = 64) -> None:
+    """Streaming ANN-index maintenance throughput (r11): feed seeded
+    vectors through start_imi_index_maintenance in K micro-batch cycles
+    (batch 0 builds — codebook training + full layout; batches 1..K-1
+    append under the frozen grid) and print vectors/sec. The claim under
+    measurement is O(batch) absorption: append batch walls should stay
+    FLAT while the index grows. Ends with a timed knn_imi_indexed serve
+    over the final index and a physical-vs-meta row-count equality."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from simple_cdc_service_spark.operators.similarity import knn_imi_indexed
+    from simple_cdc_service_spark.streaming import start_imi_index_maintenance
+
+    spark = get_spark("bench-imi-index")
+    spark.sparkContext.setLogLevel("ERROR")
+    d = tempfile.mkdtemp()
+    src, idx, ckpt = f"{d}/src", f"{d}/idx", f"{d}/ckpt"
+    os.makedirs(src)
+    rng = np.random.default_rng(99)
+    per = n_vecs // chunks
+    load_start = os.getloadavg()[0]
+    batch_secs = []
+    t0 = time.perf_counter()
+    for c in range(chunks):
+        lo = c * per
+        hi = (c + 1) * per if c < chunks - 1 else n_vecs
+        vecs = rng.standard_normal((hi - lo, dim)).astype(np.float64)
+        pq.write_table(
+            pa.table(
+                {
+                    "vec_id": pa.array(range(lo, hi), pa.int64()),
+                    "embedding": pa.array(vecs.tolist(), pa.list_(pa.float64())),
+                }
+            ),
+            f"{src}/c{c}.parquet",
+        )
+        tb = time.perf_counter()
+        start_imi_index_maintenance(
+            spark.readStream.schema("vec_id long, embedding array<double>")
+            .parquet(src),
+            idx, ckpt,
+        ).awaitTermination()
+        batch_secs.append(round(time.perf_counter() - tb, 2))
+    wall = time.perf_counter() - t0
+    import json as _json
+
+    with open(f"{idx}/meta.json") as f:
+        meta = _json.load(f)
+    physical = spark.read.option("basePath", f"{idx}/data").parquet(
+        f"{idx}/data"
+    ).count()
+    q_vecs = rng.standard_normal((5, dim))
+    queries = spark.createDataFrame(
+        [(int(1_000_000 + i), [float(x) for x in q_vecs[i]]) for i in range(5)],
+        "vec_id long, embedding array<double>",
+    )
+    ts = time.perf_counter()
+    served = knn_imi_indexed(spark, idx, queries, k=10).count()
+    serve_sec = round(time.perf_counter() - ts, 2)
+    print(json.dumps({
+        "metric": "imi_index_vectors_per_sec",
+        "value": round(n_vecs / wall, 1),
+        "unit": "vectors/sec",
+        "vectors": n_vecs,
+        "micro_batches": chunks,
+        "wall_sec": round(wall, 2),
+        # batch 0 = build (codebook training + full layout); the append
+        # batches are the flat-wall claim
+        "batch_sec": batch_secs,
+        "index_rows": meta["n_rows"],
+        "rows_physical_equals_meta": physical == meta["n_rows"] == n_vecs,
+        "committed_batches": len(meta.get("committed_batches", [])),
+        "serve_sec": serve_sec,
+        "served_rows": served,
+        "loadavg_start": round(load_start, 1),
+        "loadavg_end": round(os.getloadavg()[0], 1),
+    }))
+    spark.stop()
+
+
 def bench_manifest_longfeed(
     n_store: int = 1_000_000,
     n_batches: int = 200,
@@ -734,5 +816,11 @@ if __name__ == "__main__":
         )
     elif len(sys.argv) > 1 and sys.argv[1] == "scd2":
         bench_scd2()
+    elif len(sys.argv) > 1 and sys.argv[1] == "imi-index":
+        # imi-index [n_vecs] [chunks] — streaming ANN-index maintenance
+        bench_imi_index(
+            n_vecs=int(sys.argv[2]) if len(sys.argv) > 2 else 100_000,
+            chunks=int(sys.argv[3]) if len(sys.argv) > 3 else 5,
+        )
     else:
         main()
