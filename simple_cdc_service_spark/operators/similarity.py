@@ -894,6 +894,7 @@ def rebuild_imi_index(
     index_dir: str,
     new_index_dir: str,
     k_half: int | None = None,
+    retrain: bool = True,
 ) -> dict:
     """The drift warning's remedy: re-train the grid over the index's
     ACCUMULATED corpus (base + every append) and lay it out fresh in
@@ -904,9 +905,18 @@ def rebuild_imi_index(
     this returns (versioned index dirs, the pointer-swap deployment
     shape — rebuild-in-place would need an atomic directory swap the
     filesystem doesn't give us). Off the hot path, like manifest-store
-    compaction."""
+    compaction.
+
+    ``retrain=False`` is COMPACTION: keep the trained codebooks (the
+    grid stays frozen, serving stays bit-identical — pinned) and only
+    refresh the layout — a long append feed accumulates one-or-more
+    small ``b{B}-`` files per cell per batch (the manifest store's
+    file-count disease, hit here by the same mechanism), and the
+    rewrite folds every cell back to one file per task group."""
     import json as _json
     import os
+
+    import numpy as np
 
     with open(os.path.join(index_dir, "meta.json")) as f:
         meta = _json.load(f)
@@ -922,14 +932,29 @@ def rebuild_imi_index(
     rows = spark.read.option(
         "basePath", os.path.join(index_dir, "data")
     ).parquet(os.path.join(index_dir, "data")).select(meta["id_col"], "v")
-    return build_imi_index(
+    if retrain:
+        codebooks = None
+    else:
+        npz = np.load(os.path.join(index_dir, "codebooks.npz"))
+        codebooks = (npz["cb1"], npz["cb2"])
+        k_half = meta["k_half"]
+    out = build_imi_index(
         rows,
         new_index_dir,
         k_half=k_half,
         seed=meta.get("seed", 42),
         vec_col="v",
         id_col=meta["id_col"],
+        codebooks=codebooks,
     )
+    if not retrain:
+        # a compaction is not a re-training: carry the drift accounting
+        # so the rebuild warning still knows its base
+        out["trained_rows"] = meta.get("trained_rows", out["n_rows"])
+        out["appended_rows"] = meta.get("appended_rows", 0)
+        with open(os.path.join(new_index_dir, "meta.json"), "w") as f:
+            _json.dump(out, f)
+    return out
 
 
 def knn_imi_indexed(

@@ -522,3 +522,41 @@ class TestRebuildImiIndex:
         build_imi_index(df.filter("vec_id < 0"), empty)
         m = rebuild_imi_index(spark, empty, str(tmp_path / "e2"))
         assert m["cells"] == 0 and m["n_rows"] == 0
+
+    def test_compaction_keeps_grid_and_serving_bit_identical(
+        self, spark, tmp_path
+    ):
+        """retrain=False = compaction: small per-batch b{B}- files fold
+        into one file per task group, codebooks/grid frozen, serving
+        bit-identical, drift accounting carried."""
+        import glob
+        import os
+
+        from simple_cdc_service_spark.operators.similarity import (
+            append_imi_index,
+            build_imi_index,
+            knn_imi_indexed,
+            rebuild_imi_index,
+        )
+
+        df = spark.createDataFrame(_vec_pdf(n=300, dim=16, seed=67))
+        corpus = df.filter("vec_id >= 5")
+        queries = df.filter("vec_id < 5")
+        idx = str(tmp_path / "idx")
+        build_imi_index(corpus.filter("vec_id < 100"), idx)
+        for b, (lo, hi) in enumerate([(100, 170), (170, 240), (240, 300)]):
+            append_imi_index(
+                corpus.filter(f"vec_id >= {lo} and vec_id < {hi}"),
+                idx, batch_id=b,
+            )
+        before = sorted(map(tuple, knn_imi_indexed(spark, idx, queries, k=10).collect()))
+        n_files_before = len(glob.glob(os.path.join(idx, "data", "*", "*.parquet")))
+
+        comp = str(tmp_path / "comp")
+        m = rebuild_imi_index(spark, idx, comp, retrain=False)
+        after = sorted(map(tuple, knn_imi_indexed(spark, comp, queries, k=10).collect()))
+        assert after == before and len(after) > 0
+        n_files_after = len(glob.glob(os.path.join(comp, "data", "*", "*.parquet")))
+        assert n_files_after < n_files_before
+        assert m["appended_rows"] == 200 and m["trained_rows"] == 95
+        assert m["n_rows"] == 295

@@ -599,6 +599,102 @@ def bench_scd2(n_events: int = 50_000, chunks: int = 5) -> None:
     spark.stop()
 
 
+def bench_multi_table(
+    n_tables: int = 4,
+    n_events: int = 40_000,
+    chunks: int = 4,
+    store: str = "manifest",
+) -> None:
+    """Multi-table routing throughput (r11): ONE mixed changelog stream
+    (``n_tables`` independent seeded workloads, round-robin interleaved,
+    discriminated by payload.source.table) through start_multi_table_merge
+    into N per-table replicas — versioned (N full rewrites per batch) vs
+    manifest (each table's slice touches only the files its keys live in).
+    Exactness: every table's replica must equal ITS workload's sequential
+    replay."""
+    import dataclasses
+
+    from simple_cdc_service_spark.schemas import INVOICE_ROW
+    from simple_cdc_service_spark.streaming import (
+        read_changelog_stream,
+        read_replica,
+        read_replica_manifest,
+    )
+    from simple_cdc_service_spark.streaming.pipeline import (
+        start_multi_table_merge,
+    )
+
+    spark = get_spark("bench-multi-table")
+    spark.sparkContext.setLogLevel("ERROR")
+    d = tempfile.mkdtemp()
+    src, state, ckpt = f"{d}/src", f"{d}/state", f"{d}/ckpt"
+    os.makedirs(src)
+    per_table = n_events // n_tables
+    relabeled: dict[str, tuple[list[str], dict]] = {}
+    for t in range(n_tables):
+        msgs, exp = generate_envelopes(
+            n=per_table, seed=100 + t, truncate_every=None,
+            key_space=per_table // 3,
+        )
+        name = f"tbl{t}"
+        out = []
+        for m in msgs:
+            e = json.loads(m)
+            e["payload"]["source"]["table"] = name
+            out.append(json.dumps(e))
+        relabeled[name] = (out, exp)
+    interleaved = [
+        m
+        for tup in zip(*(v[0] for v in relabeled.values()))
+        for m in tup
+    ]
+    tables = {
+        name: (dataclasses.replace(INVOICE, name=name), INVOICE_ROW)
+        for name in relabeled
+    }
+    per = len(interleaved) // chunks
+    load_start = os.getloadavg()[0]
+    batch_secs = []
+    t0 = time.perf_counter()
+    for c in range(chunks):
+        lo = c * per
+        hi = (c + 1) * per if c < chunks - 1 else len(interleaved)
+        with open(f"{src}/c{c}.json", "w") as f:
+            for i in range(lo, hi):
+                f.write(json.dumps(
+                    {"offset": i, "timestamp": i, "value": interleaved[i]}
+                ) + "\n")
+        tb = time.perf_counter()
+        start_multi_table_merge(
+            read_changelog_stream(spark, src), tables, state, ckpt,
+            store=store,
+        ).awaitTermination()
+        batch_secs.append(round(time.perf_counter() - tb, 2))
+    wall = time.perf_counter() - t0
+    exact = True
+    for name, (_, exp) in relabeled.items():
+        reader = read_replica_manifest if store == "manifest" else read_replica
+        got = {
+            r.order_id: r.invoice_number
+            for r in reader(spark, os.path.join(state, name)).collect()
+        }
+        exact = exact and got == exp
+    print(json.dumps({
+        "metric": f"multi_table_events_per_sec_{store}",
+        "value": round(len(interleaved) / wall, 1),
+        "unit": "events/sec",
+        "events": len(interleaved),
+        "tables": n_tables,
+        "micro_batches": chunks,
+        "wall_sec": round(wall, 2),
+        "batch_sec": batch_secs,
+        "replica_exact_all_tables": exact,
+        "loadavg_start": round(load_start, 1),
+        "loadavg_end": round(os.getloadavg()[0], 1),
+    }))
+    spark.stop()
+
+
 def bench_imi_index(n_vecs: int = 100_000, chunks: int = 5, dim: int = 64) -> None:
     """Streaming ANN-index maintenance throughput (r11): feed seeded
     vectors through start_imi_index_maintenance in K micro-batch cycles
@@ -816,6 +912,13 @@ if __name__ == "__main__":
         )
     elif len(sys.argv) > 1 and sys.argv[1] == "scd2":
         bench_scd2()
+    elif len(sys.argv) > 1 and sys.argv[1] == "multi-table":
+        # multi-table [n_tables] [n_events] [store] — mixed-stream routing
+        bench_multi_table(
+            n_tables=int(sys.argv[2]) if len(sys.argv) > 2 else 4,
+            n_events=int(sys.argv[3]) if len(sys.argv) > 3 else 40_000,
+            store=sys.argv[4] if len(sys.argv) > 4 else "manifest",
+        )
     elif len(sys.argv) > 1 and sys.argv[1] == "imi-index":
         # imi-index [n_vecs] [chunks] — streaming ANN-index maintenance
         bench_imi_index(
