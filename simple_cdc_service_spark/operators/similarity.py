@@ -889,6 +889,55 @@ def append_imi_index(
     return meta
 
 
+def imi_index_stats(index_dir: str) -> dict:
+    """Layout health of a persisted IMI index, from parquet FOOTERS only
+    (driver-side metadata, no data pages — the manifest_store_history
+    discipline): per-directory row mass and file counts, aggregated to
+    {n_rows, n_files, n_dirs, cells, rows_per_dir: {min, mean, max},
+    mass_skew (max/mean — the drift-diagnosis number: a frozen grid
+    absorbing a shifted distribution shows it climbing), plus the meta's
+    trained/appended accounting. Cheap enough to run per maintenance
+    cycle; rebuild when mass_skew says the grid no longer fits, not just
+    when row counts do."""
+    import json as _json
+    import os
+
+    import pyarrow.parquet as pq
+
+    with open(os.path.join(index_dir, "meta.json")) as f:
+        meta = _json.load(f)
+    data_dir = os.path.join(index_dir, "data")
+    per_dir = {}
+    n_files = 0
+    if os.path.isdir(data_dir):
+        for d in sorted(os.listdir(data_dir)):
+            p = os.path.join(data_dir, d)
+            if not (os.path.isdir(p) and "=" in d):
+                continue
+            rows = 0
+            for fn in os.listdir(p):
+                if fn.endswith(".parquet"):
+                    rows += pq.read_metadata(os.path.join(p, fn)).num_rows
+                    n_files += 1
+            per_dir[d] = rows
+    masses = list(per_dir.values())
+    mean = (sum(masses) / len(masses)) if masses else 0.0
+    return {
+        "n_rows": sum(masses),
+        "n_files": n_files,
+        "n_dirs": len(masses),
+        "cells": meta["cells"],
+        "trained_rows": meta.get("trained_rows", 0),
+        "appended_rows": meta.get("appended_rows", 0),
+        "rows_per_dir": {
+            "min": min(masses) if masses else 0,
+            "mean": round(mean, 1),
+            "max": max(masses) if masses else 0,
+        },
+        "mass_skew": round(max(masses) / mean, 2) if mean else 0.0,
+    }
+
+
 def rebuild_imi_index(
     spark,
     index_dir: str,

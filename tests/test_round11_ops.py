@@ -560,3 +560,27 @@ class TestRebuildImiIndex:
         assert n_files_after < n_files_before
         assert m["appended_rows"] == 200 and m["trained_rows"] == 95
         assert m["n_rows"] == 295
+
+
+class TestImiIndexStats:
+    def test_stats_track_layout_and_appends(self, spark, tmp_path):
+        from simple_cdc_service_spark.operators.similarity import (
+            append_imi_index,
+            build_imi_index,
+            imi_index_stats,
+        )
+
+        df = spark.createDataFrame(_vec_pdf(n=300, dim=16, seed=71))
+        idx = str(tmp_path / "idx")
+        build_imi_index(df.filter("vec_id >= 5 and vec_id < 200"), idx)
+        s0 = imi_index_stats(idx)
+        assert s0["n_rows"] == 195 and s0["appended_rows"] == 0
+        assert s0["n_dirs"] <= s0["cells"]
+        assert s0["rows_per_dir"]["min"] >= 1
+        append_imi_index(df.filter("vec_id >= 200"), idx)
+        s1 = imi_index_stats(idx)
+        assert s1["n_rows"] == 295 and s1["appended_rows"] == 100
+        assert s1["n_files"] > s0["n_files"]
+        assert s1["mass_skew"] >= 1.0
+        # footer row sum equals meta accounting (physical == logical)
+        assert s1["n_rows"] == s1["trained_rows"] + s1["appended_rows"]
