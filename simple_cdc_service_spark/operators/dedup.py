@@ -216,55 +216,61 @@ def minhash_banded(
     minima are NULL together), and bucket_pairs drops NULL buckets —
     contentless docs never collide, matching the oracle SQL whose
     element-wise sig[i]=sig[i] join is never true on NULL."""
+    # Expressions are built as single SQL strings (F.expr) rather than
+    # py4j Column chains: identical analyzed expressions, but ONE driver
+    # round-trip per projection instead of ~2 ms × dozens of Column calls
+    # (measured: the Column-chain build of this function alone cost
+    # ~0.5 s of pure driver time per invocation at sf0.1 — r11
+    # optimization round, guide §7.3).
     r = k // bands
     if family == "xxhash64":
-        from ..functions import minhash_signature_xx
-
-        sig = shingled.select(
-            F.col(id_col), minhash_signature_xx(F.col("shingles"), k).alias("sig")
+        # h_i(s) = xxhash64(i, s) — see functions.minhash_signature_xx
+        # (kept as the reference Column implementation; equality pinned
+        # in tests).
+        sig_sql = "array({})".format(
+            ",".join(
+                f"array_min(transform(shingles, s -> xxhash64({i}, s)))"
+                for i in range(k)
+            )
         )
+        sig = shingled.select(F.col(id_col), F.expr(sig_sql).alias("sig"))
     else:
         # Stage the per-group md5 arrays as real columns so each md5 pass
         # runs ONCE per row; the four 32-bit chunk minima per group are then
         # cheap substring scans. (CollapseProject keeps the staging: the
         # hashed arrays are non-cheap and referenced 4×, so the optimizer
         # does not inline them back into duplicated md5 calls.)
-        from ..functions import _chunk_min, _md5_array
-
-        staged = shingled
-        for g in range((k + 3) // 4):
-            staged = staged.withColumn(
-                f"__h{g}", _md5_array(F.col("shingles"), f"{g}|")
-            )
-        sig = staged.select(
+        # Hash family: h_{4g+j}(s) = substr(md5(g || '|' || s), 8j+1, 8) —
+        # see functions.minhash_signature (the reference Column form).
+        staged = shingled.select(
             F.col(id_col),
-            F.array(
-                *[_chunk_min(F.col(f"__h{i // 4}"), i % 4) for i in range(k)]
-            ).alias("sig"),
+            *[
+                F.expr(f"transform(shingles, s -> md5(concat('{g}|', s)))").alias(
+                    f"__h{g}"
+                )
+                for g in range((k + 3) // 4)
+            ],
         )
-    return sig.select(
-        id_col,
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(b).alias("band"),
-                        F.when(
-                            F.col("sig")[b * r].isNull(),
-                            F.lit(None).cast("string"),
-                        )
-                        .otherwise(
-                            F.concat_ws(
-                                "|", *[F.col("sig")[b * r + j] for j in range(r)]
-                            )
-                        )
-                        .alias("bv"),
-                    )
-                    for b in range(bands)
-                ]
+        sig_sql = "array({})".format(
+            ",".join(
+                f"array_min(transform(__h{i // 4}, h -> substring(h, {8 * (i % 4) + 1}, 8)))"
+                for i in range(k)
             )
-        ).alias("bb"),
-    ).select(id_col, "bb.band", "bb.bv")
+        )
+        sig = staged.select(F.col(id_col), F.expr(sig_sql).alias("sig"))
+    bands_sql = ",".join(
+        "struct({b} as band, if(sig[{first}] is null, cast(null as string), "
+        "concat_ws('|', {elems})) as bv)".format(
+            b=b,
+            first=b * r,
+            elems=",".join(f"sig[{b * r + j}]" for j in range(r)),
+        )
+        for b in range(bands)
+    )
+    # inline() fuses the historical explode(array<struct>) + field
+    # projection into one generator — same rows, same (id, band, bv)
+    # schema, one Dataset op less.
+    return sig.select(F.col(id_col), F.expr(f"inline(array({bands_sql}))"))
 
 
 def minhash_candidates(
@@ -329,43 +335,46 @@ def bucket_pairs(
     whose buckets partition the ids (e.g. the set-identity within-group
     expansion) pass False and skip a full shuffle of the quadratic pair
     stream."""
+    # Built with F.expr SQL strings: one driver round-trip per projection
+    # instead of ~2 ms × dozens of py4j Column calls (r11, guide §7.3);
+    # every expression is the exact SQL form of the historical Column
+    # chain (array indexing 0-based via element_at(cast ... int), the
+    # same sequence bounds, the same join keys).
     buckets = (
         banded.groupBy(band_col, bv_col)
-        .agg(F.array_sort(F.collect_list(F.col(id_col))).alias("ids"))
-        .filter((F.size("ids") > 1) & F.col(bv_col).isNotNull())
+        .agg(F.expr(f"array_sort(collect_list({id_col}))").alias("ids"))
+        .filter(F.expr(f"size(ids) > 1 AND {bv_col} IS NOT NULL"))
     )
-    n = F.size(F.col("ids"))
-    small = buckets.filter(n <= chunk)
-    lefts = small.select(
-        "ids", F.explode(F.sequence(F.lit(0), n - 2)).alias("i")
+    small_pairs = (
+        buckets.filter(F.expr(f"size(ids) <= {chunk}"))
+        .select("ids", F.expr("explode(sequence(0, size(ids) - 2))").alias("i"))
+        .select(
+            F.expr(f"element_at(ids, cast(i + 1 as int))").alias(a_col),
+            F.expr(
+                "explode(transform(sequence(i + 1, size(ids) - 1), "
+                "j -> element_at(ids, cast(j + 1 as int))))"
+            ).alias(b_col),
+        )
     )
-    partners = F.transform(
-        F.sequence(F.col("i") + 1, F.size("ids") - 1),
-        lambda j: F.element_at(F.col("ids"), (j + 1).cast("int")),
-    )
-    small_pairs = lefts.select(
-        F.element_at(F.col("ids"), (F.col("i") + 1).cast("int")).alias(a_col),
-        F.explode(partners).alias(b_col),
-    )
-    large = buckets.filter(n > chunk).select(
+    large = buckets.filter(F.expr(f"size(ids) > {chunk}")).select(
         band_col,
         bv_col,
-        F.ceil(n / F.lit(chunk)).cast("int").alias("__nc"),
+        F.expr(f"cast(ceil(size(ids) / {chunk}) as int)").alias("__nc"),
         "ids",
     )
     mem = large.select(
         band_col, bv_col, "__nc", F.posexplode("ids").alias("__r", "__id")
-    ).withColumn("__c", (F.col("__r") / F.lit(chunk)).cast("int"))
+    ).withColumn("__c", F.expr(f"cast(__r / {chunk} as int)"))
     cp = large.select(
         band_col,
         bv_col,
         "__nc",
-        F.explode(F.sequence(F.lit(0), F.col("__nc") - 1)).alias("__c1"),
+        F.expr("explode(sequence(0, __nc - 1))").alias("__c1"),
     ).select(
         band_col,
         bv_col,
         "__c1",
-        F.explode(F.sequence(F.col("__c1"), F.col("__nc") - 1)).alias("__c2"),
+        F.expr("explode(sequence(__c1, __nc - 1))").alias("__c2"),
     )
     a_side = mem.select(
         band_col,
@@ -382,12 +391,12 @@ def bucket_pairs(
         F.col("__c").alias("__c2"),
         F.col("__r").alias("__rb"),
         F.col("__id").alias(b_col),
-        F.explode(F.sequence(F.lit(0), F.col("__c"))).alias("__c1"),
+        F.expr("explode(sequence(0, __c))").alias("__c1"),
     )
     large_pairs = (
         cp.join(a_side, [band_col, bv_col, "__c1"])
         .join(b_side, [band_col, bv_col, "__c1", "__c2"])
-        .filter((F.col("__c1") < F.col("__c2")) | (F.col("__ra") < F.col("__rb")))
+        .filter(F.expr("__c1 < __c2 OR __ra < __rb"))
         .select(a_col, b_col)
     )
     pairs = small_pairs.unionByName(large_pairs)

@@ -49,6 +49,17 @@ class QuerySpec:
 
 REGISTRY: dict[str, QuerySpec] = {}
 
+# NOTE (r11 optimization round): a prepared-plan memo (returning the
+# SAME DataFrame object for repeated invocations over unchanged inputs)
+# was tried here and REVERTED: re-collecting one Dataset instance lets
+# Spark skip its already-computed shuffle map stages (exchange reuse),
+# so the "optimization" silently turned repeat bench runs into
+# partial-result caching — exactly the cross-run intermediate reuse the
+# bench must not do. Driver-side build cost is attacked structurally
+# instead (fewer Dataset ops per pipeline, table-handle metadata memo
+# in sources/tables.py — which only caches LISTING+SCHEMA, never an
+# executable plan whose shuffles could be reused).
+
 
 def register(
     name: str,
@@ -292,8 +303,29 @@ def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     is integral (doubles sum exactly); only the count divides the avg."""
     li = _t(spark, sf_dir, "lineitem")
     disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    # Project to the 6 needed columns, then spread() (r11 optimization
+    # round): the bench file is a single parquet row group, so the scan —
+    # and with it the whole DECIMAL-heavy partial aggregation — runs in
+    # ONE task (TRAP #31). spread() repartitions to the core count only
+    # when the input has fewer row groups than cores (no-op on any real
+    # multi-file deployment); the exchange carries the six pruned columns
+    # once and buys 32-way partial aggregation. Interleaved A/B at sf0.1:
+    # 1.236 → 0.986 s. Values are reorder-safe: money sums accumulate in
+    # DECIMAL (associative), quantity is integral (exact in double),
+    # counts are exact — the hash cannot move.
     return (
-        li.filter(F.col("l_shipdate") <= F.lit("1998-09-02 00:00:00").cast("timestamp_ntz"))
+        spread(
+            li.filter(
+                F.col("l_shipdate") <= F.lit("1998-09-02 00:00:00").cast("timestamp_ntz")
+            ).select(
+                "l_returnflag",
+                "l_linestatus",
+                "l_quantity",
+                "l_extendedprice",
+                "l_discount",
+                "l_tax",
+            )
+        )
         .groupBy("l_returnflag", "l_linestatus")
         .agg(
             F.round(F.sum("l_quantity"), 2).alias("sum_qty"),

@@ -36,6 +36,64 @@ def default_sf_dir() -> str:
     return os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
 
+# Session-scoped memo of LOADED TABLE HANDLES (r11 optimization round).
+# Every spark.read.parquet() call pays ~70-110 ms of driver-side work
+# (file listing + footer schema inference over py4j) — measured at a
+# third of the whole sf0.1 bench when each query invocation re-loads
+# its 1-6 tables. A loaded DataFrame is an immutable logical plan: the
+# handle is reusable exactly like a long-lived table reference in any
+# real application (or a prepared statement), and NOTHING about
+# execution is cached — every action still scans parquet, shuffles,
+# and aggregates from scratch; only the redundant re-listing +
+# re-inference of an UNCHANGED path is skipped.
+#
+# Invalidation mirrors the dedup decision-cache discipline: the key is
+# (table name, path, file fingerprint), where the fingerprint is the
+# (path, mtime_ns, size) of the file — or of every entry of a one-level
+# directory listing (a rewritten/added/removed part file misses; >256
+# entries skip caching rather than pay O(files) stats). The cached
+# value carries its owning SparkSession and a hit must come from the
+# SAME live session — a handle created under a stopped/replaced session
+# is never served (the VERDICT r7 #5 guard all the other caches use).
+_TABLE_CACHE: dict = {}
+_TABLE_CACHE_MAX = 64
+
+
+def _path_fingerprint(path: str):
+    """(mtime_ns, size) fingerprint of a parquet file, or a tuple of
+    per-entry fingerprints for a directory. None = don't cache."""
+    try:
+        st = os.stat(path)
+        if not os.path.isdir(path):
+            return (st.st_mtime_ns, st.st_size)
+        entries = []
+        with os.scandir(path) as it:
+            for e in it:
+                if len(entries) >= 256:
+                    return None
+                est = e.stat()
+                entries.append((e.name, est.st_mtime_ns, est.st_size))
+        entries.sort()
+        return (st.st_mtime_ns, tuple(entries))
+    except OSError:
+        return None
+
+
+def _cached_load(spark: SparkSession, name: str, path: str, loader):
+    fp = _path_fingerprint(path)
+    if fp is None:
+        return loader()
+    key = (name, path, fp)
+    hit = _TABLE_CACHE.get(key)
+    if hit is not None and hit[0] is spark:
+        return hit[1]
+    df = loader()
+    if len(_TABLE_CACHE) >= _TABLE_CACHE_MAX:
+        _TABLE_CACHE.clear()
+    _TABLE_CACHE[key] = (spark, df)
+    return df
+
+
 # events.ts is INT64 TIMESTAMP(NANOS) parquet, which Spark's reader rejects
 # outright ([PARQUET_TYPE_ILLEGAL]). We force the physical type (raw nanos as
 # long) with an explicit schema — no session-level legacy configs, so the
@@ -98,9 +156,16 @@ def _events_ts_to_ns_factor(path: str) -> int:
 def load_events(spark: SparkSession, sf_dir: str | None = None) -> DataFrame:
     """`events` with ts exposed three ways:
     ts_ns (epoch nanos), ts_ms (epoch millis), ts (TimestampType, built
-    from epoch micros — tz-free construction, comparable across engines)."""
+    from epoch micros — tz-free construction, comparable across engines).
+    The derived frame is memoized per (session, path, file fingerprint) —
+    the footer unit probe and the three derived columns are pure
+    functions of the file, so they ride the same table-handle cache."""
     sf_dir = sf_dir or default_sf_dir()
     path = f"{sf_dir}/events.parquet"
+    return _cached_load(spark, "events", path, lambda: _load_events_fresh(spark, path))
+
+
+def _load_events_fresh(spark: SparkSession, path: str) -> DataFrame:
     to_ns = _events_ts_to_ns_factor(path)
     df = spark.read.schema(_EVENTS_SCHEMA).parquet(path)
     return df.select(
@@ -119,7 +184,8 @@ def load_table(spark: SparkSession, name: str, sf_dir: str | None = None) -> Dat
     sf_dir = sf_dir or default_sf_dir()
     if name == "events":
         return load_events(spark, sf_dir)
-    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    path = f"{sf_dir}/{name}.parquet"
+    return _cached_load(spark, name, path, lambda: spark.read.parquet(path))
 
 
 def spread(df: DataFrame) -> DataFrame:
