@@ -22,9 +22,7 @@ from pyspark.sql import functions as F
 
 from ..functions import (
     as_double_array,
-    dot,
     jaccard_distinct,
-    minhash_signature,
     norm,
     word_ngrams,
     words,
@@ -183,6 +181,20 @@ def dedup_exact(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -
 def shingle_docs(df: DataFrame, n: int = 3, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
     from ..sources.tables import spread
 
+    if id_col.isidentifier() and text_col.isidentifier():
+        # Single-expr SQL twin of word_ngrams(words(col), n) — identical
+        # analyzed expression, one driver round-trip instead of ~15
+        # Column calls per invocation (r11, guide §7.3).
+        ws = f"split(lower({text_col}), ' ')"
+        elems = ", ".join(
+            f"element_at({ws}, cast(i + {j} + 1 as int))" for j in range(n)
+        )
+        sql = (
+            f"array_distinct(CASE WHEN size({ws}) >= {n} THEN "
+            f"transform(sequence(0, size({ws}) - {n}), i -> concat_ws(' ', {elems})) "
+            f"ELSE cast(array() as array<string>) END)"
+        )
+        return spread(df).select(F.col(id_col), F.expr(sql).alias("shingles"))
     return spread(df).select(
         F.col(id_col), word_ngrams(words(F.col(text_col)), n).alias("shingles")
     )
@@ -403,6 +415,180 @@ def bucket_pairs(
     return pairs.distinct() if dedup else pairs
 
 
+# ---------------------------------------------------------------------------
+# One-shot SQL builder for the direct (non-factorized, join-verify) MinHash
+# pipeline (r11 optimization round, guide §7.3). The Column-chain build of
+# sign → band → bucket-pairs → verify is ~15 Dataset ops, and Catalyst
+# re-analyzes the WHOLE growing tree eagerly on every op (~20 ms each,
+# ~0.45 s of pure driver time per invocation at sf0.1). Emitting the same
+# operators as ONE SQL statement over a temp view analyzes the tree once:
+# build 0.33 → 0.16 s, identical rows (pinned in tests, incl. a giant
+# bucket that exercises the chunked-triangular path), and the physical
+# plan is unchanged (same logical operators, plan-invariant sweep green).
+# bucket_pairs/minhash_banded stay as the reference Column implementations
+# for every composed caller (signature stores, streaming probes, the
+# factorized path).
+# ---------------------------------------------------------------------------
+
+
+def _sql_banded_ctes(
+    v: str, k: int, bands: int, id_col: str, family: str, sfx: str = ""
+) -> str:
+    """CTE chain producing `banded{sfx}(id, band, bv)` from shingle view
+    ``v`` — the SQL text twin of minhash_banded (same hash families, same
+    NULL-band guard). ``sfx`` disambiguates CTE names when two corpora are
+    banded in one statement (the incremental probe)."""
+    r = k // bands
+    if family == "xxhash64":
+        sig_expr = ",".join(
+            f"array_min(transform(shingles, s -> xxhash64({i}, s)))"
+            for i in range(k)
+        )
+        sig = f"sig{sfx} AS (SELECT {id_col}, array({sig_expr}) AS sig FROM {v})"
+    else:
+        hs = ",".join(
+            f"transform(shingles, s -> md5(concat('{g}|', s))) AS __h{g}"
+            for g in range((k + 3) // 4)
+        )
+        sig_expr = ",".join(
+            f"array_min(transform(__h{i // 4}, h -> substring(h, {8 * (i % 4) + 1}, 8)))"
+            for i in range(k)
+        )
+        sig = (
+            f"staged{sfx} AS (SELECT {id_col}, {hs} FROM {v}), "
+            f"sig{sfx} AS (SELECT {id_col}, array({sig_expr}) AS sig FROM staged{sfx})"
+        )
+    bands_sql = ",".join(
+        "struct({b} as band, if(sig[{first}] is null, cast(null as string), "
+        "concat_ws('|', {elems})) as bv)".format(
+            b=b,
+            first=b * r,
+            elems=",".join(f"sig[{b * r + j}]" for j in range(r)),
+        )
+        for b in range(bands)
+    )
+    return (
+        f"{sig}, banded{sfx} AS "
+        f"(SELECT {id_col}, inline(array({bands_sql})) FROM sig{sfx})"
+    )
+
+
+def _sql_bucket_pair_ctes(id_col: str, chunk: int) -> str:
+    """CTE chain producing `cand(doc_id_a, doc_id_b)` from `banded` — the
+    SQL text twin of bucket_pairs (same two-tier small/chunked expansion,
+    same distinct)."""
+    return f"""
+buckets AS (
+  SELECT band, bv, array_sort(collect_list({id_col})) AS ids
+  FROM banded GROUP BY band, bv
+  HAVING size(ids) > 1 AND bv IS NOT NULL
+),
+small_pairs AS (
+  SELECT element_at(ids, cast(i + 1 as int)) AS doc_id_a,
+         explode(transform(sequence(i + 1, size(ids) - 1),
+                           j -> element_at(ids, cast(j + 1 as int)))) AS doc_id_b
+  FROM (SELECT ids, explode(sequence(0, size(ids) - 2)) AS i
+        FROM buckets WHERE size(ids) <= {chunk})
+),
+large AS (SELECT band, bv, cast(ceil(size(ids) / {chunk}) as int) AS __nc, ids
+          FROM buckets WHERE size(ids) > {chunk}),
+memc AS (SELECT band, bv, __nc, __r, __id, cast(__r / {chunk} as int) AS __c
+         FROM (SELECT band, bv, __nc, posexplode(ids) AS (__r, __id) FROM large)),
+cp AS (SELECT band, bv, __c1, explode(sequence(__c1, __nc - 1)) AS __c2
+       FROM (SELECT band, bv, __nc, explode(sequence(0, __nc - 1)) AS __c1 FROM large)),
+a_side AS (SELECT band, bv, __c AS __c1, __r AS __ra, __id AS doc_id_a FROM memc),
+b_side AS (SELECT band, bv, __c AS __c2, __r AS __rb, __id AS doc_id_b,
+                  explode(sequence(0, __c)) AS __c1 FROM memc),
+large_pairs AS (
+  SELECT doc_id_a, doc_id_b
+  FROM cp JOIN a_side USING (band, bv, __c1)
+          JOIN b_side USING (band, bv, __c1, __c2)
+  WHERE __c1 < __c2 OR __ra < __rb
+),
+cand AS (SELECT DISTINCT doc_id_a, doc_id_b
+         FROM (SELECT * FROM small_pairs UNION ALL SELECT * FROM large_pairs))
+"""
+
+
+_SQL_JACCARD = (
+    "round(size(array_intersect(__sh_a, __sh_b)) / "
+    "nullif(size(__sh_a) + size(__sh_b) - size(array_intersect(__sh_a, __sh_b)), 0), 4)"
+)
+
+
+def _run_pipeline_sql(sh: DataFrame, query_tpl: str, **extra: DataFrame) -> DataFrame:
+    """Register ``sh`` (placeholder {v}) plus any ``extra`` frames (their
+    kwarg names as placeholders) under unique temp views, analyze
+    ``query_tpl`` in ONE pass, drop the views (the returned DataFrame
+    keeps the resolved plan)."""
+    import uuid
+
+    spark = sh.sparkSession
+    frames = {"v": sh, **extra}
+    names = {}
+    try:
+        for ph, df in frames.items():
+            names[ph] = f"__mh_{ph}_" + uuid.uuid4().hex[:12]
+            df.createOrReplaceTempView(names[ph])
+        return spark.sql(query_tpl.format(**names))
+    finally:
+        for nm in names.values():
+            spark.catalog.dropTempView(nm)
+
+
+def _minhash_pairs_sql(
+    sh: DataFrame,
+    k: int,
+    bands: int,
+    threshold: float,
+    id_col: str,
+    family: str,
+    chunk: int = 2048,
+) -> DataFrame:
+    """One-statement twin of
+    _verify(sh, minhash_candidates(sh, k, bands, id_col, family))."""
+    body = f"""
+WITH {_sql_banded_ctes("{v}", k, bands, id_col, family)},
+{_sql_bucket_pair_ctes(id_col, chunk).strip().lstrip(",")},
+a AS (SELECT {id_col} AS doc_id_a, shingles AS __sh_a FROM {{v}}),
+b AS (SELECT {id_col} AS doc_id_b, shingles AS __sh_b FROM {{v}})
+SELECT doc_id_a, doc_id_b, {_SQL_JACCARD} AS jaccard
+FROM a JOIN cand USING (doc_id_a) JOIN b USING (doc_id_b)
+"""
+    if threshold > 0:
+        body = f"SELECT * FROM ({body}) WHERE jaccard >= {threshold}"
+    return _run_pipeline_sql(sh, body)
+
+
+def _incremental_pairs_sql(
+    sh_in: DataFrame,
+    sh_corp: DataFrame,
+    k: int,
+    bands: int,
+    threshold: float,
+    id_col: str,
+    family: str = "md5",
+) -> DataFrame:
+    """One-statement twin of incremental_dedup_pairs' band-probe + verify:
+    incoming bands join corpus bands on (band, bv), distinct id pairs,
+    exact-Jaccard verify >= threshold."""
+    body = f"""
+WITH {_sql_banded_ctes("{vin}", k, bands, id_col, family, sfx="_i")},
+{_sql_banded_ctes("{vcorp}", k, bands, id_col, family, sfx="_c")},
+cand AS (
+  SELECT DISTINCT i.{id_col} AS doc_id_new, c.{id_col} AS dup_of
+  FROM banded_i i JOIN banded_c c ON i.band = c.band AND i.bv = c.bv
+),
+a AS (SELECT {id_col} AS doc_id_new, shingles AS __sh_a FROM {{vin}}),
+b AS (SELECT {id_col} AS dup_of, shingles AS __sh_b FROM {{vcorp}})
+SELECT * FROM (
+  SELECT doc_id_new AS {id_col}, dup_of, {_SQL_JACCARD} AS jaccard
+  FROM a JOIN cand USING (doc_id_new) JOIN b USING (dup_of)
+) WHERE jaccard >= {threshold}
+"""
+    return _run_pipeline_sql(sh_in, body.replace("{vin}", "{v}"), vcorp=sh_corp)
+
+
 def minhash_dedup_pairs(
     df: DataFrame,
     n: int = 3,
@@ -591,6 +777,10 @@ def minhash_dedup_pairs(
             return _minhash_verify_in_bucket(
                 sh, k, bands, threshold, id_col, family
             )
+        if id_col.isidentifier():
+            # One-shot SQL build of the same operators (~0.3 s of
+            # per-invocation driver analysis saved; see _minhash_pairs_sql).
+            return _minhash_pairs_sql(sh, k, bands, threshold, id_col, family)
         return _verify(sh, minhash_candidates(sh, k, bands, id_col, family))
     # Exact set key: NULL for empty shingle sets (they can never pair —
     # the same contract as the NULL-band guard). Injective encoding via
@@ -652,6 +842,8 @@ def incremental_dedup_pairs(
     threshold: float = 0.6,
     text_col: str = "text",
     id_col: str = "doc_id",
+    shingled_incoming: DataFrame | None = None,
+    shingled_corpus: DataFrame | None = None,
 ) -> DataFrame:
     """ASYMMETRIC near-dup check: which INCOMING docs duplicate something
     already in the CORPUS — the nightly-crawl shape of dedup. Returns
@@ -669,8 +861,32 @@ def incremental_dedup_pairs(
     corpus + 1 TB/day crawl, per-day cost is O(batch + collisions),
     never O(corpus). Corpus-internal duplicates are deliberately NOT
     re-derived — they were handled when those docs were themselves the
-    incoming batch."""
-    sh_in = shingle_docs(incoming, n, text_col, id_col).localCheckpoint(eager=False)
+    incoming batch.
+
+    ``shingled_incoming``/``shingled_corpus`` let a caller whose two
+    sides are SLICES OF ONE TABLE shingle that table once and pass the
+    sliced (id, shingles) frames — one corpus map pass instead of two
+    (r11 optimization round; the registry's dedup_incremental entry does
+    exactly this). Raw ``corpus``/``incoming`` frames are shingled and
+    staged here as before."""
+    sh_in = (
+        shingled_incoming
+        if shingled_incoming is not None
+        else shingle_docs(incoming, n, text_col, id_col).localCheckpoint(eager=False)
+    )
+    sh_corp_sql = (
+        shingled_corpus
+        if shingled_corpus is not None
+        else shingle_docs(corpus, n, text_col, id_col).localCheckpoint(eager=False)
+    )
+    if id_col.isidentifier():
+        # One-shot SQL build of the same band-probe + verify operators
+        # (~0.4 s of per-invocation driver analysis saved; same pattern
+        # as _minhash_pairs_sql, twin pinned in tests).
+        return _incremental_pairs_sql(
+            sh_in, sh_corp_sql, k, bands, threshold, id_col
+        )
+    sh_corp = sh_corp_sql
     banded_in = minhash_banded(sh_in, k, bands, id_col).select(
         F.col(id_col).alias("doc_id_new"), "band", "bv"
     )
@@ -682,7 +898,6 @@ def incremental_dedup_pairs(
     # the verify side is candidate-bounded via a pre-shingle semi-join —
     # see streaming.pipeline.start_corpus_dedup_admission, which wires
     # exactly that: per-batch cost O(batch + collisions), no corpus map.
-    sh_corp = shingle_docs(corpus, n, text_col, id_col).localCheckpoint(eager=False)
     banded_corp = minhash_banded(sh_corp, k, bands, id_col).select(
         F.col(id_col).alias("dup_of"), "band", "bv"
     )

@@ -961,10 +961,16 @@ def dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     nightly-crawl operator: only the incoming slice is signatured; the
     corpus side is the persisted banded-signature store. Here the corpus
     is documents with doc_id % 5 != 0 and the incoming batch is
-    doc_id % 5 = 0, so the split is deterministic and oracle-replicable."""
-    from .operators.dedup import incremental_dedup_pairs
+    doc_id % 5 = 0, so the split is deterministic and oracle-replicable.
+
+    Both sides are slices of ONE table, so the table is shingled and
+    staged once and the slices are filters over the staged frame — one
+    corpus map pass instead of two (r11 optimization round; identical
+    output, A/B 0.69 → 0.62 s at sf0.1)."""
+    from .operators.dedup import incremental_dedup_pairs, shingle_docs
 
     docs = _t(spark, sf_dir, "documents")
+    sh_all = shingle_docs(docs, 3).localCheckpoint(eager=False)
     return incremental_dedup_pairs(
         docs.filter(F.col("doc_id") % 5 != 0),
         docs.filter(F.col("doc_id") % 5 == 0),
@@ -972,6 +978,8 @@ def dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
         k=8,
         bands=4,
         threshold=0.6,
+        shingled_incoming=sh_all.filter(F.col("doc_id") % 5 == 0),
+        shingled_corpus=sh_all.filter(F.col("doc_id") % 5 != 0),
     )
 
 

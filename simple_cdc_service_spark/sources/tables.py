@@ -188,6 +188,46 @@ def load_table(spark: SparkSession, name: str, sf_dir: str | None = None) -> Dat
     return _cached_load(spark, name, path, lambda: spark.read.parquet(path))
 
 
+# Session-scoped memo of spread()'s DECISION (r11 optimization round):
+# answering "does this frame need the explicit repartition?" costs a
+# full physical planning pass (df.rdd.getNumPartitions()) plus possibly
+# an optimizer run and parquet footer probes — ~50-100 ms of driver
+# work per call, re-paid on every invocation over the same unchanged
+# frame. The decision (repartition to N, or no-op) is a pure function
+# of (plan semantic hash, input files + mtimes, target parallelism), so
+# it is memoized under that key — METADATA only, the repartitioned
+# frame itself is rebuilt fresh per call (no plan or data reuse).
+# Frames whose files cannot be fingerprinted are never cached. Values
+# carry the owning session; a hit must come from the same live session.
+_SPREAD_DECISION_CACHE: dict = {}
+_SPREAD_DECISION_CACHE_MAX = 256
+
+
+def _spread_cache_key(df: DataFrame, target: int):
+    try:
+        files = df.inputFiles()
+        if not files:
+            return None
+        sem = df.semanticHash()
+    except Exception:  # noqa: BLE001 — unfingerprintable: just re-measure
+        return None
+    fps = []
+    for f in sorted(files):
+        p = f
+        if p.startswith("file:"):
+            from urllib.parse import unquote, urlparse
+
+            p = unquote(urlparse(p).path)
+        elif "://" in p:
+            return None
+        try:
+            st = os.stat(p)
+        except OSError:
+            return None
+        fps.append((p, st.st_mtime_ns, st.st_size))
+    return (sem, tuple(fps), target)
+
+
 def spread(df: DataFrame) -> DataFrame:
     """Round-robin repartition to the cluster's core count.
 
@@ -231,6 +271,22 @@ def spread(df: DataFrame) -> DataFrame:
     construction and skip the footer probe — at 100 TB nobody reads a
     thousand footers to decide."""
     target = df.sparkSession.sparkContext.defaultParallelism
+    ck = _spread_cache_key(df, target)
+    if ck is not None:
+        hit = _SPREAD_DECISION_CACHE.get(ck)
+        if hit is not None and hit[0] is df.sparkSession:
+            return df.repartition(target) if hit[1] else df
+    decision = _spread_decision(df, target)
+    if ck is not None:
+        if len(_SPREAD_DECISION_CACHE) >= _SPREAD_DECISION_CACHE_MAX:
+            _SPREAD_DECISION_CACHE.clear()
+        _SPREAD_DECISION_CACHE[ck] = (df.sparkSession, decision)
+    return df.repartition(target) if decision else df
+
+
+def _spread_decision(df: DataFrame, target: int) -> bool:
+    """True iff spread() must repartition ``df`` to ``target`` (the
+    measurement behind the memo above — unchanged logic)."""
     if df.rdd.getNumPartitions() >= target:
         try:
             # Distrust the count ONLY for scan-side pipelines: any plan
@@ -265,10 +321,10 @@ def spread(df: DataFrame) -> DataFrame:
                 "Window",
                 "Sort",
             }:
-                return df
+                return False
             files = [f for f in df.inputFiles() if f.endswith(".parquet")]
             if not files or len(files) >= target:
-                return df
+                return False
             import pyarrow.parquet as pq
 
             ngroups = 0
@@ -279,10 +335,10 @@ def spread(df: DataFrame) -> DataFrame:
                     else f
                 ).num_row_groups
                 if ngroups >= target:
-                    return df
+                    return False
         except Exception:
-            return df  # non-parquet / unreadable footer: trust the count
-    return df.repartition(target)
+            return False  # non-parquet / unreadable footer: trust the count
+    return True
 
 
 def load_tables(spark: SparkSession, sf_dir: str | None = None) -> dict[str, DataFrame]:

@@ -584,3 +584,169 @@ class TestImiIndexStats:
         assert s1["mass_skew"] >= 1.0
         # footer row sum equals meta accounting (physical == logical)
         assert s1["n_rows"] == s1["trained_rows"] + s1["appended_rows"]
+
+
+class TestSqlPipelineTwins:
+    """r11 optimization round: the direct MinHash pipeline and the
+    incremental band-probe are built as ONE SQL statement (driver-side
+    analysis ran once per op before — ~0.45 s per invocation). These pin
+    the SQL builders bit-identical to the reference Column
+    implementations, including a giant bucket that exercises the
+    chunked-triangular large path."""
+
+    @staticmethod
+    def _docs(spark, n=400, clone_every=7):
+        import pandas as pd
+
+        rows = []
+        vocab = ["alpha", "beta", "gamma", "delta", "epsilon", "zeta", "eta"]
+        for i in range(n):
+            if i % clone_every == 0:
+                words = ["dup", "dup", "cluster"] + [vocab[i % 3]] * 4
+            else:
+                words = [vocab[(i * 7 + j * 3) % 7] for j in range(9)]
+            rows.append((i, " ".join(words)))
+        return spark.createDataFrame(
+            pd.DataFrame(rows, columns=["doc_id", "text"])
+        )
+
+    def test_minhash_sql_twin_matches_column_path(self, spark):
+        from pyspark.sql import functions as F
+
+        from simple_cdc_service_spark.operators.dedup import (
+            _minhash_pairs_sql,
+            jaccard_distinct,
+            minhash_candidates,
+            shingle_docs,
+        )
+
+        sh = shingle_docs(self._docs(spark), n=3)
+        for family in ("md5", "xxhash64"):
+            for threshold in (0.0, 0.5):
+                cand = minhash_candidates(sh, 8, 4, "doc_id", family)
+                a = sh.select(F.col("doc_id").alias("doc_id_a"), F.col("shingles").alias("__sh_a"))
+                b = sh.select(F.col("doc_id").alias("doc_id_b"), F.col("shingles").alias("__sh_b"))
+                col_out = a.join(cand, "doc_id_a").join(b, "doc_id_b").select(
+                    "doc_id_a",
+                    "doc_id_b",
+                    F.round(jaccard_distinct(F.col("__sh_a"), F.col("__sh_b")), 4).alias("jaccard"),
+                )
+                if threshold > 0:
+                    col_out = col_out.filter(F.col("jaccard") >= threshold)
+                sql_out = _minhash_pairs_sql(sh, 8, 4, threshold, "doc_id", family)
+                assert sql_out.columns == col_out.columns
+                got = sorted(map(tuple, sql_out.collect()))
+                want = sorted(map(tuple, col_out.collect()))
+                assert got == want and len(got) > 0
+
+    def test_minhash_sql_twin_chunked_giant_bucket(self, spark):
+        """clone_every=1 makes EVERY doc identical -> one 120-member
+        bucket per band; chunk=16 forces the chunked-triangular path in
+        both implementations."""
+        from pyspark.sql import functions as F
+
+        from simple_cdc_service_spark.operators.dedup import (
+            _minhash_pairs_sql,
+            bucket_pairs,
+            jaccard_distinct,
+            minhash_banded,
+            shingle_docs,
+        )
+
+        sh = shingle_docs(self._docs(spark, n=120, clone_every=1), n=3)
+        cand = bucket_pairs(minhash_banded(sh, 8, 4, "doc_id", "md5"), id_col="doc_id", chunk=16)
+        a = sh.select(F.col("doc_id").alias("doc_id_a"), F.col("shingles").alias("__sh_a"))
+        b = sh.select(F.col("doc_id").alias("doc_id_b"), F.col("shingles").alias("__sh_b"))
+        col_out = a.join(cand, "doc_id_a").join(b, "doc_id_b").select(
+            "doc_id_a",
+            "doc_id_b",
+            F.round(jaccard_distinct(F.col("__sh_a"), F.col("__sh_b")), 4).alias("jaccard"),
+        )
+        sql_out = _minhash_pairs_sql(sh, 8, 4, 0.0, "doc_id", "md5", chunk=16)
+        got = sorted(map(tuple, sql_out.collect()))
+        want = sorted(map(tuple, col_out.collect()))
+        assert got == want
+        # clone_every=1 -> three 40-member clone groups (vocab[i % 3]);
+        # each 40-member bucket > chunk=16 exercises the chunked path
+        assert len(got) == 3 * (40 * 39 // 2)
+        assert all(j == 1.0 for _, _, j in got)
+
+    def test_incremental_sql_twin_matches_column_path(self, spark):
+        from pyspark.sql import functions as F
+
+        from simple_cdc_service_spark.operators.dedup import (
+            _incremental_pairs_sql,
+            jaccard_verify_pairs,
+            minhash_banded,
+            shingle_docs,
+        )
+
+        docs = self._docs(spark)
+        sh_in = shingle_docs(docs.filter(F.col("doc_id") % 5 == 0), n=3)
+        sh_corp = shingle_docs(docs.filter(F.col("doc_id") % 5 != 0), n=3)
+        banded_in = minhash_banded(sh_in, 8, 4, "doc_id").select(
+            F.col("doc_id").alias("doc_id_new"), "band", "bv"
+        )
+        banded_corp = minhash_banded(sh_corp, 8, 4, "doc_id").select(
+            F.col("doc_id").alias("dup_of"), "band", "bv"
+        )
+        cand = banded_in.join(banded_corp, ["band", "bv"]).select("doc_id_new", "dup_of").distinct()
+        col_out = jaccard_verify_pairs(sh_in, sh_corp, cand, 0.6, id_col="doc_id")
+        sql_out = _incremental_pairs_sql(sh_in, sh_corp, 8, 4, 0.6, "doc_id")
+        assert sql_out.columns == col_out.columns
+        got = sorted(map(tuple, sql_out.collect()))
+        want = sorted(map(tuple, col_out.collect()))
+        assert got == want and len(got) > 0
+
+    def test_shingle_docs_expr_matches_column_form(self, spark):
+        from pyspark.sql import functions as F
+
+        from simple_cdc_service_spark.functions import word_ngrams, words
+        from simple_cdc_service_spark.operators.dedup import shingle_docs
+        from simple_cdc_service_spark.sources.tables import spread
+
+        docs = self._docs(spark)  # includes docs shorter than n after split? add one
+        import pandas as pd
+        short = spark.createDataFrame(pd.DataFrame([(9999, "one two")], columns=["doc_id", "text"]))
+        docs = docs.unionByName(short)
+        got = sorted(map(tuple, shingle_docs(docs, n=3).collect()))
+        ref = sorted(map(tuple, spread(docs).select(
+            F.col("doc_id"), word_ngrams(words(F.col("text")), 3).alias("shingles")
+        ).collect()))
+        assert got == ref
+
+    def test_banded_sql_matches_reference_signature_columns(self, spark):
+        """minhash_banded's expr-string signatures == the reference Column
+        implementations (functions.minhash_signature / _xx) band-for-band."""
+        from pyspark.sql import functions as F
+
+        from simple_cdc_service_spark.functions import (
+            minhash_signature,
+            minhash_signature_xx,
+        )
+        from simple_cdc_service_spark.operators.dedup import (
+            minhash_banded,
+            shingle_docs,
+        )
+
+        sh = shingle_docs(self._docs(spark, n=150), n=3)
+        k, bands, r = 8, 4, 2
+        for family, ref in (
+            ("md5", minhash_signature),
+            ("xxhash64", minhash_signature_xx),
+        ):
+            got = sorted(map(tuple, minhash_banded(sh, k, bands, "doc_id", family).collect()))
+            sig = sh.select("doc_id", ref(F.col("shingles"), k).alias("sig"))
+            want = sorted(map(tuple, sig.select(
+                "doc_id",
+                F.explode(F.array(*[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.when(F.col("sig")[b * r].isNull(), F.lit(None).cast("string"))
+                        .otherwise(F.concat_ws("|", *[F.col("sig")[b * r + j].cast("string") for j in range(r)]))
+                        .alias("bv"),
+                    )
+                    for b in range(bands)
+                ])).alias("bb"),
+            ).select("doc_id", "bb.band", "bb.bv").collect()))
+            assert got == want and len(got) == 150 * bands
