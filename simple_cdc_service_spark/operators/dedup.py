@@ -181,17 +181,23 @@ def dedup_exact(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -
 def shingle_docs(df: DataFrame, n: int = 3, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
     from ..sources.tables import spread
 
-    if id_col.isidentifier() and text_col.isidentifier():
+    if id_col.isidentifier() and text_col.isidentifier() and text_col != "__si":
         # Single-expr SQL twin of word_ngrams(words(col), n) — identical
         # analyzed expression, one driver round-trip instead of ~15
-        # Column calls per invocation (r11, guide §7.3).
-        ws = f"split(lower({text_col}), ' ')"
+        # Column calls per invocation (r11, guide §7.3). The column name
+        # is backtick-quoted (isidentifier() ⇒ no backtick inside) so a
+        # SQL-keyword column still parses; the lambda variable is the
+        # improbable `__si`, excluded from the fast path above, so it can
+        # never shadow the text column inside the transform body
+        # (ADVICE r11: with lambda var `i` and text_col='i' the shingles
+        # silently came from the lambda index).
+        ws = f"split(lower(`{text_col}`), ' ')"
         elems = ", ".join(
-            f"element_at({ws}, cast(i + {j} + 1 as int))" for j in range(n)
+            f"element_at({ws}, cast(__si + {j} + 1 as int))" for j in range(n)
         )
         sql = (
             f"array_distinct(CASE WHEN size({ws}) >= {n} THEN "
-            f"transform(sequence(0, size({ws}) - {n}), i -> concat_ws(' ', {elems})) "
+            f"transform(sequence(0, size({ws}) - {n}), __si -> concat_ws(' ', {elems})) "
             f"ELSE cast(array() as array<string>) END)"
         )
         return spread(df).select(F.col(id_col), F.expr(sql).alias("shingles"))
@@ -352,10 +358,28 @@ def bucket_pairs(
     # every expression is the exact SQL form of the historical Column
     # chain (array indexing 0-based via element_at(cast ... int), the
     # same sequence bounds, the same join keys).
+    #
+    # Interpolated names must be plain identifiers (ADVICE r11: a
+    # dotted/space-containing name either fails to parse or silently
+    # resolves as a field access); anything else is normalized to the
+    # default names first and the outputs renamed back. Identifiers are
+    # additionally backtick-quoted in the SQL text (isidentifier() ⇒ no
+    # backtick inside) so SQL-keyword column names still parse.
+    if not (id_col.isidentifier() and band_col.isidentifier() and bv_col.isidentifier()):
+        def _q(name: str):  # literal column ref: backticks, `` escapes `
+            return F.col("`" + name.replace("`", "``") + "`")
+
+        safe = banded.select(
+            _q(band_col).alias("band"),
+            _q(bv_col).alias("bv"),
+            _q(id_col).alias("doc_id"),
+        )
+        res = bucket_pairs(safe, chunk=chunk, dedup=dedup)
+        return res.select(F.col("doc_id_a").alias(a_col), F.col("doc_id_b").alias(b_col))
     buckets = (
         banded.groupBy(band_col, bv_col)
-        .agg(F.expr(f"array_sort(collect_list({id_col}))").alias("ids"))
-        .filter(F.expr(f"size(ids) > 1 AND {bv_col} IS NOT NULL"))
+        .agg(F.expr(f"array_sort(collect_list(`{id_col}`))").alias("ids"))
+        .filter(F.expr(f"size(ids) > 1 AND `{bv_col}` IS NOT NULL"))
     )
     small_pairs = (
         buckets.filter(F.expr(f"size(ids) <= {chunk}"))
@@ -444,7 +468,7 @@ def _sql_banded_ctes(
             f"array_min(transform(shingles, s -> xxhash64({i}, s)))"
             for i in range(k)
         )
-        sig = f"sig{sfx} AS (SELECT {id_col}, array({sig_expr}) AS sig FROM {v})"
+        sig = f"sig{sfx} AS (SELECT `{id_col}`, array({sig_expr}) AS sig FROM {v})"
     else:
         hs = ",".join(
             f"transform(shingles, s -> md5(concat('{g}|', s))) AS __h{g}"
@@ -455,8 +479,8 @@ def _sql_banded_ctes(
             for i in range(k)
         )
         sig = (
-            f"staged{sfx} AS (SELECT {id_col}, {hs} FROM {v}), "
-            f"sig{sfx} AS (SELECT {id_col}, array({sig_expr}) AS sig FROM staged{sfx})"
+            f"staged{sfx} AS (SELECT `{id_col}`, {hs} FROM {v}), "
+            f"sig{sfx} AS (SELECT `{id_col}`, array({sig_expr}) AS sig FROM staged{sfx})"
         )
     bands_sql = ",".join(
         "struct({b} as band, if(sig[{first}] is null, cast(null as string), "
@@ -469,7 +493,7 @@ def _sql_banded_ctes(
     )
     return (
         f"{sig}, banded{sfx} AS "
-        f"(SELECT {id_col}, inline(array({bands_sql})) FROM sig{sfx})"
+        f"(SELECT `{id_col}`, inline(array({bands_sql})) FROM sig{sfx})"
     )
 
 
@@ -479,7 +503,7 @@ def _sql_bucket_pair_ctes(id_col: str, chunk: int) -> str:
     same distinct)."""
     return f"""
 buckets AS (
-  SELECT band, bv, array_sort(collect_list({id_col})) AS ids
+  SELECT band, bv, array_sort(collect_list(`{id_col}`)) AS ids
   FROM banded GROUP BY band, bv
   HAVING size(ids) > 1 AND bv IS NOT NULL
 ),
@@ -550,8 +574,8 @@ def _minhash_pairs_sql(
     body = f"""
 WITH {_sql_banded_ctes("{v}", k, bands, id_col, family)},
 {_sql_bucket_pair_ctes(id_col, chunk).strip().lstrip(",")},
-a AS (SELECT {id_col} AS doc_id_a, shingles AS __sh_a FROM {{v}}),
-b AS (SELECT {id_col} AS doc_id_b, shingles AS __sh_b FROM {{v}})
+a AS (SELECT `{id_col}` AS doc_id_a, shingles AS __sh_a FROM {{v}}),
+b AS (SELECT `{id_col}` AS doc_id_b, shingles AS __sh_b FROM {{v}})
 SELECT doc_id_a, doc_id_b, {_SQL_JACCARD} AS jaccard
 FROM a JOIN cand USING (doc_id_a) JOIN b USING (doc_id_b)
 """
@@ -576,13 +600,13 @@ def _incremental_pairs_sql(
 WITH {_sql_banded_ctes("{vin}", k, bands, id_col, family, sfx="_i")},
 {_sql_banded_ctes("{vcorp}", k, bands, id_col, family, sfx="_c")},
 cand AS (
-  SELECT DISTINCT i.{id_col} AS doc_id_new, c.{id_col} AS dup_of
+  SELECT DISTINCT i.`{id_col}` AS doc_id_new, c.`{id_col}` AS dup_of
   FROM banded_i i JOIN banded_c c ON i.band = c.band AND i.bv = c.bv
 ),
-a AS (SELECT {id_col} AS doc_id_new, shingles AS __sh_a FROM {{vin}}),
-b AS (SELECT {id_col} AS dup_of, shingles AS __sh_b FROM {{vcorp}})
+a AS (SELECT `{id_col}` AS doc_id_new, shingles AS __sh_a FROM {{vin}}),
+b AS (SELECT `{id_col}` AS dup_of, shingles AS __sh_b FROM {{vcorp}})
 SELECT * FROM (
-  SELECT doc_id_new AS {id_col}, dup_of, {_SQL_JACCARD} AS jaccard
+  SELECT doc_id_new AS `{id_col}`, dup_of, {_SQL_JACCARD} AS jaccard
   FROM a JOIN cand USING (doc_id_new) JOIN b USING (dup_of)
 ) WHERE jaccard >= {threshold}
 """

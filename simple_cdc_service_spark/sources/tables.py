@@ -55,13 +55,26 @@ def default_sf_dir() -> str:
 # value carries its owning SparkSession and a hit must come from the
 # SAME live session — a handle created under a stopped/replaced session
 # is never served (the VERDICT r7 #5 guard all the other caches use).
+#
+# CONTRACT (ADVICE r11): the key does NOT include session confs that
+# affect parquet read/schema inference (binaryAsString, int96 handling,
+# caseSensitive, …) — folding them in would re-pay ~7 py4j round-trips
+# per load, the exact overhead this memo removes. Read-affecting confs
+# must therefore not change within a session; a pipeline that flips
+# them mid-session must load through a fresh SparkSession (newSession()
+# has a distinct identity, so the owning-session guard misses).
 _TABLE_CACHE: dict = {}
 _TABLE_CACHE_MAX = 64
 
 
 def _path_fingerprint(path: str):
     """(mtime_ns, size) fingerprint of a parquet file, or a tuple of
-    per-entry fingerprints for a directory. None = don't cache."""
+    per-entry fingerprints for a flat directory. None = don't cache:
+    >256 entries (don't pay O(files) stats — at that size the listing
+    cost belongs to Spark's own filesourcePartitionFileCacheSize, guide
+    §6), or any subdirectory (ADVICE r11: a partitioned/nested layout
+    can be rewritten below the first level without changing first-level
+    mtimes, so a one-level fingerprint could serve a stale handle)."""
     try:
         st = os.stat(path)
         if not os.path.isdir(path):
@@ -69,7 +82,7 @@ def _path_fingerprint(path: str):
         entries = []
         with os.scandir(path) as it:
             for e in it:
-                if len(entries) >= 256:
+                if len(entries) >= 256 or e.is_dir():
                     return None
                 est = e.stat()
                 entries.append((e.name, est.st_mtime_ns, est.st_size))
@@ -186,6 +199,38 @@ def load_table(spark: SparkSession, name: str, sf_dir: str | None = None) -> Dat
         return load_events(spark, sf_dir)
     path = f"{sf_dir}/{name}.parquet"
     return _cached_load(spark, name, path, lambda: spark.read.parquet(path))
+
+
+# Session-scoped STABLE TEMP VIEWS over the memoized table handles (r12
+# optimization round, guide §7.3): entries built as one SQL statement
+# need a named relation to select from; registering a fresh temp view
+# per invocation would re-pay 2-3 py4j round-trips per table per call.
+# The view name is a pure function of (table, path); the registration is
+# re-done whenever the owning session or the file fingerprint changes
+# (same invalidation as _TABLE_CACHE — a rewritten file re-registers the
+# view over a freshly-listed handle). A view is METADATA: selecting from
+# it plans the same parquet scan as the DataFrame handle, and nothing
+# about execution is cached.
+_VIEW_CACHE: dict = {}
+_VIEW_CACHE_MAX = 64
+
+
+def table_view(spark: SparkSession, name: str, sf_dir: str | None = None) -> str:
+    import hashlib
+
+    sf_dir = sf_dir or default_sf_dir()
+    path = f"{sf_dir}/{name}.parquet"
+    view = f"__tv_{name}_{hashlib.md5(path.encode()).hexdigest()[:10]}"
+    fp = _path_fingerprint(path)
+    key = (name, path)
+    hit = _VIEW_CACHE.get(key)
+    if fp is not None and hit is not None and hit[0] is spark and hit[1] == fp:
+        return view
+    load_table(spark, name, sf_dir).createOrReplaceTempView(view)
+    if len(_VIEW_CACHE) >= _VIEW_CACHE_MAX:
+        _VIEW_CACHE.clear()
+    _VIEW_CACHE[key] = (spark, fp)
+    return view
 
 
 # Session-scoped memo of spread()'s DECISION (r11 optimization round):

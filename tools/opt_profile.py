@@ -10,7 +10,7 @@ exact bench methodology (1 warm run + min of N timed runs, collect()):
   - noop_s:  min over N timed noop-sink runs (guide §1.4 — computation
              only, no result assembly / driver transfer)
 
-and can dump .explain("formatted") to plans/r11/<name>_<tag>.txt.
+and can dump .explain("formatted") to plans/r12/<name>_<tag>.txt (PLANS_ROUND overrides).
 
 Usage:
   python tools/opt_profile.py [--sf DIR] [--reps N] [--plans TAG] [q ...]
@@ -35,7 +35,7 @@ def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--sf", default=os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1"))
     ap.add_argument("--reps", type=int, default=2)
-    ap.add_argument("--plans", default=None, help="dump plans/r11/<q>_<TAG>.txt")
+    ap.add_argument("--plans", default=None, help="dump plans/$PLANS_ROUND (default r12)/<q>_<TAG>.txt")
     ap.add_argument("--noop", action="store_true", help="also time the noop sink")
     ap.add_argument("queries", nargs="*")
     args = ap.parse_args()
@@ -50,7 +50,7 @@ def main() -> None:
         spark.sparkContext.defaultParallelism
     ).mapInPandas(lambda it: it, "id long").count()
 
-    plans_dir = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "plans", "r11")
+    plans_dir = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "plans", os.environ.get("PLANS_ROUND", "r12"))
     if args.plans:
         os.makedirs(plans_dir, exist_ok=True)
 
